@@ -1,0 +1,22 @@
+"""hyparquet_writer_ray: a Ray-Data-native parquet column-chunk encoding
+engine with the capabilities of hyparam/hyparquet-writer (see SURVEY.md).
+
+Local (single-process) API: write_table / write_table_to_bytes /
+ParquetWriter / write_rows. Distributed API: pipelines.write.
+"""
+from .core.options import ColumnSpec, WriteOptions
+from .core.types import Codec, Encoding
+from .local import ParquetWriter, write_rows, write_table, write_table_to_bytes
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ColumnSpec",
+    "WriteOptions",
+    "Codec",
+    "Encoding",
+    "ParquetWriter",
+    "write_rows",
+    "write_table",
+    "write_table_to_bytes",
+]

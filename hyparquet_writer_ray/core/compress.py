@@ -1,0 +1,45 @@
+"""Page compression codec registry.
+
+Built-ins go through pyarrow's C codecs (raw block formats, exactly what
+parquet pages need). Users may register extra codecs per the reference's
+``compressors`` plug-in map (src/types.d.ts:3-4): a callable
+``bytes -> bytes`` keyed by codec name.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import pyarrow as pa
+
+from .types import Codec
+
+_PA_NAME = {
+    Codec.SNAPPY: "snappy",
+    Codec.GZIP: "gzip",
+    Codec.BROTLI: "brotli",
+    Codec.LZ4_RAW: "lz4_raw",
+    Codec.ZSTD: "zstd",
+}
+
+_codec_cache: dict[Codec, pa.Codec] = {}
+
+
+def compress(data: bytes, codec: Codec,
+             compressors: Optional[dict[str, Callable[[bytes], bytes]]] = None) -> bytes:
+    if codec == Codec.UNCOMPRESSED:
+        return data
+    if compressors and codec.name in compressors:
+        return compressors[codec.name](data)
+    name = _PA_NAME.get(codec)
+    if name is None:
+        raise ValueError(f"no compressor for codec {codec.name}")
+    c = _codec_cache.get(codec)
+    if c is None:
+        c = _codec_cache[codec] = pa.Codec(name)
+    return c.compress(data, asbytes=True)
+
+
+def decompress(data: bytes, codec: Codec, uncompressed_size: int) -> bytes:
+    if codec == Codec.UNCOMPRESSED:
+        return data
+    return pa.Codec(_PA_NAME[codec]).decompress(data, uncompressed_size, asbytes=True)
