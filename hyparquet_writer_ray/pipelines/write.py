@@ -1,0 +1,266 @@
+"""Distributed parquet write pipelines (Ray-Data-first; SURVEY.md §7).
+
+Two output shapes:
+
+- ``write_parquet_single_file``: reference-parity single file. Encode
+  fans out over an actor pool; a single driver-side assembler streams
+  ordered row-group blobs into one file (the only serialization point,
+  like the reference's ``writer.offset`` — SURVEY.md §3.4). Scales to
+  one file's practical limit; ordering via streaming
+  ``preserve_order``.
+
+- ``write_parquet_dataset``: the 100 TB shape. Every task assembles its
+  own complete parquet part-file (no driver byte bottleneck, no
+  all-to-all shuffle anywhere), with per-partition lineage records and
+  checkpoint resume: a killed job skips parts already on disk.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from contextlib import contextmanager
+from typing import Optional
+
+import pyarrow as pa
+
+from ..core.assemble import FileAssembler
+from ..core.options import WriteOptions
+from ..core.rowgroup import encode_row_group
+from ..core.schema import _normalize_type, normalize_table, schema_from_arrow
+from ..core.types import leaf_columns
+from ..stages.encode import (
+    DEFAULT_GROUP_BYTES,
+    DEFAULT_GROUP_ROWS,
+    RowGroupEncoder,
+    content_part_id,
+    split_row_groups,
+)
+from ..state.lineage import LineageLog, record_from_meta
+
+
+def _normalized_arrow_schema(ds) -> pa.Schema:
+    schema = ds.schema().base_schema
+    fields = []
+    for f in schema:
+        nt = _normalize_type(f.type)
+        fields.append(pa.field(f.name, nt or f.type, f.nullable))
+    return pa.schema(fields)
+
+
+@contextmanager
+def _preserve_order():
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        yield
+    finally:
+        ctx.execution_options.preserve_order = prev
+
+
+def write_parquet_single_file(
+    ds,
+    path: str,
+    opts: Optional[WriteOptions] = None,
+    *,
+    concurrency=None,
+    max_group_rows: int = DEFAULT_GROUP_ROWS,
+    max_group_bytes: int = DEFAULT_GROUP_BYTES,
+    checkpoint_dir: Optional[str] = None,
+) -> dict:
+    """Encode ``ds`` into one parquet file at ``path``.
+
+    Returns summary stats. With ``checkpoint_dir``, encoded blobs are
+    checkpointed per partition and a rerun reuses finished partitions.
+    """
+    opts = opts or WriteOptions()
+    arrow_schema = _normalized_arrow_schema(ds)
+
+    lineage = None
+    skip: frozenset[str] = frozenset()
+    if checkpoint_dir:
+        lineage = LineageLog(checkpoint_dir, store_blobs=True)
+        skip = frozenset(lineage.completed_parts())
+
+    encoded = ds.map_batches(
+        RowGroupEncoder,
+        fn_constructor_kwargs=dict(
+            opts=opts,
+            arrow_schema=arrow_schema,
+            max_group_rows=max_group_rows,
+            max_group_bytes=max_group_bytes,
+            skip_part_ids=skip,
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    schema_ir = schema_from_arrow(arrow_schema)
+    total_comp = 0
+    total_raw = 0
+    n_parts = 0
+    tmp_path = path + ".inprogress"
+    with _preserve_order():
+        with open(tmp_path, "wb") as sink:
+            asm = FileAssembler(sink, schema_ir, opts)
+            for batch in encoded.iter_batches(batch_size=None, batch_format="pyarrow"):
+                for row in range(batch.num_rows):
+                    part_id = batch.column("part_id")[row].as_py()
+                    blob = batch.column("blob")[row].as_py()
+                    if blob is None:
+                        # resume marker: reuse checkpointed blob
+                        blob, meta = lineage.load_blob(part_id)
+                    else:
+                        meta = pickle.loads(batch.column("meta")[row].as_py())
+                        if lineage is not None:
+                            lineage.append(
+                                record_from_meta(part_id, meta, len(blob)), blob, meta
+                            )
+                    asm.append_group(blob, meta)
+                    total_comp += len(blob)
+                    total_raw += meta.total_byte_size
+                    n_parts += 1
+            asm.finish()
+    os.replace(tmp_path, path)
+    if lineage is not None:
+        lineage.close()
+    return {
+        "path": path,
+        "row_groups": n_parts,
+        "rows": asm.num_rows,
+        "compressed_bytes": total_comp,
+        "uncompressed_bytes": total_raw,
+        "file_bytes": os.path.getsize(path),
+    }
+
+
+class PartFileWriter:
+    """map_batches actor: assembles each input batch into its own
+    complete parquet part-file under ``out_dir`` and returns one
+    manifest row per part. Fully parallel — no driver byte path."""
+
+    def __init__(
+        self,
+        opts: WriteOptions,
+        arrow_schema: pa.Schema,
+        out_dir: str,
+        max_group_rows: int = DEFAULT_GROUP_ROWS,
+        max_group_bytes: int = DEFAULT_GROUP_BYTES,
+        skip_part_ids: Optional[frozenset[str]] = None,
+    ) -> None:
+        self.opts = opts
+        self.schema_ir = schema_from_arrow(arrow_schema)
+        self.leaves = leaf_columns(self.schema_ir)
+        self.out_dir = out_dir
+        self.max_group_rows = max_group_rows
+        self.max_group_bytes = max_group_bytes
+        self.skip = skip_part_ids or frozenset()
+
+    def __call__(self, batch: pa.Table):
+        batch = normalize_table(batch)
+        if batch.num_rows == 0:
+            return
+        part_id = content_part_id(batch)
+        fname = f"part-{part_id}.parquet"
+        fpath = os.path.join(self.out_dir, fname)
+        if part_id in self.skip:
+            yield pa.table({
+                "part_id": [part_id], "file": [fname],
+                "rows": pa.array([batch.num_rows], type=pa.int64()),
+                "compressed_bytes": pa.array([os.path.getsize(fpath)], type=pa.int64()),
+                "uncompressed_bytes": pa.array([0], type=pa.int64()),
+                "skipped": [True],
+                "manifest": pa.array([None], type=pa.large_binary()),
+            })
+            return
+        tmp = fpath + ".inprogress"
+        raw = comp = 0
+        recs = []
+        with open(tmp, "wb") as sink:
+            asm = FileAssembler(sink, self.schema_ir, self.opts)
+            for group in split_row_groups(batch, self.max_group_rows, self.max_group_bytes):
+                blob, meta = encode_row_group(group, self.schema_ir, self.leaves, self.opts)
+                asm.append_group(blob, meta)
+                raw += meta.total_byte_size
+                comp += len(blob)
+                recs.append(record_from_meta(content_part_id(group), meta, len(blob), file=fname))
+            asm.finish()
+        os.replace(tmp, fpath)
+        checksum = hashlib.sha1(open(fpath, "rb").read(1 << 16)).hexdigest()[:12]
+        for r in recs:
+            r.checksum = checksum
+        yield pa.table({
+            "part_id": [part_id], "file": [fname],
+            "rows": pa.array([batch.num_rows], type=pa.int64()),
+            "compressed_bytes": pa.array([comp], type=pa.int64()),
+            "uncompressed_bytes": pa.array([raw], type=pa.int64()),
+            "skipped": [False],
+            "manifest": pa.array([pickle.dumps(recs)], type=pa.large_binary()),
+        })
+
+
+def write_parquet_dataset(
+    ds,
+    out_dir: str,
+    opts: Optional[WriteOptions] = None,
+    *,
+    concurrency=None,
+    max_group_rows: int = DEFAULT_GROUP_ROWS,
+    max_group_bytes: int = DEFAULT_GROUP_BYTES,
+    resume: bool = True,
+) -> dict:
+    """Partitioned parquet output with lineage manifest + resume.
+
+    Each input block becomes ``part-<content_hash>.parquet``; reruns of
+    the same input skip parts whose files already exist (verified
+    through the manifest), giving partition-granular resumability.
+    """
+    opts = opts or WriteOptions()
+    os.makedirs(out_dir, exist_ok=True)
+    arrow_schema = _normalized_arrow_schema(ds)
+    lineage = LineageLog(out_dir)
+    skip: frozenset[str] = frozenset()
+    if resume:
+        done = lineage.completed_parts()
+        # part-file completion is keyed by the batch-level part id (stored
+        # in the 'file' name), not row-group ids
+        skip = frozenset(
+            rec.file[5:-8] for rec in done.values() if rec.file
+        )
+
+    manifest_ds = ds.map_batches(
+        PartFileWriter,
+        fn_constructor_kwargs=dict(
+            opts=opts,
+            arrow_schema=arrow_schema,
+            out_dir=out_dir,
+            max_group_rows=max_group_rows,
+            max_group_bytes=max_group_bytes,
+            skip_part_ids=skip,
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    total = {"parts": 0, "rows": 0, "compressed_bytes": 0, "uncompressed_bytes": 0, "skipped_parts": 0}
+    for batch in manifest_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for row in range(batch.num_rows):
+            total["parts"] += 1
+            total["rows"] += batch.column("rows")[row].as_py()
+            total["compressed_bytes"] += batch.column("compressed_bytes")[row].as_py()
+            total["uncompressed_bytes"] += batch.column("uncompressed_bytes")[row].as_py()
+            if batch.column("skipped")[row].as_py():
+                total["skipped_parts"] += 1
+                continue
+            for rec in pickle.loads(batch.column("manifest")[row].as_py()):
+                lineage.append(rec)
+    lineage.close()
+    total["out_dir"] = out_dir
+    return total

@@ -1,0 +1,99 @@
+"""Ray Data encode stage: a callable class for ``map_batches`` actor
+pools. Each call turns one Arrow batch into one or more encoded row
+groups — relocatable blobs + pickled metadata rows (SURVEY.md §7.3).
+
+Stateful setup (schema IR, leaf resolution, codec registry) happens
+once per actor in ``__init__``; ``__call__`` is pure per-batch work.
+"""
+from __future__ import annotations
+
+import hashlib
+import pickle
+from typing import Iterator, Optional
+
+import pyarrow as pa
+
+from ..core.options import WriteOptions
+from ..core.rowgroup import encode_row_group
+from ..core.schema import normalize_table, schema_from_arrow
+from ..core.types import leaf_columns
+
+DEFAULT_GROUP_ROWS = 100_000
+DEFAULT_GROUP_BYTES = 64 << 20  # byte cap: skew-aware split of huge html rows
+
+
+def split_row_groups(
+    table: pa.Table,
+    max_rows: int = DEFAULT_GROUP_ROWS,
+    max_bytes: int = DEFAULT_GROUP_BYTES,
+) -> Iterator[pa.Table]:
+    """Byte-aware, skew-aware slicing of a batch into row groups: rows
+    are cheap to bound, but web-page rows vary KB..MB so a byte budget
+    splits oversized slices (SURVEY.md §4 'Skew')."""
+    n = table.num_rows
+    if n == 0:
+        return
+    avg_row = max(1, table.nbytes // max(n, 1))
+    rows_by_bytes = max(1, max_bytes // avg_row)
+    step = max(1, min(max_rows, rows_by_bytes))
+    for start in range(0, n, step):
+        yield table.slice(start, min(step, n - start))
+
+
+def content_part_id(table: pa.Table) -> str:
+    """Deterministic partition id from the group's content fingerprint:
+    stable across reruns of the same input + partitioning, which is what
+    per-partition resume keys on (BASELINE.md 'resumability')."""
+    h = hashlib.sha1()
+    h.update(str(table.num_rows).encode())
+    h.update(str(table.nbytes).encode())
+    first = table.slice(0, 1).to_pylist()
+    last = table.slice(max(table.num_rows - 1, 0), 1).to_pylist()
+    h.update(repr(first).encode())
+    h.update(repr(last).encode())
+    return h.hexdigest()[:16]
+
+
+class RowGroupEncoder:
+    """map_batches actor: Arrow batch -> encoded row-group rows.
+
+    Output schema: part_id:string, num_rows:int64, blob:large_binary,
+    meta:binary (pickled RowGroupMeta).
+    """
+
+    def __init__(
+        self,
+        opts: WriteOptions,
+        arrow_schema: pa.Schema,
+        max_group_rows: int = DEFAULT_GROUP_ROWS,
+        max_group_bytes: int = DEFAULT_GROUP_BYTES,
+        skip_part_ids: Optional[frozenset[str]] = None,
+    ) -> None:
+        self.opts = opts
+        self.schema_ir = schema_from_arrow(arrow_schema)
+        self.leaves = leaf_columns(self.schema_ir)
+        self.max_group_rows = max_group_rows
+        self.max_group_bytes = max_group_bytes
+        self.skip = skip_part_ids or frozenset()
+
+    def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
+        batch = normalize_table(batch)
+        for group in split_row_groups(batch, self.max_group_rows, self.max_group_bytes):
+            part_id = content_part_id(group)
+            if part_id in self.skip:
+                # resume: emit a marker row so ordering stays intact but
+                # carry no payload (assembler reuses the checkpoint blob)
+                yield pa.table({
+                    "part_id": pa.array([part_id]),
+                    "num_rows": pa.array([group.num_rows], type=pa.int64()),
+                    "blob": pa.array([None], type=pa.large_binary()),
+                    "meta": pa.array([None], type=pa.large_binary()),
+                })
+                continue
+            blob, meta = encode_row_group(group, self.schema_ir, self.leaves, self.opts)
+            yield pa.table({
+                "part_id": pa.array([part_id]),
+                "num_rows": pa.array([group.num_rows], type=pa.int64()),
+                "blob": pa.array([blob], type=pa.large_binary()),
+                "meta": pa.array([pickle.dumps(meta)], type=pa.large_binary()),
+            })

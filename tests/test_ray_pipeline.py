@@ -1,0 +1,114 @@
+"""Distributed pipeline tests: single-file ordered assembly, part-file
+dataset mode, lineage + partition-granular resume (SURVEY.md §7.2 steps
+7-8)."""
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+
+from hyparquet_writer_ray import WriteOptions
+from hyparquet_writer_ray.pipelines.write import (
+    write_parquet_dataset,
+    write_parquet_single_file,
+)
+from hyparquet_writer_ray.sources.webtable import synthesize_table, webtable_dataset
+
+
+@pytest.fixture()
+def ray_data(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+def test_single_file_matches_input(ray_data, tmp_path):
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    ds = ray_data.read_parquet(src)
+    out = write_parquet_single_file(ds, str(tmp_path / "l.parquet"), concurrency=2)
+    assert out["rows"] == 6000
+    a = duckdb.sql(f"select count(*), sum(l_quantity), min(l_shipdate) from '{tmp_path}/l.parquet'").fetchone()
+    b = duckdb.sql(f"select count(*), sum(l_quantity), min(l_shipdate) from '{src}'").fetchone()
+    assert a == b
+
+
+def test_single_file_preserves_row_order(ray_data, tmp_path):
+    src = "/root/testdata/sf0.001/orders.parquet"
+    ds = ray_data.read_parquet(src)
+    write_parquet_single_file(ds, str(tmp_path / "o.parquet"), concurrency=2)
+    got = pq.read_table(tmp_path / "o.parquet").column("o_orderkey").to_pylist()
+    ref = pq.read_table(src).column("o_orderkey").to_pylist()
+    assert got == ref  # order is data (SURVEY.md §7.0 invariant 3)
+
+
+def test_dataset_mode_and_resume(ray_data, tmp_path):
+    out_dir = str(tmp_path / "web")
+    ds = webtable_dataset(20_000, rows_per_block=5_000)
+    out = write_parquet_dataset(ds, out_dir, concurrency=2)
+    assert out["parts"] == 4 and out["rows"] == 20_000 and out["skipped_parts"] == 0
+    n = duckdb.sql(f"select count(*) from '{out_dir}/part-*.parquet'").fetchone()[0]
+    assert n == 20_000
+    # manifest exists with per-partition codec/size records
+    manifest = os.path.join(out_dir, "_lineage", "manifest.jsonl")
+    assert os.path.exists(manifest)
+    import json
+
+    recs = [json.loads(x) for x in open(manifest)]
+    assert all("columns" in r and r["comp_bytes"] > 0 for r in recs)
+    # resume: identical rerun skips every part
+    ds2 = webtable_dataset(20_000, rows_per_block=5_000)
+    out2 = write_parquet_dataset(ds2, out_dir, concurrency=2)
+    assert out2["skipped_parts"] == 4
+
+
+def test_resume_after_partial_failure(ray_data, tmp_path):
+    """Kill-mid-run simulation: delete one part + its manifest rows, rerun,
+    only that partition is re-encoded and the final output is identical."""
+    out_dir = str(tmp_path / "web2")
+    ds = webtable_dataset(20_000, rows_per_block=5_000)
+    write_parquet_dataset(ds, out_dir, concurrency=2)
+    full = duckdb.sql(
+        f"select count(*), count(distinct url) from '{out_dir}/part-*.parquet'"
+    ).fetchone()
+    victim = sorted(glob.glob(f"{out_dir}/part-*.parquet"))[0]
+    os.remove(victim)
+    out2 = write_parquet_dataset(
+        webtable_dataset(20_000, rows_per_block=5_000), out_dir, concurrency=2
+    )
+    assert out2["skipped_parts"] == 3  # only the deleted part re-encoded
+    after = duckdb.sql(
+        f"select count(*), count(distinct url) from '{out_dir}/part-*.parquet'"
+    ).fetchone()
+    assert after == full
+
+
+def test_webtable_determinism(ray_data):
+    a = synthesize_table(1000)
+    b = synthesize_table(1000)
+    assert a.equals(b)
+    # distributed generation produces the same rows as local
+    ds = webtable_dataset(1000, rows_per_block=250)
+    got = ds.to_arrow_refs()
+    import ray
+
+    import pyarrow as pa
+
+    t = pa.concat_tables([ray.get(r) for r in got])
+    t = t.combine_chunks()
+    assert sorted(t.column("url").to_pylist()) == sorted(a.column("url").to_pylist())
+
+
+def test_single_file_checkpoint_resume(ray_data, tmp_path):
+    src = "/root/testdata/sf0.001/orders.parquet"
+    ckpt = str(tmp_path / "ckpt")
+    ds = ray_data.read_parquet(src)
+    write_parquet_single_file(ds, str(tmp_path / "a.parquet"), concurrency=2, checkpoint_dir=ckpt)
+    # rerun with same checkpoint: all groups come from the blob store
+    ds2 = ray_data.read_parquet(src)
+    out = write_parquet_single_file(ds2, str(tmp_path / "b.parquet"), concurrency=2, checkpoint_dir=ckpt)
+    a = pq.read_table(tmp_path / "a.parquet")
+    b = pq.read_table(tmp_path / "b.parquet")
+    assert a.equals(b)
