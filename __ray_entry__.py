@@ -1,44 +1,356 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in anything these callables use.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry exercises one operator family from
+SURVEY.md §2 (encode roundtrips through the engine + independent
+decode) or one training-data operator (dedup / text analysis /
+similarity). ``oracle_sql()`` gives the DuckDB-equivalent SQL where
+expressible; non-SQL ops (langid, minhash, simhash, LSH, multimodal,
+webtable synthesis) are rows-only checks.
 """
-
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_OUT = "/tmp/hpw_queries"
+
+
+def _outpath(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(_OUT, tag)
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, name)
+
+
+def _roundtrip_local(sf_dir: str, table_name: str, opts=None) -> pa.Table:
+    """read -> our local writer -> pyarrow decode (reference parquetWrite
+    path, src/write.js:16-60)."""
+    from hyparquet_writer_ray import write_table
+    t = pq.read_table(os.path.join(sf_dir, f"{table_name}.parquet"))
+    out = _outpath(sf_dir, f"{table_name}_local.parquet")
+    write_table(t, out, opts)
+    return pq.read_table(out)
+
+
+def _roundtrip_single_file(sf_dir: str, table_name: str, opts=None) -> pa.Table:
+    """read -> Ray encode actor pool -> ordered assembler -> decode."""
+    import ray.data
+    from hyparquet_writer_ray.pipelines.write import write_parquet_single_file
+    ds = ray.data.read_parquet(os.path.join(sf_dir, f"{table_name}.parquet"))
+    out = _outpath(sf_dir, f"{table_name}_ray.parquet")
+    write_parquet_single_file(ds, out, opts, concurrency=(1, 4))
+    return pq.read_table(out)
+
+
+def _roundtrip_dataset(sf_dir: str, table_name: str, opts=None) -> pa.Table:
+    """read -> Ray part-file writer (+ lineage manifest) -> decode."""
+    import shutil
+
+    import ray.data
+    from hyparquet_writer_ray.pipelines.write import write_parquet_dataset
+    ds = ray.data.read_parquet(os.path.join(sf_dir, f"{table_name}.parquet"))
+    out = _outpath(sf_dir, f"{table_name}_parts")
+    shutil.rmtree(out, ignore_errors=True)
+    write_parquet_dataset(ds, out, opts, concurrency=(1, 4))
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    return pa.concat_tables(pq.read_table(f) for f in files)
+
+
+def _q_roundtrip(table_name: str, mode: str = "local"):
+    fn = {
+        "local": _roundtrip_local,
+        "single": _roundtrip_single_file,
+        "parts": _roundtrip_dataset,
+    }[mode]
+
+    def run(sf_dir: str) -> pa.Table:
+        return fn(sf_dir, table_name)
+
+    run.__name__ = f"roundtrip_{table_name}"
+    return run
+
+
+def _q_encode_delta_ts(sf_dir: str) -> pa.Table:
+    from hyparquet_writer_ray import ColumnSpec, Encoding, WriteOptions, write_table
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_id", "ts", "user_id"])
+    opts = WriteOptions(column_specs={
+        "event_id": ColumnSpec(encoding=Encoding.DELTA_BINARY_PACKED),
+        "ts": ColumnSpec(encoding=Encoding.DELTA_BINARY_PACKED),
+        "user_id": ColumnSpec(encoding=Encoding.DELTA_BINARY_PACKED),
+    })
+    out = _outpath(sf_dir, "events_delta.parquet")
+    write_table(t, out, opts)
+    return pq.read_table(out)
+
+
+def _q_encode_dict_rle(sf_dir: str) -> pa.Table:
+    from hyparquet_writer_ray import ColumnSpec, Encoding, WriteOptions, write_table
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+    t = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"), columns=cols)
+    opts = WriteOptions(column_specs={
+        "l_returnflag": ColumnSpec(encoding=Encoding.RLE_DICTIONARY),
+        "l_linestatus": ColumnSpec(encoding=Encoding.RLE_DICTIONARY),
+    })
+    out = _outpath(sf_dir, "lineitem_dict.parquet")
+    write_table(t, out, opts)
+    return pq.read_table(out)
+
+
+def _q_encode_bss(sf_dir: str) -> pa.Table:
+    from hyparquet_writer_ray import ColumnSpec, Encoding, WriteOptions, write_table
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"])
+    opts = WriteOptions(column_specs={"value": ColumnSpec(encoding=Encoding.BYTE_STREAM_SPLIT)})
+    out = _outpath(sf_dir, "events_bss.parquet")
+    write_table(t, out, opts)
+    return pq.read_table(out)
+
+
+def _q_encode_delta_byte_array(sf_dir: str) -> pa.Table:
+    from hyparquet_writer_ray import ColumnSpec, Encoding, WriteOptions, write_table
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    t = t.sort_by("text")
+    opts = WriteOptions(column_specs={"text": ColumnSpec(encoding=Encoding.DELTA_BYTE_ARRAY)})
+    out = _outpath(sf_dir, "documents_dba.parquet")
+    write_table(t, out, opts)
+    return pq.read_table(out)
+
+
+def _q_smart_codec(sf_dir: str) -> pa.Table:
+    """Codec auto-selection v2 over the events table (delta for ts/ids,
+    byte-stream-split for doubles, dict for low-cardinality strings)."""
+    from hyparquet_writer_ray import WriteOptions, write_table
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    out = _outpath(sf_dir, "events_smart.parquet")
+    write_table(t, out, WriteOptions(auto_codec="smart"))
+    return pq.read_table(out)
+
+
+# --- text / dedup / similarity operators -----------------------------------
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _q_token_count(sf_dir: str) -> pa.Table:
+    from hyparquet_writer_ray.functions.text import token_counts
+    ds = token_counts(_docs_ds(sf_dir)).select_columns(["doc_id", "n_tokens"])
+    return pa.concat_tables(
+        b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+
+def _q_quality(sf_dir: str) -> pa.Table:
+    from hyparquet_writer_ray.functions.text import quality_scores
+    ds = quality_scores(_docs_ds(sf_dir)).select_columns(
+        ["doc_id", "n_chars", "n_tokens", "max_token_len", "n_stopwords"]
+    )
+    return pa.concat_tables(
+        b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+
+def _q_fingerprint(sf_dir: str) -> pa.Table:
+    from hyparquet_writer_ray.functions.text import fingerprints
+    ds = fingerprints(_docs_ds(sf_dir)).select_columns(["doc_id", "fp"])
+    return pa.concat_tables(
+        b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+
+def _q_langid(sf_dir: str) -> pa.Table:
+    from hyparquet_writer_ray.functions.text import lang_ids
+    ds = lang_ids(_docs_ds(sf_dir)).select_columns(["doc_id", "pred_lang"])
+    return pa.concat_tables(
+        b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+
+def _q_dedup_exact(sf_dir: str) -> pa.Table:
+    from hyparquet_writer_ray.functions.dedup import exact_dedup
+    ds = exact_dedup(_docs_ds(sf_dir))
+    return pa.concat_tables(
+        b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+
+def _q_dedup_minhash(sf_dir: str) -> pa.Table:
+    from hyparquet_writer_ray.functions.dedup import minhash_lsh_pairs
+    ds = minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.5)
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard_est", pa.float64())])
+    t = _collect(ds, schema)
+    return t.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+def _q_dedup_simhash(sf_dir: str) -> pa.Table:
+    from hyparquet_writer_ray.functions.dedup import simhashes
+    ds = simhashes(_docs_ds(sf_dir))
+    return pa.concat_tables(
+        b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+
+def _q_sim_topk(sf_dir: str) -> pa.Table:
+    import ray.data
+    from hyparquet_writer_ray.functions.similarity import topk_cosine
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = pq.read_table(emb_path).filter(
+        pa.compute.equal(pq.read_table(emb_path, columns=["vec_id"]).column("vec_id"), 0)
+    ).column("embedding")[0].as_py()
+    ds = ray.data.read_parquet(emb_path)
+    top = topk_cosine(ds, np.array(q), k=10)
+    return top.select(["vec_id"])
+
+
+def _collect(ds, empty_schema: pa.Schema | None = None) -> pa.Table:
+    batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        return pa.table({f.name: pa.array([], f.type) for f in (empty_schema or pa.schema([]))})
+    return pa.concat_tables(batches)
+
+
+def _q_sim_lsh_pairs(sf_dir: str) -> pa.Table:
+    import ray.data
+    from hyparquet_writer_ray.functions.similarity import lsh_bucket_pairs
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).column("embedding")[0].as_py())
+    pairs = lsh_bucket_pairs(ds, dim=dim, threshold=0.8)
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64())])
+    t = _collect(pairs, schema)
+    return t.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+def _q_webtable(sf_dir: str) -> pa.Table:
+    """Flagship Common-Crawl-style encode: synthesize -> part-file encode
+    with lineage -> decode -> per-lang aggregate (deterministic)."""
+    import shutil
+
+    import duckdb
+    from hyparquet_writer_ray.pipelines.write import write_parquet_dataset
+    from hyparquet_writer_ray.sources.webtable import webtable_dataset
+    n = 20_000
+    out = _outpath(sf_dir, "webtable_parts")
+    shutil.rmtree(out, ignore_errors=True)
+    write_parquet_dataset(webtable_dataset(n, rows_per_block=5_000), out, concurrency=(1, 4))
+    return duckdb.sql(
+        f"SELECT lang, count(*) AS n, sum(length(text)) AS chars "
+        f"FROM '{out}/part-*.parquet' GROUP BY lang ORDER BY lang"
+    ).arrow()
+
+
+def _q_multimodal(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing: binary payload column -> actor-pool decode
+    stage (deterministic fake decode; real decoder is stubbed)."""
+    import ray.data
+    from hyparquet_writer_ray.functions.multimodal import decode_images
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    payload = pa.table({
+        "id": docs.column("doc_id"),
+        "payload": pa.array(
+            [None if t is None else t.encode() for t in docs.column("text").to_pylist()],
+            type=pa.binary(),
+        ),
+    })
+    ds = ray.data.from_arrow(payload)
+    decoded = decode_images(ds, fake=True, out_size=8)
+    t = pa.concat_tables(
+        b for b in decoded.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    sums = pa.array(
+        [int(np.sum(p)) if p is not None else None for p in t.column("pixels").to_pylist()],
+        type=pa.int64(),
+    )
+    return pa.table({"id": t.column("id"), "decoded": t.column("decoded"), "pixel_sum": sums})
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: Ray-encode lineitem into one parquet
+    file through the actor-pool + assembler path, then return the decoded
+    Dataset."""
+    import ray.data
+    from hyparquet_writer_ray.pipelines.write import write_parquet_single_file
+    sf_dir = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    out = _outpath(sf_dir, "entry_lineitem.parquet")
+    write_parquet_single_file(ds, out, concurrency=(1, 4))
+    return ray.data.read_parquet(out)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {}
+    # encode roundtrips: every physical type / table shape in testdata
+    for name in ["orders", "customer", "part", "supplier", "nation", "region", "embeddings"]:
+        q[f"roundtrip_{name}"] = _q_roundtrip(name, "local")
+    q["roundtrip_lineitem"] = _q_roundtrip("lineitem", "single")
+    q["roundtrip_documents"] = _q_roundtrip("documents", "single")
+    q["roundtrip_events"] = _q_roundtrip("events", "parts")
+    # forced-encoding paths
+    q["encode_delta_ts"] = _q_encode_delta_ts
+    q["encode_dict_rle"] = _q_encode_dict_rle
+    q["encode_bss"] = _q_encode_bss
+    q["encode_delta_byte_array"] = _q_encode_delta_byte_array
+    q["encode_smart_codec"] = _q_smart_codec
+    # training-data operators
+    q["text_token_count"] = _q_token_count
+    q["text_quality"] = _q_quality
+    q["text_fingerprint"] = _q_fingerprint
+    q["text_langid"] = _q_langid
+    q["dedup_exact"] = _q_dedup_exact
+    q["dedup_minhash"] = _q_dedup_minhash
+    q["dedup_simhash"] = _q_dedup_simhash
+    q["sim_topk_cosine"] = _q_sim_topk
+    q["sim_lsh_pairs"] = _q_sim_lsh_pairs
+    q["webtable_encode"] = _q_webtable
+    q["multimodal_decode"] = _q_multimodal
+    return q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_SQL = "('the','a','of','and','to','in','is','for','it','that')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+    for name in [
+        "orders", "customer", "part", "supplier", "nation", "region",
+        "embeddings", "lineitem", "documents", "events",
+    ]:
+        sql[f"roundtrip_{name}"] = f"SELECT * FROM {name}"
+    sql["encode_delta_ts"] = "SELECT event_id, ts, user_id FROM events"
+    sql["encode_dict_rle"] = (
+        "SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem"
+    )
+    sql["encode_bss"] = "SELECT event_id, value FROM events"
+    sql["encode_delta_byte_array"] = "SELECT doc_id, text FROM documents"
+    sql["encode_smart_codec"] = "SELECT * FROM events"
+    sql["text_token_count"] = (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"
+    )
+    sql["text_quality"] = (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        "CAST(list_max(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS max_token_len, "
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS BIGINT) AS n_stopwords "
+        "FROM documents"
+    )
+    sql["text_fingerprint"] = "SELECT doc_id, md5(text) AS fp FROM documents"
+    sql["dedup_exact"] = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+    sql["sim_topk_cosine"] = (
+        "SELECT vec_id FROM embeddings "
+        "ORDER BY list_cosine_similarity(embedding, "
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id LIMIT 10"
+    )
+    # rows-only (non-SQL-expressible): text_langid, dedup_minhash,
+    # dedup_simhash, sim_lsh_pairs, webtable_encode, multimodal_decode
+    return sql

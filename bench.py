@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline encode pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..,
+   "num_cpus": N, ...extra throughput keys}
+
+--scaling runs the flagship webtable encode twice in FRESH processes
+(num_cpus=8 and num_cpus=32 by default) on identical input and reports
+both throughputs + scaling efficiency (BASELINE.md criterion).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TMP = "/tmp/hpw_bench"
+
+_WEBTABLE_ROWS = {"sf0.001": 5_000, "sf0.01": 20_000, "sf0.1": 120_000}
+
+
+def _sf_tag() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR))
+
+
+def _sf_value() -> float:
+    tag = _sf_tag()
+    try:
+        return float(tag.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _ensure_webtable_input(rows: int) -> str:
+    """Materialize the deterministic web table once as parquet input so
+    the benchmark measures ENCODE, not synthesis."""
+    import ray.data
+
+    from hyparquet_writer_ray.sources.webtable import webtable_dataset
+
+    path = os.path.join(BENCH_TMP, f"webtable_input_{rows}")
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    webtable_dataset(rows, rows_per_block=10_000).write_parquet(path)
+    open(marker, "w").write("ok")
+    return path
+
+
+def _input_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def bench_webtable_encode() -> tuple[float, dict]:
+    """Flagship: Common-Crawl-style table -> part-file parquet encode."""
+    import ray.data
+
+    from hyparquet_writer_ray.pipelines.write import write_parquet_dataset
+
+    rows = _WEBTABLE_ROWS.get(_sf_tag(), 20_000)
+    inp = _ensure_webtable_input(rows)
+    out = os.path.join(BENCH_TMP, f"webtable_out_{rows}")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = ray.data.read_parquet(inp)
+    t0 = time.perf_counter()
+    stats = write_parquet_dataset(ds, out, concurrency=(1, NUM_CPUS), resume=False)
+    dt = time.perf_counter() - t0
+    return dt, {
+        "rows": stats["rows"],
+        "input_bytes": _input_bytes(inp),
+        "raw_bytes": stats["uncompressed_bytes"],
+        "compressed_bytes": stats["compressed_bytes"],
+    }
+
+
+def bench_lineitem_single_file() -> tuple[float, dict]:
+    import ray.data
+
+    from hyparquet_writer_ray.pipelines.write import write_parquet_single_file
+
+    src = os.path.join(SF_DIR, "lineitem.parquet")
+    out = os.path.join(BENCH_TMP, "lineitem_single.parquet")
+    ds = ray.data.read_parquet(src)
+    t0 = time.perf_counter()
+    stats = write_parquet_single_file(ds, out, concurrency=(1, NUM_CPUS))
+    dt = time.perf_counter() - t0
+    return dt, {"rows": stats["rows"], "input_bytes": os.path.getsize(src)}
+
+
+def bench_documents_parts() -> tuple[float, dict]:
+    import ray.data
+
+    from hyparquet_writer_ray.core.options import WriteOptions
+    from hyparquet_writer_ray.pipelines.write import write_parquet_dataset
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    out = os.path.join(BENCH_TMP, "documents_parts")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = ray.data.read_parquet(src)
+    t0 = time.perf_counter()
+    stats = write_parquet_dataset(
+        ds, out, WriteOptions(auto_codec="smart"), concurrency=(1, NUM_CPUS), resume=False
+    )
+    dt = time.perf_counter() - t0
+    return dt, {"rows": stats["rows"], "input_bytes": os.path.getsize(src)}
+
+
+def bench_text_ops() -> tuple[float, dict]:
+    import ray.data
+
+    from hyparquet_writer_ray.functions.text import quality_scores
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    ds = quality_scores(ray.data.read_parquet(src))
+    t0 = time.perf_counter()
+    n = 0
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        n += b.num_rows
+    dt = time.perf_counter() - t0
+    return dt, {"rows": n, "input_bytes": os.path.getsize(src)}
+
+
+BENCHES = {
+    "webtable_encode": bench_webtable_encode,
+    "lineitem_single_file": bench_lineitem_single_file,
+    "documents_smart_parts": bench_documents_parts,
+    "text_quality": bench_text_ops,
+}
+
+
+def run_benches(only=None) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    queries = {}
+    extras = {}
+    for name, fn in BENCHES.items():
+        if only and name not in only:
+            continue
+        dt, info = fn()
+        queries[name] = round(dt, 4)
+        extras[name] = info
+    ray.shutdown()
+    return {"queries": queries, "extras": extras}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--cpus-pair", nargs=2, type=int, default=[8, 32])
+    args = ap.parse_args()
+
+    if args.scaling:
+        # fresh process per parallelism level, identical input
+        results = {}
+        for n in args.cpus_pair:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR)
+            out = subprocess.run(
+                [sys.executable, __file__, "--only", "webtable_encode"],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[n] = json.loads(line)
+        lo, hi = args.cpus_pair
+        t_lo = results[lo]["queries"]["webtable_encode"]
+        t_hi = results[hi]["queries"]["webtable_encode"]
+        ib = results[hi]["extras"]["webtable_encode"]["input_bytes"]
+        thr_lo = ib / t_lo / 1e9
+        thr_hi = ib / t_hi / 1e9
+        eff = (thr_hi / thr_lo) / (hi / lo)
+        print(json.dumps({
+            "metric": "webtable_encode_scaling_efficiency",
+            "value": round(eff, 4),
+            "unit": "ratio",
+            "queries": {f"cpus_{lo}": t_lo, f"cpus_{hi}": t_hi},
+            "sf": _sf_value(),
+            "num_cpus": hi,
+            "throughput_gbps": {str(lo): round(thr_lo, 4), str(hi): round(thr_hi, 4)},
+        }))
+        return
+
+    res = run_benches(only=args.only)
+    total = round(sum(res["queries"].values()), 4)
+    wt = res["extras"].get("webtable_encode")
+    out = {
+        "metric": "encode_wall_sec_total",
+        "value": total,
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": _sf_value(),
+        "num_cpus": NUM_CPUS,
+        "extras": res["extras"],
+    }
+    if wt:
+        out["webtable_encode_gbps"] = round(
+            wt["input_bytes"] / res["queries"]["webtable_encode"] / 1e9, 4
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (list<float>).
+
+- ``topk_cosine``: brute-force cosine top-k, scale-shaped: the query
+  matrix is broadcast once (ray.put), every batch does one numpy
+  matmul, per-batch top-k reduces before the tiny driver-side merge —
+  no global sort, no all-to-all.
+- ``lsh_bucket_pairs``: random-hyperplane LSH variant for
+  all-pairs near-neighbor search: shuffle on a 16-bit bucket key,
+  within-bucket matmul. The IVF-style scale path.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    return flat.reshape(batch.num_rows, -1)
+
+
+def topk_cosine(ds, query: np.ndarray, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Top-k most cosine-similar rows to ``query``. Returns a small
+    pyarrow Table (id, score) — the result is k rows, never a Dataset
+    materialization of the input."""
+    import ray
+
+    q = np.asarray(query, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    q_ref = ray.put(q)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = _embedding_matrix(batch, vec_col)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        scores = (m @ qv) / norms
+        kk = min(k, len(scores))
+        idx = np.argpartition(-scores, kk - 1)[:kk]
+        return pa.table({
+            id_col: pa.array(np.asarray(batch.column(id_col))[idx]),
+            "score": pa.array(scores[idx], pa.float64()),
+        })
+
+    reduced = ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True)
+    # merge the tiny per-batch top-k lists on the driver (k * n_batches
+    # rows); ties broken by id ascending for determinism
+    cand: list[tuple[float, int]] = []
+    for b in reduced.iter_batches(batch_size=None, batch_format="pyarrow"):
+        cand.extend(zip(b.column("score").to_pylist(), b.column(id_col).to_pylist()))
+    cand.sort(key=lambda sv: (-sv[0], sv[1]))
+    best = cand[:k]
+    return pa.table({
+        id_col: pa.array([v for _, v in best], pa.int64()),
+        "score": pa.array([s for s, _ in best], pa.float64()),
+    })
+
+
+class HyperplaneBucketer:
+    """Stateful stage: random hyperplanes drawn once per actor (seeded)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+        rng = np.random.default_rng(seed)
+        self.planes = rng.normal(0, 1, (dim, n_planes))
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, self.vec_col)
+        signs = (m @ self.planes) > 0
+        bucket = (signs.astype(np.uint64) << np.arange(signs.shape[1], dtype=np.uint64)).sum(axis=1)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            self.vec_col: batch.column(self.vec_col),
+            "bucket": pa.array(bucket),
+        })
+
+
+def lsh_bucket_pairs(ds, *, dim: int, threshold: float = 0.9, n_planes: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     concurrency=2):
+    """Embedding-cosine near-duplicate pairs via hyperplane LSH buckets:
+    candidates only form within a bucket (the shuffle key is one u64)."""
+    bucketed = ds.map_batches(
+        HyperplaneBucketer,
+        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+    )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        m = _embedding_matrix(group, vec_col)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        sims = mn @ mn.T
+        ids = np.asarray(group.column(id_col))
+        iu = np.triu_indices(len(ids), 1)
+        mask = sims[iu] >= threshold
+        return pa.table({
+            "a": pa.array(np.minimum(ids[iu[0]][mask], ids[iu[1]][mask]), pa.int64()),
+            "b": pa.array(np.maximum(ids[iu[0]][mask], ids[iu[1]][mask]), pa.int64()),
+            "cos": pa.array(sims[iu][mask], pa.float64()),
+        })
+
+    return bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")

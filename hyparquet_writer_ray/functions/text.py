@@ -1,0 +1,139 @@
+"""Text analysis stages for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting. All vectorized
+``map_batches`` transforms over Arrow batches (no per-row Python in the
+hot path except where hashing requires it).
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "it", "that")
+
+# tiny per-language stopword lists for the n-gram/stopword-heuristic
+# language id (deterministic, dependency-free)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "that", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein"},
+    "fr": {"le", "la", "les", "et", "est", "une", "dans", "pour"},
+    "es": {"el", "la", "los", "y", "es", "una", "para", "con"},
+    "pt": {"o", "os", "e", "uma", "para", "com", "não", "em"},
+    "it": {"il", "la", "e", "una", "per", "con", "non", "sono"},
+    "nl": {"de", "het", "een", "en", "van", "niet", "met", "voor"},
+    "pl": {"i", "nie", "to", "się", "na", "jest", "z", "że"},
+    "tr": {"bir", "ve", "bu", "için", "ile", "da", "ne", "gibi"},
+    "ru": {"и", "не", "на", "что", "это", "как", "в", "он"},
+}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """doc rows -> n_tokens via arrow split kernel (single-space corpus
+    semantics match SQL string_split)."""
+    text = batch.column(text_col)
+    toks = pc.split_pattern(text, " ")
+    return batch.append_column("n_tokens", pc.cast(pc.list_value_length(toks), pa.int64()))
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer quality signals: n_chars, n_tokens, max_token_len,
+    n_stopwords — all Arrow/numpy kernels."""
+    text = batch.column(text_col).combine_chunks() if isinstance(batch.column(text_col), pa.ChunkedArray) else batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    toks = pc.split_pattern(text, " ")
+    n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+    n_tok_filled = pc.fill_null(n_tokens, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(n_tok_filled)])
+    starts = offsets[:-1]
+    n = len(text)
+    max_tok = np.zeros(n, dtype=np.int64)
+    nonempty = offsets[1:] > starts
+    if flat_len.size:
+        maxes = np.maximum.reduceat(flat_len, np.minimum(starts, flat_len.size - 1))
+        max_tok[nonempty] = maxes[nonempty]
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_stop = np.zeros(n, dtype=np.int64)
+    if is_stop.size:
+        sums = np.add.reduceat(is_stop, np.minimum(starts, is_stop.size - 1))
+        n_stop[nonempty] = sums[nonempty]
+    out = batch
+    for name, col in [
+        ("n_chars", n_chars),
+        ("n_tokens", n_tokens),
+        ("max_token_len", pa.array(max_tok)),
+        ("n_stopwords", pa.array(n_stop)),
+    ]:
+        if name in out.column_names:
+            out = out.drop_columns([name])
+        out = out.append_column(name, col)
+    return out
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """md5 content fingerprint (matches SQL md5(text) exactly)."""
+    texts = batch.column(text_col).to_pylist()
+    fps = [None if t is None else hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    return batch.append_column("fp", pa.array(fps, type=pa.string()))
+
+
+class LangIdModel:
+    """Stateful language-ID stage: marker sets are 'loaded' once per actor
+    (``map_batches(LangIdModel, concurrency=N)`` pattern — model-load in
+    __init__, batch scoring in __call__)."""
+
+    def __init__(self) -> None:
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    def predict(self, text: str | None) -> str:
+        if not text:
+            return "und"
+        # CJK / cyrillic script detection first
+        for ch in text[:64]:
+            o = ord(ch)
+            if 0x4E00 <= o <= 0x9FFF:
+                return "zh"
+            if 0x3040 <= o <= 0x30FF:
+                return "ja"
+            if 0x0400 <= o <= 0x04FF:
+                return "ru"
+        toks = set(text.lower().split()[:200])
+        best, best_score = "en", 0
+        for lang, markers in self.markers.items():
+            score = len(toks & markers)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("pred_lang", pa.array(preds, type=pa.string()))
+
+
+def token_counts(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda b: token_count_batch(b, text_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def quality_scores(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda b: quality_score_batch(b, text_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def fingerprints(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda b: fingerprint_batch(b, text_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def lang_ids(ds, concurrency=2):
+    return ds.map_batches(
+        LangIdModel, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
+    )
