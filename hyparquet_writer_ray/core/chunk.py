@@ -67,6 +67,7 @@ class ChunkMeta:
     column_index: Optional[ColumnIndexData]
     offset_index: Optional[list[PageLocation]]
     bloom: Optional[bytes]
+    kv_metadata: Optional[list] = None  # per-chunk key/value (e.g. hpw_fsst)
 
 
 def _prepare(col, leaf: LeafInfo) -> LeveledValues:
@@ -294,6 +295,19 @@ def encode_chunk(
         compute_statistics(values, el, null_count=lv.null_count)
         if opts.statistics else None
     )
+
+    # FSST (opt-in, north-rule extension): train one symbol table per
+    # chunk on a head sample of the value bytes; pages carry the table
+    # inline and the chunk codec is recorded UNCOMPRESSED + marked via
+    # key_value_metadata (not standard-parquet-readable; see core/fsst.py)
+    fsst_table = None
+    if spec.fsst:
+        if el.type != ParquetType.BYTE_ARRAY:
+            raise ValueError("fsst only supported for BYTE_ARRAY columns")
+        from . import fsst as F
+        _, data_head = A.byte_array_values(values.slice(0, min(len(values), 2000)))
+        fsst_table = F.train(data_head.tobytes())
+        codec = Codec.UNCOMPRESSED
     bloom = None
     if spec.bloom_filter:
         from .bloom import build_bloom
@@ -312,7 +326,7 @@ def encode_chunk(
         dict_body = BufWriter()
         _encode_values(dict_body, dict_arr.dictionary, leaf, Encoding.PLAIN)
         raw = dict_body.getvalue()
-        comp = compress(raw, codec, opts.compressors)
+        comp = compress(raw, codec, opts.compressors, opts.codec_level)
         write_dictionary_page_header(
             w, uncompressed_page_size=len(raw), compressed_page_size=len(comp),
             num_values=len(dict_arr.dictionary),
@@ -379,7 +393,11 @@ def encode_chunk(
             _encode_values(body, values.slice(v0, v1 - v0), leaf, encoding)
 
         raw = body.getvalue()
-        comp = compress(raw, codec, opts.compressors)
+        if fsst_table is not None:
+            from . import fsst as F
+            comp = fsst_table.serialize() + F.compress(raw, fsst_table)
+        else:
+            comp = compress(raw, codec, opts.compressors, opts.codec_level)
         write_data_page_v2_header(
             w,
             uncompressed_page_size=lvl.offset + len(raw),
@@ -390,7 +408,7 @@ def encode_chunk(
             encoding=encoding,
             definition_levels_byte_length=def_len,
             repetition_levels_byte_length=rep_len,
-            is_compressed=codec != Codec.UNCOMPRESSED,
+            is_compressed=codec != Codec.UNCOMPRESSED or fsst_table is not None,
         )
         w.write(lvl.getvalue())
         w.write(comp)
@@ -450,5 +468,6 @@ def encode_chunk(
         column_index=col_index,
         offset_index=off_index,
         bloom=bloom,
+        kv_metadata=[("hpw_fsst", "1")] if fsst_table is not None else None,
     )
     return blob, meta

@@ -21,11 +21,12 @@ _PA_NAME = {
     Codec.ZSTD: "zstd",
 }
 
-_codec_cache: dict[Codec, pa.Codec] = {}
+_codec_cache: dict[tuple, pa.Codec] = {}
 
 
 def compress(data: bytes, codec: Codec,
-             compressors: Optional[dict[str, Callable[[bytes], bytes]]] = None) -> bytes:
+             compressors: Optional[dict[str, Callable[[bytes], bytes]]] = None,
+             level: Optional[int] = None) -> bytes:
     if codec == Codec.UNCOMPRESSED:
         return data
     if compressors and codec.name in compressors:
@@ -33,9 +34,12 @@ def compress(data: bytes, codec: Codec,
     name = _PA_NAME.get(codec)
     if name is None:
         raise ValueError(f"no compressor for codec {codec.name}")
-    c = _codec_cache.get(codec)
+    key = (codec, level)
+    c = _codec_cache.get(key)
     if c is None:
-        c = _codec_cache[codec] = pa.Codec(name)
+        c = _codec_cache[key] = (
+            pa.Codec(name) if level is None else pa.Codec(name, compression_level=level)
+        )
     return c.compress(data, asbytes=True)
 
 

@@ -103,6 +103,9 @@ class AbsoluteChunk:
             5: I64(m.num_values),
             6: I64(m.total_uncompressed_size),
             7: I64(m.total_compressed_size),
+            8: None if getattr(m, "kv_metadata", None) is None else [
+                {1: k, 2: v} for k, v in m.kv_metadata
+            ],
             9: I64(self.data_page_offset),
             11: None if self.dictionary_page_offset is None else I64(self.dictionary_page_offset),
             12: None if m.stats is None else statistics_thrift(m.stats),

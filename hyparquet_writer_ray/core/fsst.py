@@ -1,0 +1,161 @@
+"""FSST: Fast Static Symbol Table string compression (Boncz, Neumann,
+Leis — "FSST: Fast Random Access String Compression", VLDB 2020).
+
+A 255-entry table of 1-8 byte symbols + escape code 255 (next byte is a
+literal). The table is trained per partition on a sample via iterative
+pair-merging generations, matching the paper's scheme in spirit.
+
+This is the north-rule extension codec (not in the reference writer,
+SURVEY.md §7.2 step 6): opt-in per column. Encoded pages carry their
+symbol table inline (varint length + table + payload), so every page is
+self-contained and decodable without file-level state. Note FSST is not
+a parquet-spec encoding: columns written with it are readable by this
+library (see decode_fsst), not by generic parquet readers — the chunk
+is marked via ColumnMetaData key_value_metadata {"hpw_fsst": "1"}.
+
+Encoding uses a longest-first compiled regex alternation: the scan runs
+in C, Python only touches match boundaries.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+ESCAPE = 255
+MAX_SYMBOL_LEN = 8
+MAX_SYMBOLS = 255
+TRAIN_SAMPLE_BYTES = 1 << 16
+GENERATIONS = 4
+
+
+@dataclass
+class SymbolTable:
+    symbols: list[bytes]  # up to 255 entries; code i = symbols[i]
+
+    def serialize(self) -> bytes:
+        out = bytearray([len(self.symbols)])
+        for s in self.symbols:
+            out.append(len(s))
+            out += s
+        return bytes(out)
+
+    @classmethod
+    def deserialize(cls, data, pos: int = 0) -> tuple["SymbolTable", int]:
+        n = data[pos]
+        pos += 1
+        syms = []
+        for _ in range(n):
+            ln = data[pos]
+            pos += 1
+            syms.append(bytes(data[pos : pos + ln]))
+            pos += ln
+        return cls(syms), pos
+
+
+def train(sample: bytes) -> SymbolTable:
+    """Iterative symbol-table construction: start from frequent single
+    bytes, then repeatedly merge adjacent symbol pairs that maximize
+    gain (count x extra bytes saved), capped at 8-byte symbols."""
+    sample = sample[:TRAIN_SAMPLE_BYTES]
+    if not sample:
+        return SymbolTable([])
+    # generation 0: frequent single bytes
+    counts: dict[bytes, int] = {}
+    for b in sample:
+        key = bytes([b])
+        counts[key] = counts.get(key, 0) + 1
+    symbols = sorted(counts, key=lambda s: -counts[s])[:MAX_SYMBOLS]
+    table = SymbolTable(symbols)
+
+    for _ in range(GENERATIONS):
+        codes = compress(sample, table)
+        # count adjacent code pairs (skip escapes)
+        pair_counts: dict[bytes, int] = {}
+        sym_counts: dict[bytes, int] = {}
+        i = 0
+        prev_sym = None
+        n = len(codes)
+        while i < n:
+            c = codes[i]
+            if c == ESCAPE:
+                sym = bytes([codes[i + 1]])
+                i += 2
+            else:
+                sym = table.symbols[c]
+                i += 1
+            sym_counts[sym] = sym_counts.get(sym, 0) + 1
+            if prev_sym is not None:
+                merged = prev_sym + sym
+                if len(merged) <= MAX_SYMBOL_LEN:
+                    pair_counts[merged] = pair_counts.get(merged, 0) + 1
+            prev_sym = sym
+        # gain = count * (len - 1): bytes saved vs one code per symbol
+        candidates: dict[bytes, int] = {}
+        for sym, cnt in sym_counts.items():
+            candidates[sym] = max(candidates.get(sym, 0), cnt * max(len(sym) - 1, 1))
+        for sym, cnt in pair_counts.items():
+            candidates[sym] = max(candidates.get(sym, 0), cnt * (len(sym) - 1))
+        new_symbols = sorted(candidates, key=lambda s: -candidates[s])[:MAX_SYMBOLS]
+        table = SymbolTable(new_symbols)
+    return table
+
+
+def _pattern(table: SymbolTable) -> re.Pattern:
+    # longest-first alternation => greedy longest match at each position
+    ordered = sorted(range(len(table.symbols)), key=lambda i: -len(table.symbols[i]))
+    return re.compile(b"|".join(re.escape(table.symbols[i]) for i in ordered), re.DOTALL)
+
+
+def compress(data: bytes, table: SymbolTable) -> bytes:
+    """Greedy longest-match encode; unmatched bytes become escape pairs."""
+    if not table.symbols:
+        out = bytearray()
+        for b in data:
+            out += bytes([ESCAPE, b])
+        return bytes(out)
+    code_of = {s: i for i, s in enumerate(table.symbols)}
+    pat = _pattern(table)
+    out = bytearray()
+    pos = 0
+    for m in pat.finditer(data):
+        s, e = m.span()
+        while pos < s:  # escape the gap bytes
+            out += bytes([ESCAPE, data[pos]])
+            pos += 1
+        out.append(code_of[m.group(0)])
+        pos = e
+    while pos < len(data):
+        out += bytes([ESCAPE, data[pos]])
+        pos += 1
+    return bytes(out)
+
+
+def decompress(codes, table: SymbolTable) -> bytes:
+    out = bytearray()
+    syms = table.symbols
+    i = 0
+    n = len(codes)
+    while i < n:
+        c = codes[i]
+        if c == ESCAPE:
+            out.append(codes[i + 1])
+            i += 2
+        else:
+            out += syms[c]
+            i += 1
+    return bytes(out)
+
+
+# --- page-level framing -----------------------------------------------------
+
+
+def encode_fsst_page(body: bytes, table: SymbolTable | None = None) -> bytes:
+    """Self-contained FSST page: [table][payload]."""
+    if table is None:
+        table = train(body)
+    return table.serialize() + compress(body, table)
+
+
+def decode_fsst_page(data) -> bytes:
+    table, pos = SymbolTable.deserialize(data, 0)
+    return decompress(memoryview(data)[pos:], table)

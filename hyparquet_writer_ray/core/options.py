@@ -27,6 +27,7 @@ class ColumnSpec:
 @dataclass
 class WriteOptions:
     codec: Codec = Codec.SNAPPY
+    codec_level: int | None = None  # pyarrow compression_level (e.g. zstd 1-22)
     compressors: Optional[dict[str, Callable[[bytes], bytes]]] = None
     statistics: bool = True
     row_group_size: tuple = DEFAULT_ROW_GROUP_SIZE

@@ -34,25 +34,37 @@ def plain_boolean(values: np.ndarray) -> bytes:
 def plain_byte_array(lengths: np.ndarray, data: np.ndarray) -> bytes:
     """BYTE_ARRAY: u32 little-endian length prefix + raw bytes per value.
 
-    Fully vectorized scatter: output position of each length header and
-    each data byte is computed with numpy, no per-value Python loop.
+    Two strategies: short values use a fully vectorized byte scatter;
+    long values (html/text) use per-value slice copies (C memcpy), which
+    beats the scatter's per-byte index arithmetic by ~10x there.
     """
     n = len(lengths)
+    if n == 0:
+        return b""
     total = int(data.nbytes) + 4 * n
     out = np.zeros(total, dtype=np.uint8)
     lengths = lengths.astype(np.int64, copy=False)
-    out_starts = np.concatenate([[0], np.cumsum(lengths[:-1])]) + 4 * np.arange(n, dtype=np.int64) if n else np.empty(0, np.int64)
-    # scatter the 4-byte length headers
+    value_base = np.concatenate([[0], np.cumsum(lengths)])
+    out_starts = value_base[:-1] + 4 * np.arange(n, dtype=np.int64)
+    # scatter the 4-byte length headers (always cheap: 4 bytes/value)
     len_bytes = lengths.astype("<u4").view(np.uint8).reshape(n, 4)
     idx = out_starts[:, None] + np.arange(4, dtype=np.int64)
     out[idx.reshape(-1)] = len_bytes.reshape(-1)
-    # scatter the data bytes: byte j of value i goes to out_starts[i]+4+j
-    if data.nbytes:
+    if not data.nbytes:
+        return out.tobytes()
+    if data.nbytes < 32 * n:
+        # short values: vectorized scatter
         owner = np.repeat(np.arange(n, dtype=np.int64), lengths)
         data_pos = np.arange(data.nbytes, dtype=np.int64)
-        value_base = np.concatenate([[0], np.cumsum(lengths)])[:-1]
-        out_pos = out_starts[owner] + 4 + (data_pos - value_base[owner])
+        out_pos = out_starts[owner] + 4 + (data_pos - value_base[:-1][owner])
         out[out_pos] = data
+    else:
+        dst = out_starts + 4
+        src = value_base
+        for i in range(n):
+            li = lengths[i]
+            if li:
+                out[dst[i] : dst[i] + li] = data[src[i] : src[i] + li]
     return out.tobytes()
 
 

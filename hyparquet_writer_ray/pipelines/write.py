@@ -20,6 +20,7 @@ import hashlib
 import os
 import pickle
 from contextlib import contextmanager
+from functools import partial
 from typing import Optional
 
 import pyarrow as pa
@@ -48,6 +49,17 @@ def _normalized_arrow_schema(ds) -> pa.Schema:
     return pa.schema(fields)
 
 
+def _default_concurrency(concurrency):
+    """Autoscaling actor pool capped below the CPU count: a fixed pool
+    that reserves every CPU starves upstream read tasks (livelock)."""
+    if concurrency is not None:
+        return concurrency
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (1, max(1, cpus - 2))
+
+
 @contextmanager
 def _preserve_order():
     import ray.data
@@ -70,6 +82,7 @@ def write_parquet_single_file(
     max_group_rows: int = DEFAULT_GROUP_ROWS,
     max_group_bytes: int = DEFAULT_GROUP_BYTES,
     checkpoint_dir: Optional[str] = None,
+    use_actors: bool = False,
 ) -> dict:
     """Encode ``ds`` into one parquet file at ``path``.
 
@@ -85,20 +98,27 @@ def write_parquet_single_file(
         lineage = LineageLog(checkpoint_dir, store_blobs=True)
         skip = frozenset(lineage.completed_parts())
 
-    encoded = ds.map_batches(
-        RowGroupEncoder,
-        fn_constructor_kwargs=dict(
-            opts=opts,
-            arrow_schema=arrow_schema,
-            max_group_rows=max_group_rows,
-            max_group_bytes=max_group_bytes,
-            skip_part_ids=skip,
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-        zero_copy_batch=True,
-        concurrency=concurrency,
+    enc_kwargs = dict(
+        opts=opts,
+        arrow_schema=arrow_schema,
+        max_group_rows=max_group_rows,
+        max_group_bytes=max_group_bytes,
+        skip_part_ids=skip,
     )
+    if use_actors:
+        encoded = ds.map_batches(
+            RowGroupEncoder,
+            fn_constructor_kwargs=enc_kwargs,
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+            concurrency=_default_concurrency(concurrency),
+        )
+    else:
+        # stateless encode: plain tasks reuse warm Ray workers — no actor
+        # pool spin-up, better autoscaling (SURVEY.md §7.3)
+        encoded = ds.map_batches(
+            partial(_encode_groups_fn, **enc_kwargs),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
 
     schema_ir = schema_from_arrow(arrow_schema)
     total_comp = 0
@@ -137,6 +157,17 @@ def write_parquet_single_file(
         "uncompressed_bytes": total_raw,
         "file_bytes": os.path.getsize(path),
     }
+
+
+def _encode_groups_fn(batch: pa.Table, **kwargs):
+    """Task-mode row-group encoder (module-level so cloudpickle ships a
+    reference, not a closure)."""
+    yield from RowGroupEncoder(**kwargs)(batch)
+
+
+def _encode_part_fn(batch: pa.Table, **kwargs):
+    """Task-mode part-file writer."""
+    yield from PartFileWriter(**kwargs)(batch)
 
 
 class PartFileWriter:
@@ -213,6 +244,8 @@ def write_parquet_dataset(
     max_group_rows: int = DEFAULT_GROUP_ROWS,
     max_group_bytes: int = DEFAULT_GROUP_BYTES,
     resume: bool = True,
+    use_actors: bool = False,
+    part_rows: Optional[int] = None,
 ) -> dict:
     """Partitioned parquet output with lineage manifest + resume.
 
@@ -233,21 +266,26 @@ def write_parquet_dataset(
             rec.file[5:-8] for rec in done.values() if rec.file
         )
 
-    manifest_ds = ds.map_batches(
-        PartFileWriter,
-        fn_constructor_kwargs=dict(
-            opts=opts,
-            arrow_schema=arrow_schema,
-            out_dir=out_dir,
-            max_group_rows=max_group_rows,
-            max_group_bytes=max_group_bytes,
-            skip_part_ids=skip,
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-        zero_copy_batch=True,
-        concurrency=concurrency,
+    part_kwargs = dict(
+        opts=opts,
+        arrow_schema=arrow_schema,
+        out_dir=out_dir,
+        max_group_rows=max_group_rows,
+        max_group_bytes=max_group_bytes,
+        skip_part_ids=skip,
     )
+    if use_actors:
+        manifest_ds = ds.map_batches(
+            PartFileWriter,
+            fn_constructor_kwargs=part_kwargs,
+            batch_format="pyarrow", batch_size=part_rows, zero_copy_batch=True,
+            concurrency=_default_concurrency(concurrency),
+        )
+    else:
+        manifest_ds = ds.map_batches(
+            partial(_encode_part_fn, **part_kwargs),
+            batch_format="pyarrow", batch_size=part_rows, zero_copy_batch=True,
+        )
 
     total = {"parts": 0, "rows": 0, "compressed_bytes": 0, "uncompressed_bytes": 0, "skipped_parts": 0}
     for batch in manifest_ds.iter_batches(batch_size=None, batch_format="pyarrow"):

@@ -1,0 +1,86 @@
+"""FSST symbol-table codec tests (north-rule extension; core/fsst.py)."""
+from __future__ import annotations
+
+import io
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hyparquet_writer_ray import ColumnSpec, WriteOptions, write_table_to_bytes
+from hyparquet_writer_ray.core import fsst
+from hyparquet_writer_ray.core.reader import read_byte_array_column
+
+
+def test_roundtrip_simple():
+    data = b"the quick brown fox jumps over the lazy dog " * 50
+    table = fsst.train(data)
+    enc = fsst.compress(data, table)
+    assert fsst.decompress(enc, table) == data
+    assert len(enc) < len(data) * 0.6  # repetitive text must compress
+
+
+def test_page_framing():
+    data = b"hello world, hello parquet, hello fsst! " * 100
+    page = fsst.encode_fsst_page(data)
+    assert fsst.decode_fsst_page(page) == data
+    assert len(page) < len(data)
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=50, deadline=None)
+def test_roundtrip_random(data):
+    table = fsst.train(data)
+    assert fsst.decompress(fsst.compress(data, table), table) == data
+
+
+def test_empty_and_escape_heavy():
+    assert fsst.decode_fsst_page(fsst.encode_fsst_page(b"")) == b""
+    data = bytes(range(256)) * 4  # all byte values, incl. the escape byte
+    page = fsst.encode_fsst_page(data)
+    assert fsst.decode_fsst_page(page) == data
+
+
+def test_fsst_column_in_parquet():
+    texts = [f"document body with repeated words {i % 7} common tokens here" for i in range(800)]
+    texts[10] = None
+    t = pa.table({"doc_id": pa.array(range(800), pa.int64()), "text": texts})
+    opts = WriteOptions(column_specs={"text": ColumnSpec(fsst=True)}, page_size=8192)
+    buf = write_table_to_bytes(t, opts)
+    # our reader decodes the FSST column
+    got = read_byte_array_column(buf, "text")
+    want = [None if x is None else x.encode() for x in texts]
+    assert got == want
+    # non-FSST columns remain standard-readable
+    other = pq.read_table(io.BytesIO(buf), columns=["doc_id"])
+    assert other.column("doc_id").to_pylist() == list(range(800))
+
+
+def test_fsst_compresses_web_text():
+    from hyparquet_writer_ray.sources.webtable import synthesize_table
+
+    t = synthesize_table(2000).select(["url", "text"])
+    plain = write_table_to_bytes(
+        t, WriteOptions(codec=0)  # UNCOMPRESSED
+    )
+    fsst_buf = write_table_to_bytes(
+        t,
+        WriteOptions(
+            codec=0,
+            column_specs={"text": ColumnSpec(fsst=True), "url": ColumnSpec(fsst=True)},
+        ),
+    )
+    assert len(fsst_buf) < len(plain)
+    got = read_byte_array_column(fsst_buf, "text")
+    want = [None if x is None else x.encode() for x in t.column("text").to_pylist()]
+    assert got == want
+
+
+def test_reader_decodes_standard_columns_too():
+    t = pa.table({"s": pa.array([f"v{i % 5}" if i % 9 else None for i in range(500)])})
+    buf = write_table_to_bytes(t)
+    got = read_byte_array_column(buf, "s")
+    want = [None if x is None else x.encode() for x in t.column("s").to_pylist()]
+    assert got == want
