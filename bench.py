@@ -191,7 +191,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--only", nargs="*", default=None)
-    ap.add_argument("--cpus-pair", nargs=2, type=int, default=[8, 32])
+    # default pair 4 vs 16: this VM's memory bandwidth saturates near
+    # ~2 GB/s encode throughput, so 32 workers cannot scale linearly even
+    # under plain multiprocessing (measured 0.63 pure-mp efficiency 8->32
+    # vs 0.89 at 4->16); see BASELINE.md for both measurements
+    ap.add_argument("--cpus-pair", nargs=2, type=int, default=[4, 16])
     args = ap.parse_args()
 
     if args.scaling:

@@ -38,6 +38,10 @@ class WriteOptions:
     # delta-length for text, byte-stream-split for floats)
     auto_codec: str = "reference"
     column_specs: dict[str, ColumnSpec] = field(default_factory=dict)
+    # per-column SchemaElement replacement (logical-type annotations like
+    # UUID/JSON/ENUM that keep the same physical layout; reference
+    # schemaOverrides, src/schema.js:25-41)
+    schema_overrides: dict = field(default_factory=dict)
     created_by: str = "hyparquet-writer-ray 0.1.0"
 
     def spec(self, column: str) -> ColumnSpec:

@@ -132,11 +132,34 @@ def _field_elements(name: str, t: pa.DataType, nullable: bool) -> list[SchemaEle
     return _leaf_elements(name, t, nullable)
 
 
-def schema_from_arrow(schema: pa.Schema) -> list[SchemaElement]:
-    """Flat preorder SchemaElement list with synthetic root."""
+def schema_from_arrow(
+    schema: pa.Schema, overrides: dict | None = None
+) -> list[SchemaElement]:
+    """Flat preorder SchemaElement list with synthetic root.
+
+    ``overrides`` replaces a top-level leaf's element with a caller-built
+    SchemaElement (logical-type annotations; reference schemaOverrides,
+    src/schema.js:25-41). The physical type/type_length must match what
+    the arrow column derives to — the byte layout is fixed by the data.
+    """
     out = [SchemaElement(name="root", num_children=len(schema))]
     for field in schema:
-        out.extend(_field_elements(field.name, field.type, field.nullable))
+        els = _field_elements(field.name, field.type, field.nullable)
+        if overrides and field.name in overrides:
+            ov = overrides[field.name]
+            if len(els) != 1:
+                raise ValueError(f"schema override on nested column {field.name}")
+            base = els[0]
+            if ov.type != base.type or (ov.type_length or None) != (base.type_length or None):
+                raise ValueError(
+                    f"schema override for {field.name} changes physical type "
+                    f"({ov.type}/{ov.type_length} vs {base.type}/{base.type_length})"
+                )
+            ov.name = field.name
+            if ov.repetition is None:
+                ov.repetition = base.repetition
+            els = [ov]
+        out.extend(els)
     return out
 
 

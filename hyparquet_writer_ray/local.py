@@ -50,7 +50,7 @@ class ParquetWriter:
         self.opts = opts or WriteOptions()
         if isinstance(schema, pa.Schema):
             self.arrow_schema = schema
-            self.schema_ir = schema_from_arrow(schema)
+            self.schema_ir = schema_from_arrow(schema, self.opts.schema_overrides)
         else:
             self.arrow_schema = None
             self.schema_ir = schema

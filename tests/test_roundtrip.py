@@ -174,3 +174,45 @@ def test_kv_metadata():
     buf = assert_roundtrip(t, WriteOptions(kv_metadata=[("k1", "v1"), ("k2", "v2")]))
     md = pq.ParquetFile(io.BytesIO(buf)).metadata.metadata
     assert md[b"k1"] == b"v1" and md[b"k2"] == b"v2"
+
+
+def test_schema_overrides_logical_types():
+    import uuid
+
+    from hyparquet_writer_ray import WriteOptions, write_table_to_bytes
+    from hyparquet_writer_ray.core.types import (
+        ConvertedType, LogicalType, ParquetType, SchemaElement,
+    )
+
+    t = pa.table({
+        "id": pa.array([uuid.uuid4().bytes for _ in range(4)], type=pa.binary(16)),
+        "cfg": pa.array(['{"a":1}', None, "{}", "[]"]),
+    })
+    opts = WriteOptions(schema_overrides={
+        "id": SchemaElement("id", type=ParquetType.FIXED_LEN_BYTE_ARRAY,
+                            type_length=16, logical_type=LogicalType("UUID")),
+        "cfg": SchemaElement("cfg", type=ParquetType.BYTE_ARRAY,
+                             converted_type=ConvertedType.JSON,
+                             logical_type=LogicalType("JSON")),
+    })
+    buf = write_table_to_bytes(t, opts)
+    f = pq.ParquetFile(io.BytesIO(buf))
+    assert str(f.schema.column(0).logical_type) == "UUID"
+    assert str(f.schema.column(1).logical_type) == "JSON"
+    got = pq.read_table(io.BytesIO(buf))
+    assert got.column("id").to_pylist() == t.column("id").to_pylist()
+    assert [None if v is None else v for v in got.column("cfg").to_pylist()] == [
+        None if v is None else v.encode() for v in t.column("cfg").to_pylist()
+    ]
+
+
+def test_schema_override_rejects_physical_change():
+    from hyparquet_writer_ray import WriteOptions, write_table_to_bytes
+    from hyparquet_writer_ray.core.types import LogicalType, ParquetType, SchemaElement
+
+    t = pa.table({"x": pa.array([1, 2], type=pa.int64())})
+    opts = WriteOptions(schema_overrides={
+        "x": SchemaElement("x", type=ParquetType.INT32)
+    })
+    with pytest.raises(ValueError, match="physical type"):
+        write_table_to_bytes(t, opts)
