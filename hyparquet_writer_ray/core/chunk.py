@@ -68,6 +68,7 @@ class ChunkMeta:
     offset_index: Optional[list[PageLocation]]
     bloom: Optional[bytes]
     kv_metadata: Optional[list] = None  # per-chunk key/value (e.g. hpw_fsst)
+    geo_stats: Optional[object] = None  # GeoStats for GEOMETRY columns
 
 
 def _prepare(col, leaf: LeafInfo) -> LeveledValues:
@@ -295,6 +296,15 @@ def encode_chunk(
         compute_statistics(values, el, null_count=lv.null_count)
         if opts.statistics else None
     )
+    geo_stats = None
+    if spec.geospatial and opts.statistics:
+        from .geo import geospatial_statistics
+        if el.type != ParquetType.BYTE_ARRAY:
+            raise ValueError("geospatial stats require a BYTE_ARRAY (WKB) column")
+        geo_stats = geospatial_statistics(values.to_pylist())
+        if stats is not None:
+            # parquet spec: geometry columns carry no byte min/max
+            stats = Stats(None, None, lv.null_count, None, None)
 
     # FSST (opt-in, north-rule extension): train one symbol table per
     # chunk on a head sample of the value bytes; pages carry the table
@@ -469,5 +479,6 @@ def encode_chunk(
         offset_index=off_index,
         bloom=bloom,
         kv_metadata=[("hpw_fsst", "1")] if fsst_table is not None else None,
+        geo_stats=geo_stats,
     )
     return blob, meta

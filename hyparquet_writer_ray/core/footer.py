@@ -10,6 +10,7 @@ from typing import Optional
 
 from .bufwriter import BufWriter
 from .chunk import ChunkMeta, ColumnIndexData, PageLocation
+from .geo import geo_stats_thrift as _geo_thrift
 from .statistics import statistics_thrift
 from .thrift import I64, Byte, write_struct
 from .types import LogicalType, SchemaElement
@@ -114,6 +115,7 @@ class AbsoluteChunk:
             ],
             14: None if self.bloom_filter_offset is None else I64(self.bloom_filter_offset),
             15: self.bloom_filter_length,
+            17: None if getattr(m, "geo_stats", None) is None else _geo_thrift(m.geo_stats),
         }
         return {
             2: I64(self.file_offset),

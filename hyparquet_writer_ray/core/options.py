@@ -22,6 +22,7 @@ class ColumnSpec:
     offset_index: bool = True
     bloom_filter: Union[bool, dict] = False  # dict: {fpp, max_bytes}
     fsst: bool = False  # opt-in FSST page compression for text
+    geospatial: bool = False  # WKB column: bbox + type-code statistics
 
 
 @dataclass

@@ -147,6 +147,15 @@ def schema_from_arrow(
         els = _field_elements(field.name, field.type, field.nullable)
         if overrides and field.name in overrides:
             ov = overrides[field.name]
+            if ov.num_children == -1:
+                # group-level annotation (e.g. VARIANT): merge logical type
+                # into the derived group element, keep the subtree
+                if els[0].is_leaf:
+                    raise ValueError(f"group override on leaf column {field.name}")
+                els[0].logical_type = ov.logical_type
+                els[0].converted_type = ov.converted_type or els[0].converted_type
+                out.extend(els)
+                continue
             if len(els) != 1:
                 raise ValueError(f"schema override on nested column {field.name}")
             base = els[0]
