@@ -126,6 +126,61 @@ def _q_encode_delta_byte_array(sf_dir: str) -> pa.Table:
     return pq.read_table(out)
 
 
+def _q_encode_fsst(sf_dir: str) -> pa.Table:
+    """FSST-compress the documents text column, then decode through the
+    library's own reader — driver compares against the raw table."""
+    from hyparquet_writer_ray import ColumnSpec, WriteOptions, write_table
+    from hyparquet_writer_ray.core.reader import read_byte_array_column
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = _outpath(sf_dir, "documents_fsst.parquet")
+    write_table(t, out, WriteOptions(column_specs={"text": ColumnSpec(fsst=True)}))
+    buf = open(out, "rb").read()
+    texts = read_byte_array_column(buf, "text")
+    return pa.table({
+        "doc_id": pq.read_table(out, columns=["doc_id"]).column("doc_id"),
+        "text": pa.array([None if x is None else x.decode() for x in texts]),
+    })
+
+
+def _q_encode_bloom(sf_dir: str) -> pa.Table:
+    """Bloom-filtered write; result is the decoded table (driver checks
+    values) — bloom presence itself is asserted in tests."""
+    from hyparquet_writer_ray import ColumnSpec, WriteOptions, write_table
+    t = pq.read_table(os.path.join(sf_dir, "customer.parquet"))
+    out = _outpath(sf_dir, "customer_bloom.parquet")
+    write_table(t, out, WriteOptions(column_specs={
+        "c_name": ColumnSpec(bloom_filter=True),
+        "c_custkey": ColumnSpec(bloom_filter=True),
+    }))
+    return pq.read_table(out)
+
+
+def _q_variant_shredded(sf_dir: str) -> pa.Table:
+    """Semi-structured events.props -> VARIANT with shredding; returns
+    event_id + decoded variant JSON (rows-only check: binary format)."""
+    import json
+
+    from hyparquet_writer_ray import WriteOptions, write_table
+    from hyparquet_writer_ray.core import variant as V
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"])
+    objs = [None if p is None else json.loads(p) for p in t.column("props").to_pylist()]
+    col = V.variant_column(objs)
+    vt = pa.table({"event_id": t.column("event_id"), "v": col})
+    out = _outpath(sf_dir, "events_variant.parquet")
+    write_table(vt, out, WriteOptions(kv_metadata=V.variant_kv_metadata(["v"])))
+    rows = pq.read_table(out).column("v").to_pylist()
+    decoded = [
+        None if r is None else json.dumps(
+            V.decode_variant(r["metadata"], r["value"]), sort_keys=True
+        )
+        for r in rows
+    ]
+    return pa.table({
+        "event_id": pq.read_table(out, columns=["event_id"]).column("event_id"),
+        "props_decoded": pa.array(decoded),
+    })
+
+
 def _q_smart_codec(sf_dir: str) -> pa.Table:
     """Codec auto-selection v2 over the events table (delta for ts/ids,
     byte-stream-split for doubles, dict for low-cardinality strings)."""
@@ -302,6 +357,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["encode_bss"] = _q_encode_bss
     q["encode_delta_byte_array"] = _q_encode_delta_byte_array
     q["encode_smart_codec"] = _q_smart_codec
+    q["encode_fsst"] = _q_encode_fsst
+    q["encode_bloom"] = _q_encode_bloom
+    q["encode_variant_shredded"] = _q_variant_shredded
     # training-data operators
     q["text_token_count"] = _q_token_count
     q["text_quality"] = _q_quality
@@ -334,6 +392,8 @@ def oracle_sql() -> dict[str, str]:
     sql["encode_bss"] = "SELECT event_id, value FROM events"
     sql["encode_delta_byte_array"] = "SELECT doc_id, text FROM documents"
     sql["encode_smart_codec"] = "SELECT * FROM events"
+    sql["encode_fsst"] = "SELECT doc_id, text FROM documents"
+    sql["encode_bloom"] = "SELECT * FROM customer"
     sql["text_token_count"] = (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"
     )
