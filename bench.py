@@ -49,12 +49,15 @@ def _ensure_webtable_input(rows: int) -> str:
     from hyparquet_writer_ray.sources.webtable import webtable_dataset
 
     path = os.path.join(BENCH_TMP, f"webtable_input_{rows}")
-    marker = os.path.join(path, "_DONE")
+    marker = os.path.join(path, "_DONE3")
     if os.path.exists(marker):
         return path
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
-    webtable_dataset(rows, rows_per_block=10_000).write_parquet(path)
+    # medium input granularity: ~256 files pipelines read->encode best
+    # (960 tiny files fragment parts; 64 jumbo files create stragglers)
+    blk = max(10_000, rows // 256)
+    webtable_dataset(rows, rows_per_block=blk).write_parquet(path)
     open(marker, "w").write("ok")
     return path
 
@@ -96,7 +99,7 @@ def bench_webtable_encode(rows: int | None = None) -> tuple[float, dict]:
         shutil.rmtree(o, ignore_errors=True)
         t0 = time.perf_counter()
         s = write_parquet_dataset(
-            ds, o, opts, max_group_bytes=32 << 20, part_rows=16_000, resume=False,
+            ds, o, opts, max_group_bytes=32 << 20, resume=False,
         )
         return time.perf_counter() - t0, s
 

@@ -54,17 +54,35 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
 # ---------------------------------------------------------------------------
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """64-bit hashes of word k-shingles."""
-    words = text.split()
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    return np.array(
-        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") for s in set(shingles)],
-        dtype=np.uint64,
+def _token_hashes(words: list[str]) -> np.ndarray:
+    """64-bit per-token hashes via two crc32 lanes (C speed, deterministic
+    across processes — unlike builtin hash())."""
+    import zlib
+
+    lo = np.fromiter(
+        (zlib.crc32(w.encode()) for w in words), dtype=np.uint64, count=len(words)
     )
+    hi = np.fromiter(
+        (zlib.crc32(w.encode(), 0x9E3779B9) for w in words), dtype=np.uint64, count=len(words)
+    )
+    return (hi << np.uint64(32)) | lo
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """64-bit hashes of word k-shingles: vectorized polynomial combine of
+    per-token hashes (no per-shingle Python)."""
+    words = text.split()
+    if not words:
+        return np.array([np.uint64(0)], dtype=np.uint64)
+    th = _token_hashes(words)
+    if len(words) < k:
+        k = len(words)
+    P = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        acc = th[: len(th) - k + 1].copy()
+        for j in range(1, k):
+            acc = acc * P + th[j : len(th) - k + 1 + j]
+    return np.unique(acc)
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -215,10 +233,7 @@ class SimHasher:
         words = text.split()
         if not words:
             return 0
-        hashes = np.array(
-            [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in words],
-            dtype=np.uint64,
-        )
+        hashes = _token_hashes(words)
         bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
         votes = (2 * bits - 1).sum(axis=0)
         return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
