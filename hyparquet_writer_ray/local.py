@@ -85,18 +85,29 @@ def write_table(
     sink: Union[str, BinaryIO],
     opts: Optional[WriteOptions] = None,
 ) -> None:
-    """Whole-table write (reference parquetWrite, src/write.js:16-60)."""
+    """Whole-table write (reference parquetWrite, src/write.js:16-60).
+
+    Path sinks are written via a temp file + atomic rename so a failed
+    write never leaves a truncated .parquet behind."""
     opts = opts or WriteOptions()
     table = normalize_table(table)
-    own = isinstance(sink, str)
-    f = open(sink, "wb") if own else sink
-    try:
-        pw = ParquetWriter(f, table.schema, opts)
-        pw.write(table)
-        pw.finish()
-    finally:
-        if own:
-            f.close()
+    if isinstance(sink, str):
+        import os
+
+        tmp = sink + ".inprogress"
+        try:
+            with open(tmp, "wb") as f:
+                pw = ParquetWriter(f, table.schema, opts)
+                pw.write(table)
+                pw.finish()
+            os.replace(tmp, sink)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        return
+    pw = ParquetWriter(sink, table.schema, opts)
+    pw.write(table)
+    pw.finish()
 
 
 def write_table_to_bytes(table: pa.Table, opts: Optional[WriteOptions] = None) -> bytes:
