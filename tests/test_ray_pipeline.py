@@ -112,3 +112,37 @@ def test_single_file_checkpoint_resume(ray_data, tmp_path):
     a = pq.read_table(tmp_path / "a.parquet")
     b = pq.read_table(tmp_path / "b.parquet")
     assert a.equals(b)
+
+
+def test_write_parquet_files_shard_mode(ray_data, tmp_path):
+    """Shard-to-shard mode: one part per input file, resume keyed on the
+    input file name, column pruning at the read."""
+    import pyarrow as pa
+
+    from hyparquet_writer_ray.pipelines.write import write_parquet_files
+    from hyparquet_writer_ray.sources.webtable import synthesize_batch
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    paths = []
+    for i in range(4):
+        p = str(in_dir / f"shard{i}.parquet")
+        pq.write_table(synthesize_batch(i * 1000, 1000), p)
+        paths.append(p)
+    out_dir = str(tmp_path / "out")
+    s = write_parquet_files(paths, out_dir, columns=["url", "lang"])
+    assert s["parts"] == 4 and s["rows"] == 4000
+    got = duckdb.sql(f"select count(*), count(distinct url) from '{out_dir}/part-*.parquet'").fetchone()
+    assert got == (4000, 4000)
+    # pruned read: only the requested columns exist in the output
+    cols = pq.read_table(glob.glob(f"{out_dir}/part-*.parquet")[0]).column_names
+    assert sorted(cols) == ["lang", "url"]
+    # resume skips everything
+    s2 = write_parquet_files(paths, out_dir, columns=["url", "lang"])
+    assert s2["skipped_parts"] == 4
+    # delete one part -> only that shard re-encodes
+    os.remove(glob.glob(f"{out_dir}/part-shard1.parquet")[0])
+    s3 = write_parquet_files(paths, out_dir, columns=["url", "lang"])
+    assert s3["skipped_parts"] == 3
+    got = duckdb.sql(f"select count(*) from '{out_dir}/part-*.parquet'").fetchone()
+    assert got == (4000,)
