@@ -225,6 +225,22 @@ def _q_fingerprint(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_bpe_tokens(sf_dir: str) -> pa.Table:
+    from hyparquet_writer_ray.functions.text import bpe_token_counts
+    ds = bpe_token_counts(_docs_ds(sf_dir)).select_columns(["doc_id", "n_bpe_tokens"])
+    return pa.concat_tables(
+        b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+
+def _q_rolling_fp(sf_dir: str) -> pa.Table:
+    from hyparquet_writer_ray.functions.text import rolling_fingerprints
+    ds = rolling_fingerprints(_docs_ds(sf_dir)).select_columns(["doc_id", "rolling_fp"])
+    return pa.concat_tables(
+        b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+
 def _q_langid(sf_dir: str) -> pa.Table:
     from hyparquet_writer_ray.functions.text import lang_ids
     ds = lang_ids(_docs_ds(sf_dir)).select_columns(["doc_id", "pred_lang"])
@@ -364,6 +380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["text_token_count"] = _q_token_count
     q["text_quality"] = _q_quality
     q["text_fingerprint"] = _q_fingerprint
+    q["text_bpe_tokens"] = _q_bpe_tokens  # rows-only: regex tokenizer
+    q["text_rolling_fp"] = _q_rolling_fp  # rows-only: polynomial hash
     q["text_langid"] = _q_langid
     q["dedup_exact"] = _q_dedup_exact
     q["dedup_minhash"] = _q_dedup_minhash

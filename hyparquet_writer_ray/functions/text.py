@@ -82,6 +82,84 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fp", pa.array(fps, type=pa.string()))
 
 
+import re as _re
+
+# GPT-2-style pretokenizer shape: contractions, words, numbers, punct runs
+_BPE_PAT = _re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+")
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-ish pretokenizer count (compiled regex, C scanning; Python only
+    per document)."""
+    counts = [
+        None if t is None else len(_BPE_PAT.findall(t))
+        for t in batch.column(text_col).to_pylist()
+    ]
+    out = batch
+    if "n_bpe_tokens" in out.column_names:
+        out = out.drop_columns(["n_bpe_tokens"])
+    return out.append_column("n_bpe_tokens", pa.array(counts, type=pa.int64()))
+
+
+_FP_BASE = np.uint64(0x100000001B3)
+
+
+def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Polynomial rolling hash of the utf-8 bytes, fully vectorized via a
+    power-ladder over the batch's flat byte buffer (no per-byte Python)."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    import pyarrow.compute as _pc
+
+    valid = col.drop_null()
+    n = len(col)
+    buf = valid.combine_chunks() if isinstance(valid, pa.ChunkedArray) else valid
+    # offsets/data from the arrow buffers
+    from ..core.arrays import byte_array_values
+
+    lengths, data = byte_array_values(buf.cast(pa.binary()))
+    with np.errstate(over="ignore"):
+        # h_doc = sum(byte_i * BASE^(len-1-i)) via segmented weighted sums
+        maxlen = int(lengths.max()) if len(lengths) else 0
+        powers = np.ones(max(maxlen, 1), dtype=np.uint64)
+        for i in range(1, maxlen):
+            powers[i] = powers[i - 1] * _FP_BASE
+        starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+        pos = np.arange(len(data), dtype=np.int64)
+        owner = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        exp = (starts[owner] + lengths[owner] - 1 - pos).astype(np.int64)
+        weighted = data.astype(np.uint64) * powers[exp]
+        sums = np.zeros(len(lengths), dtype=np.uint64)
+        np.add.at(sums, owner, weighted)
+    fps = np.zeros(n, dtype=np.uint64)
+    mask = np.ones(n, dtype=bool)
+    if col.null_count:
+        from ..core.arrays import validity_mask
+
+        mask = validity_mask(col)
+    fps[mask] = sums
+    out_vals = pa.array(
+        [None if not m else int(f) for m, f in zip(mask, fps)], type=pa.uint64()
+    )
+    out = batch
+    if "rolling_fp" in out.column_names:
+        out = out.drop_columns(["rolling_fp"])
+    return out.append_column("rolling_fp", out_vals)
+
+
+def bpe_token_counts(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda b: bpe_token_count_batch(b, text_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def rolling_fingerprints(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda b: rolling_fingerprint_batch(b, text_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 class LangIdModel:
     """Stateful language-ID stage: marker sets are 'loaded' once per actor
     (``map_batches(LangIdModel, concurrency=N)`` pattern — model-load in

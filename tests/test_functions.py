@@ -1,0 +1,62 @@
+"""Unit tests for training-data operator batch functions (vectorized
+kernels, no Ray needed)."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from hyparquet_writer_ray.functions.text import (
+    bpe_token_count_batch,
+    quality_score_batch,
+    rolling_fingerprint_batch,
+    token_count_batch,
+    LangIdModel,
+)
+
+
+def test_token_count_matches_split():
+    texts = ["a b c", "single", None, "x y"]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": texts})
+    out = token_count_batch(t)
+    assert out.column("n_tokens").to_pylist() == [3, 1, None, 2]
+
+
+def test_quality_scores_integers():
+    t = pa.table({"text": ["the quick fox", "a", None]})
+    out = quality_score_batch(t)
+    assert out.column("n_chars").to_pylist() == [13, 1, None]
+    assert out.column("n_tokens").to_pylist() == [3, 1, None]
+    assert out.column("max_token_len").to_pylist()[0] == 5  # "quick"
+    assert out.column("n_stopwords").to_pylist()[0] == 1  # "the"
+
+
+def test_bpe_tokenizer_counts():
+    t = pa.table({"text": ["don't stop, won't stop!", None, ""]})
+    out = bpe_token_count_batch(t)
+    counts = out.column("n_bpe_tokens").to_pylist()
+    assert counts[1] is None and counts[2] == 0
+    assert counts[0] > 4  # contractions + punctuation split out
+
+
+def test_rolling_fingerprint_properties():
+    t = pa.table({"text": ["abc", "abc", "abd", None, ""]})
+    fps = rolling_fingerprint_batch(t).column("rolling_fp").to_pylist()
+    assert fps[0] == fps[1]  # deterministic
+    assert fps[0] != fps[2]  # content-sensitive
+    assert fps[3] is None and fps[4] == 0
+    # matches the scalar definition: sum(byte * BASE^(n-1-i)) mod 2^64
+    base = 0x100000001B3
+    want = 0
+    for b in b"abc":
+        want = (want * base + b) & (2**64 - 1)
+    assert fps[0] == want
+
+
+def test_langid_scripts_and_markers():
+    m = LangIdModel()
+    assert m.predict("der hund ist nicht da und die katze") == "de"
+    assert m.predict("le chat est dans la maison pour toujours") == "fr"
+    assert m.predict("这是中文文本") == "zh"
+    assert m.predict("это русский текст") == "ru"
+    assert m.predict(None) == "und"
+    assert m.predict("the cat and the dog") == "en"
