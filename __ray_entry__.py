@@ -249,6 +249,19 @@ def _q_langid(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_window_agg(sf_dir: str) -> pa.Table:
+    """Tumbling-window aggregate over the events stream (partial agg
+    before the shuffle; integer sum for exact oracle compare)."""
+    import ray.data
+    from hyparquet_writer_ray.functions.windows import tumbling_window_agg
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "user_id"])
+    out = tumbling_window_agg(ds, ts_col="ts", width_seconds=600, sum_col="user_id")
+    return pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+
 def _q_dedup_exact(sf_dir: str) -> pa.Table:
     from hyparquet_writer_ray.functions.dedup import exact_dedup
     ds = exact_dedup(_docs_ds(sf_dir))
@@ -383,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["text_bpe_tokens"] = _q_bpe_tokens  # rows-only: regex tokenizer
     q["text_rolling_fp"] = _q_rolling_fp  # rows-only: polynomial hash
     q["text_langid"] = _q_langid
+    q["window_agg"] = _q_window_agg
     q["dedup_exact"] = _q_dedup_exact
     q["dedup_minhash"] = _q_dedup_minhash
     q["dedup_simhash"] = _q_dedup_simhash
@@ -424,6 +438,10 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["text_fingerprint"] = "SELECT doc_id, md5(text) AS fp FROM documents"
     sql["dedup_exact"] = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+    sql["window_agg"] = (
+        "SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS w_start, "
+        "count(*) AS n, sum(user_id) AS sum_user_id FROM events GROUP BY 1"
+    )
     sql["sim_topk_cosine"] = (
         "SELECT vec_id FROM embeddings "
         "ORDER BY list_cosine_similarity(embedding, "

@@ -1,0 +1,61 @@
+"""Windowed aggregates over event streams.
+
+Scale shape: a vectorized per-batch *partial* aggregate (combiner)
+collapses each batch to one row per window BEFORE the shuffle, so the
+groupby moves only (window, partials) rows — not events
+(SURVEY.md §7.3 / 'push aggregation partial').
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def tumbling_window_agg(
+    ds,
+    *,
+    ts_col: str = "ts",
+    width_seconds: int = 600,
+    sum_col: str | None = None,
+):
+    """count(*) (+ optional integer sum) per epoch-aligned tumbling
+    window. Returns a Dataset with columns
+    (w_start:int64 epoch-seconds, n:int64[, sum_<col>:int64])."""
+
+    width_us = width_seconds * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (us // width_us) * width_seconds  # window start, epoch seconds
+        uniq, inv = np.unique(w, return_inverse=True)
+        n = np.bincount(inv)
+        cols = {
+            "w_start": pa.array(uniq, pa.int64()),
+            "n": pa.array(n.astype(np.int64)),
+        }
+        if sum_col is not None:
+            v = batch.column(sum_col)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            vals = v.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, vals)
+            cols[f"sum_{sum_col}"] = pa.array(sums)
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # final combine: shuffle key is the 8-byte window id over tiny partials
+    agg = partials.groupby("w_start").sum(
+        ["n"] + ([f"sum_{sum_col}"] if sum_col else [])
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {"w_start": batch.column("w_start"), "n": batch.column("sum(n)")}
+        if sum_col is not None:
+            cols[f"sum_{sum_col}"] = batch.column(f"sum(sum_{sum_col})")
+        return pa.table(cols)
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
