@@ -228,9 +228,11 @@ def main() -> None:
         lo, hi = args.cpus_pair
         t_lo = results[lo]["queries"]["webtable_encode"]
         t_hi = results[hi]["queries"]["webtable_encode"]
-        ib = results[hi]["extras"]["webtable_encode"]["input_bytes"]
-        thr_lo = ib / t_lo / 1e9
-        thr_hi = ib / t_hi / 1e9
+        # throughput in GB/s of RAW (uncompressed) input, per the
+        # BASELINE.json metric definition
+        rb = results[hi]["extras"]["webtable_encode"]["raw_bytes"]
+        thr_lo = rb / t_lo / 1e9
+        thr_hi = rb / t_hi / 1e9
         eff = (thr_hi / thr_lo) / (hi / lo)
         print(json.dumps({
             "metric": "webtable_encode_scaling_efficiency",
@@ -256,8 +258,8 @@ def main() -> None:
         "extras": res["extras"],
     }
     if wt:
-        out["webtable_encode_gbps"] = round(
-            wt["input_bytes"] / res["queries"]["webtable_encode"] / 1e9, 4
+        out["webtable_encode_raw_gbps"] = round(
+            wt["raw_bytes"] / res["queries"]["webtable_encode"] / 1e9, 4
         )
     print(json.dumps(out))
 

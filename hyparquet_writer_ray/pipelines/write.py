@@ -348,14 +348,23 @@ def write_parquet_dataset(
     resume: bool = True,
     use_actors: bool = False,
     part_rows: Optional[int] = None,
+    repartition_blocks: Optional[int] = None,
 ) -> dict:
     """Partitioned parquet output with lineage manifest + resume.
 
     Each input block becomes ``part-<content_hash>.parquet``; reruns of
     the same input skip parts whose files already exist (verified
     through the manifest), giving partition-granular resumability.
+
+    Partitioning is explicit: ``repartition_blocks`` forces the
+    partition count via ``ds.repartition`` (an exchange — use when the
+    upstream block structure is skewed or too fine/coarse), ``part_rows``
+    re-bundles rows per part without a shuffle, and the byte cap in
+    ``split_row_groups`` splits oversized skewed groups.
     """
     opts = opts or WriteOptions()
+    if repartition_blocks:
+        ds = ds.repartition(repartition_blocks)
     os.makedirs(out_dir, exist_ok=True)
     arrow_schema = _normalized_arrow_schema(ds)
     lineage = LineageLog(out_dir)

@@ -60,3 +60,24 @@ def test_langid_scripts_and_markers():
     assert m.predict("это русский текст") == "ru"
     assert m.predict(None) == "und"
     assert m.predict("the cat and the dog") == "en"
+
+
+def test_tumbling_window_agg(ray_session):
+    import duckdb
+    import ray.data
+
+    from hyparquet_writer_ray.functions.windows import tumbling_window_agg
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    ds = ray.data.read_parquet(src, columns=["ts", "user_id"])
+    out = tumbling_window_agg(ds, ts_col="ts", width_seconds=600, sum_col="user_id")
+    got = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("w_start")
+    want = duckdb.sql(
+        "SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS w_start, count(*) AS n, "
+        f"sum(user_id) AS sum_user_id FROM '{src}' GROUP BY 1 ORDER BY 1"
+    ).arrow()
+    assert got.column("w_start").to_pylist() == want.column("w_start").to_pylist()
+    assert got.column("n").to_pylist() == want.column("n").to_pylist()
+    assert got.column("sum_user_id").to_pylist() == want.column("sum_user_id").to_pylist()
