@@ -7,6 +7,11 @@ ParquetWriter / write_rows. Distributed API: pipelines.write.
 from .core.options import ColumnSpec, WriteOptions
 from .core.types import Codec, Encoding
 from .local import ParquetWriter, write_rows, write_table, write_table_to_bytes
+from .pipelines.write import (
+    write_parquet_dataset,
+    write_parquet_files,
+    write_parquet_single_file,
+)
 
 __version__ = "0.1.0"
 
@@ -19,4 +24,7 @@ __all__ = [
     "write_rows",
     "write_table",
     "write_table_to_bytes",
+    "write_parquet_dataset",
+    "write_parquet_files",
+    "write_parquet_single_file",
 ]
