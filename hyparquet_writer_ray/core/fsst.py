@@ -95,19 +95,65 @@ def train(sample: bytes) -> SymbolTable:
             candidates[sym] = max(candidates.get(sym, 0), cnt * max(len(sym) - 1, 1))
         for sym, cnt in pair_counts.items():
             candidates[sym] = max(candidates.get(sym, 0), cnt * (len(sym) - 1))
-        new_symbols = sorted(candidates, key=lambda s: -candidates[s])[:MAX_SYMBOLS]
+        # always keep every distinct single byte of the sample: full
+        # single-byte coverage enables the gap-free findall fast path in
+        # compress() (escapes then only occur for bytes unseen at train
+        # time)
+        singles = [bytes([b]) for b in sorted(set(sample))]
+        multis = sorted(
+            (s for s in candidates if len(s) > 1), key=lambda s: -candidates[s]
+        )
+        new_symbols = (singles + multis)[:MAX_SYMBOLS]
+        if len(new_symbols) < MAX_SYMBOLS:
+            extra = [s for s in sorted(candidates, key=lambda s: -candidates[s])
+                     if s not in set(new_symbols)]
+            new_symbols += extra[: MAX_SYMBOLS - len(new_symbols)]
         table = SymbolTable(new_symbols)
     return table
 
 
+def _trie_pattern(symbols: list[bytes]) -> re.Pattern:
+    """Trie-factored regex: shared prefixes collapse the 255-way
+    alternation into one branch per distinct byte, with greedy optional
+    continuations — still longest-match, ~4x faster than a flat
+    alternation in CPython's re."""
+    root: dict = {}
+    for s in symbols:
+        d = root
+        for b in s:
+            d = d.setdefault(b, {})
+        d[None] = True  # terminal
+
+    def emit(node: dict) -> bytes:
+        alts = []
+        for b, child in node.items():
+            if b is None:
+                continue
+            e = re.escape(bytes([b]))
+            has_term = None in child
+            has_kids = any(k is not None for k in child)
+            if has_kids:
+                cont = emit(child)
+                alts.append(e + (b"(?:" + cont + b")?" if has_term else cont))
+            else:
+                alts.append(e)
+        if len(alts) == 1:
+            return alts[0]
+        return b"(?:" + b"|".join(alts) + b")"
+
+    return re.compile(emit(root), re.DOTALL)
+
+
 def _pattern(table: SymbolTable) -> re.Pattern:
-    # longest-first alternation => greedy longest match at each position
-    ordered = sorted(range(len(table.symbols)), key=lambda i: -len(table.symbols[i]))
-    return re.compile(b"|".join(re.escape(table.symbols[i]) for i in ordered), re.DOTALL)
+    return _trie_pattern(table.symbols)
 
 
 def compress(data: bytes, table: SymbolTable) -> bytes:
-    """Greedy longest-match encode; unmatched bytes become escape pairs."""
+    """Greedy longest-match encode; unmatched bytes become escape pairs.
+
+    Fast path: when the table's single-byte coverage leaves no gaps
+    (training keeps every sample byte), ``findall`` + a bulk code map
+    avoids per-match span bookkeeping (~4x)."""
     if not table.symbols:
         out = bytearray()
         for b in data:
@@ -115,6 +161,9 @@ def compress(data: bytes, table: SymbolTable) -> bytes:
         return bytes(out)
     code_of = {s: i for i, s in enumerate(table.symbols)}
     pat = _pattern(table)
+    matches = pat.findall(data)
+    if sum(map(len, matches)) == len(data):  # gap-free: no escapes needed
+        return bytes(map(code_of.__getitem__, matches))
     out = bytearray()
     pos = 0
     for m in pat.finditer(data):
