@@ -6,7 +6,7 @@ src/parquet-writer.js:28-175; see SURVEY.md §3.4).
 from __future__ import annotations
 
 import io
-from typing import BinaryIO, Optional
+from typing import BinaryIO
 
 from .bufwriter import BufWriter
 from .footer import (

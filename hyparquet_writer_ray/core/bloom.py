@@ -9,7 +9,6 @@ vectorized scatter over the distinct-hash array.
 """
 from __future__ import annotations
 
-import struct
 from typing import Optional
 
 import numpy as np

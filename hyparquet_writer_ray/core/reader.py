@@ -12,7 +12,7 @@ import numpy as np
 from .compress import decompress as codec_decompress
 from .fsst import decode_fsst_page
 from .thrift import CompactReader
-from .types import Codec, Encoding, ParquetType
+from .types import Codec, Encoding
 
 
 def read_footer(buf: bytes) -> dict:

@@ -11,7 +11,7 @@ import pyarrow as pa
 from .chunk import ChunkMeta, encode_chunk
 from .nested import nested_leaf_arrays
 from .options import WriteOptions
-from .types import LeafInfo, SchemaElement, leaf_columns
+from .types import LeafInfo, SchemaElement
 
 
 @dataclass

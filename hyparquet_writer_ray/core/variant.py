@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import datetime
 import struct
-from typing import Any, Optional
 
 import pyarrow as pa
 

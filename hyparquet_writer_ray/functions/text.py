@@ -110,8 +110,6 @@ def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Tab
     col = batch.column(text_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    import pyarrow.compute as _pc
-
     valid = col.drop_null()
     n = len(col)
     buf = valid.combine_chunks() if isinstance(valid, pa.ChunkedArray) else valid
