@@ -26,7 +26,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # with node count — tmpfs is the honest single-node proxy for that
 BENCH_TMP = "/dev/shm/hpw_bench" if os.path.isdir("/dev/shm") else "/tmp/hpw_bench"
 
-_WEBTABLE_ROWS = {"sf0.001": 5_000, "sf0.01": 20_000, "sf0.1": 120_000}
+_WEBTABLE_ROWS = {"sf0.001": 5_000, "sf0.01": 40_000, "sf0.1": 480_000}
 
 
 def _sf_tag() -> str:
@@ -206,7 +206,7 @@ def main() -> None:
         # is large (~16x the normal bench rows) and the codec is zstd-12
         # so the parallel encode section dominates fixed job startup —
         # the sandbox proxy for an N-node vs 4N-node cluster (BASELINE.md).
-        rows = 80 * _WEBTABLE_ROWS.get(_sf_tag(), 20_000)
+        rows = 20 * _WEBTABLE_ROWS.get(_sf_tag(), 20_000)
         # pre-generate the input once in the parent at full parallelism
         import ray
 
