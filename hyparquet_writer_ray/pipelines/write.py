@@ -225,6 +225,9 @@ class PartFileWriter:
         checksum = hashlib.sha1(open(fpath, "rb").read(1 << 16)).hexdigest()[:12]
         for r in recs:
             r.checksum = checksum
+        # worker-side lineage: durable the moment the part is (survives a
+        # driver SIGKILL; see state/lineage.py)
+        LineageLog(self.out_dir).write_part_record(part_id, recs)
         yield pa.table({
             "part_id": [part_id], "file": [fname],
             "rows": pa.array([batch.num_rows], type=pa.int64()),
@@ -273,6 +276,7 @@ def _encode_files_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
                 recs.append(record_from_meta(base, meta, len(blob), file=fname))
             asm.finish()
         os.replace(tmp, fpath)
+        LineageLog(out_dir).write_part_record(base, recs)
         yield pa.table({
             "part_id": [base], "file": [fname],
             "rows": pa.array([table.num_rows], type=pa.int64()),

@@ -50,17 +50,35 @@ def record_from_meta(part_id: str, meta: RowGroupMeta, blob_len: int,
 
 
 class LineageLog:
-    """Append-only manifest + optional blob checkpoint store."""
+    """Append-only manifest + optional blob checkpoint store.
+
+    Completion records are written by the WORKER that finished the part
+    (atomic per-part json under ``_lineage/parts/``), so a hard-killed
+    driver cannot lose records for parts already durable on disk —
+    partition-granular resume survives SIGKILL at any point. The
+    driver-side ``manifest.jsonl`` is a convenience consolidation.
+    """
 
     def __init__(self, base_dir: str, *, store_blobs: bool = False) -> None:
         self.dir = os.path.join(base_dir, "_lineage")
         self.blob_dir = os.path.join(self.dir, "blobs")
+        self.parts_dir = os.path.join(self.dir, "parts")
         self.manifest_path = os.path.join(self.dir, "manifest.jsonl")
         os.makedirs(self.dir, exist_ok=True)
         if store_blobs:
             os.makedirs(self.blob_dir, exist_ok=True)
         self.store_blobs = store_blobs
         self._fh = None
+
+    # -- worker side ----------------------------------------------------
+    def write_part_record(self, part_key: str, recs: list[PartRecord]) -> None:
+        """Atomically persist a finished part's records (call AFTER the
+        part file itself is durable)."""
+        os.makedirs(self.parts_dir, exist_ok=True)
+        tmp = os.path.join(self.parts_dir, f".{part_key}.tmp")
+        with open(tmp, "w") as f:
+            json.dump([asdict(r) for r in recs], f)
+        os.replace(tmp, os.path.join(self.parts_dir, f"{part_key}.json"))
 
     # -- write side -----------------------------------------------------
     def append(self, rec: PartRecord, blob: bytes | None = None,
@@ -81,25 +99,37 @@ class LineageLog:
             self._fh = None
 
     # -- resume side ----------------------------------------------------
+    def _validate(self, rec: PartRecord) -> bool:
+        if self.store_blobs:
+            return os.path.exists(os.path.join(self.blob_dir, rec.part_id))
+        if rec.file is not None:
+            base = os.path.dirname(self.dir)
+            return os.path.exists(os.path.join(base, rec.file))
+        return True
+
     def completed_parts(self) -> dict[str, PartRecord]:
         out: dict[str, PartRecord] = {}
-        if not os.path.exists(self.manifest_path):
-            return out
-        with open(self.manifest_path) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                d = json.loads(line)
-                rec = PartRecord(**d)
-                if self.store_blobs:
-                    if not os.path.exists(os.path.join(self.blob_dir, rec.part_id)):
-                        continue  # blob missing: treat as incomplete
-                elif rec.file is not None:
-                    base = os.path.dirname(self.dir)
-                    if not os.path.exists(os.path.join(base, rec.file)):
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
                         continue
-                out[rec.part_id] = rec
+                    rec = PartRecord(**json.loads(line))
+                    if self._validate(rec):
+                        out[rec.part_id] = rec
+        if os.path.isdir(self.parts_dir):
+            for fname in os.listdir(self.parts_dir):
+                if not fname.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(self.parts_dir, fname)) as f:
+                        for d in json.load(f):
+                            rec = PartRecord(**d)
+                            if self._validate(rec):
+                                out[rec.part_id] = rec
+                except (json.JSONDecodeError, OSError):
+                    continue  # torn write of a non-atomic fs: ignore
         return out
 
     def load_blob(self, part_id: str):
