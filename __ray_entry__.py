@@ -440,7 +440,8 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_exact"] = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
     sql["window_agg"] = (
         "SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS w_start, "
-        "count(*) AS n, sum(user_id) AS sum_user_id FROM events GROUP BY 1"
+        "count(*) AS n, sum(user_id) AS sum_user_id FROM events GROUP BY 1 "
+        "ORDER BY w_start"
     )
     sql["sim_topk_cosine"] = (
         "SELECT vec_id FROM embeddings "

@@ -17,10 +17,17 @@ def tumbling_window_agg(
     ts_col: str = "ts",
     width_seconds: int = 600,
     sum_col: str | None = None,
+    sort: bool = True,
 ):
     """count(*) (+ optional integer sum) per epoch-aligned tumbling
     window. Returns a Dataset with columns
-    (w_start:int64 epoch-seconds, n:int64[, sum_<col>:int64])."""
+    (w_start:int64 epoch-seconds, n:int64[, sum_<col>:int64]).
+
+    ``sort=True`` (default) orders the output by ``w_start`` so results
+    are deterministic — Ray's groupby emits partitions in a
+    nondeterministic order, and windowed output is expected in time
+    order. The sort runs over the already-aggregated (tiny) table, not
+    over the event stream, so its cost is negligible at any scale."""
 
     width_us = width_seconds * 1_000_000
 
@@ -58,4 +65,7 @@ def tumbling_window_agg(
             cols[f"sum_{sum_col}"] = batch.column(f"sum(sum_{sum_col})")
         return pa.table(cols)
 
-    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    out = agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    if sort:
+        out = out.sort("w_start")
+    return out
