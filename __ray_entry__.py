@@ -290,9 +290,8 @@ def _q_sim_topk(sf_dir: str) -> pa.Table:
     import ray.data
     from hyparquet_writer_ray.functions.similarity import topk_cosine
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    q = pq.read_table(emb_path).filter(
-        pa.compute.equal(pq.read_table(emb_path, columns=["vec_id"]).column("vec_id"), 0)
-    ).column("embedding")[0].as_py()
+    head = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    q = head.filter(pa.compute.equal(head.column("vec_id"), 0)).column("embedding")[0].as_py()
     ds = ray.data.read_parquet(emb_path)
     top = topk_cosine(ds, np.array(q), k=10)
     return top.select(["vec_id"])
@@ -306,12 +305,29 @@ def _collect(ds, empty_schema: pa.Schema | None = None) -> pa.Table:
 
 
 def _q_sim_lsh_pairs(sf_dir: str) -> pa.Table:
+    """Near-duplicate pair mining over embeddings with PLANTED ground
+    truth: the first 5 vectors are re-added (scaled 2x — cosine exactly
+    1.0, same LSH bucket) under vec_id+1_000_000, so the query must
+    emit at least those 5 known pairs — the gate is non-vacuous."""
     import ray.data
     from hyparquet_writer_ray.functions.similarity import lsh_bucket_pairs
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    dim = len(pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).column("embedding")[0].as_py())
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    dim = len(emb.column("embedding")[0].as_py())
+    head = emb.slice(0, 5)
+    planted = pa.table({
+        "vec_id": pa.compute.add(head.column("vec_id"), 1_000_000),
+        "embedding": pa.array(
+            [[2.0 * x for x in v] for v in head.column("embedding").to_pylist()],
+            type=emb.column("embedding").type,
+        ),
+    })
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).union(
+        ray.data.from_arrow(planted)
+    )
     pairs = lsh_bucket_pairs(ds, dim=dim, threshold=0.8)
-    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64())])
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64()),
+                        ("from_oversized", pa.bool_())])
     t = _collect(pairs, schema)
     return t.sort_by([("a", "ascending"), ("b", "ascending")])
 

@@ -83,31 +83,64 @@ class HyperplaneBucketer:
 
 def lsh_bucket_pairs(ds, *, dim: int, threshold: float = 0.9, n_planes: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     concurrency=2):
+                     concurrency=2, max_bucket: int = 2048):
     """Embedding-cosine near-duplicate pairs via hyperplane LSH buckets:
-    candidates only form within a bucket (the shuffle key is one u64)."""
+    candidates only form within a bucket (the shuffle key is one u64).
+
+    Skew guard: a bucket larger than ``max_bucket`` does NOT run the
+    O(n^2) all-pairs matrix (one hot bucket would otherwise OOM a
+    single map_groups task — near-duplicate-heavy corpora produce
+    them).  Oversized buckets switch to a *star* scan against the
+    bucket's min-id representative (O(n) memory and compute), flagged
+    ``from_oversized=true`` and logged — every member is still checked
+    against the representative, so duplicate clusters stay connected
+    and nothing is silently dropped."""
     bucketed = ds.map_batches(
         HyperplaneBucketer,
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, vec_col=vec_col, id_col=id_col),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
     )
 
+    def _empty() -> pa.Table:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64()),
+                         "from_oversized": pa.array([], pa.bool_())})
+
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                             "cos": pa.array([], pa.float64())})
+        n = group.num_rows
+        if n < 2:
+            return _empty()
         m = _embedding_matrix(group, vec_col)
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         mn = m / norms[:, None]
-        sims = mn @ mn.T
         ids = np.asarray(group.column(id_col))
-        iu = np.triu_indices(len(ids), 1)
+        if n > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "lsh_bucket_pairs: bucket of %d vectors > max_bucket=%d; "
+                "star scan vs representative instead of %d all-pairs",
+                n, max_bucket, n * (n - 1) // 2,
+            )
+            rep = int(np.argmin(ids))
+            sims = mn @ mn[rep]
+            mask = sims >= threshold
+            mask[rep] = False
+            return pa.table({
+                "a": pa.array(np.minimum(ids[rep], ids[mask]), pa.int64()),
+                "b": pa.array(np.maximum(ids[rep], ids[mask]), pa.int64()),
+                "cos": pa.array(sims[mask], pa.float64()),
+                "from_oversized": pa.array(np.ones(int(mask.sum()), dtype=bool)),
+            })
+        sims = mn @ mn.T
+        iu = np.triu_indices(n, 1)
         mask = sims[iu] >= threshold
         return pa.table({
             "a": pa.array(np.minimum(ids[iu[0]][mask], ids[iu[1]][mask]), pa.int64()),
             "b": pa.array(np.maximum(ids[iu[0]][mask], ids[iu[1]][mask]), pa.int64()),
             "cos": pa.array(sims[iu][mask], pa.float64()),
+            "from_oversized": pa.array(np.zeros(int(mask.sum()), dtype=bool)),
         })
 
     return bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")

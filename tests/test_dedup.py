@@ -1,0 +1,129 @@
+"""Dedup operator tests: exact (128-bit key), MinHash-LSH join-based
+verification (no driver-side materialization), star policy for hot
+buckets, SimHash."""
+from __future__ import annotations
+
+import inspect
+import random
+
+import numpy as np
+import pyarrow as pa
+
+from hyparquet_writer_ray.functions import dedup as dedup_mod
+from hyparquet_writer_ray.functions.dedup import (
+    MinHasher,
+    _sig_matrix,
+    _text_hash128,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+
+
+def _rand_docs(n: int, seed: int = 7, words: int = 80) -> list[str]:
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(500)]
+    return [" ".join(rng.choice(vocab) for _ in range(words)) for _ in range(n)]
+
+
+def test_exact_dedup_key_is_128_bits():
+    hi, lo = _text_hash128(["hello", None])
+    import hashlib
+
+    d = hashlib.md5(b"hello").digest()
+    assert hi[0] == int.from_bytes(d[:8], "big", signed=True)
+    assert lo[0] == int.from_bytes(d[8:], "big", signed=True)
+    assert hi[1] is None and lo[1] is None
+    # the two halves together carry the full 128-bit digest — no
+    # truncation, no discarded bits.
+    assert (hi[0].to_bytes(8, "big", signed=True) + lo[0].to_bytes(8, "big", signed=True)) == d
+
+
+def test_no_driver_side_broadcast_in_dedup_module():
+    """The scale contract: minhash verification must not ray.put any
+    O(n_docs) structure. Enforced at the source level — the module may
+    not call ray.put at all."""
+    src = inspect.getsource(dedup_mod)
+    assert "ray.put" not in src
+    assert ".materialize()" not in src
+
+
+def test_minhash_planted_near_dups(ray_session, tmp_path):
+    import ray.data
+
+    texts = _rand_docs(60)
+    base = texts[0]
+    texts = [base, base, base + " extra word", base.replace("w0", "v0")] + texts[4:]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    out = minhash_lsh_pairs(
+        ray.data.from_arrow(t), threshold=0.5, num_partitions=2,
+        sig_dir=str(tmp_path / "sigs"),
+    )
+    res = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    pairs = set(zip(res.column("a").to_pylist(), res.column("b").to_pylist()))
+    # all pairs among the planted cluster {0,1,2,3}, nothing else
+    assert (0, 1) in pairs
+    assert all(a < 4 and b < 4 for a, b in pairs)
+    j = {
+        (a, b): v
+        for a, b, v in zip(res.column("a").to_pylist(), res.column("b").to_pylist(),
+                           res.column("jaccard_est").to_pylist())
+    }
+    assert j[(0, 1)] == 1.0  # identical docs agree on every permutation
+    assert all(v >= 0.5 for v in j.values())
+    assert not any(res.column("from_oversized").to_pylist())
+
+
+def test_minhash_star_policy_on_hot_bucket(ray_session, tmp_path):
+    """A bucket larger than max_bucket must not go quadratic: it emits
+    n-1 star pairs flagged from_oversized=true, keeping every member
+    connected to the representative (nothing silently dropped)."""
+    import ray.data
+
+    n = 40
+    texts = ["identical document body " * 10] * n
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": texts})
+    out = minhash_lsh_pairs(
+        ray.data.from_arrow(t), threshold=0.5, num_partitions=2,
+        max_bucket=8, sig_dir=str(tmp_path / "sigs"),
+    )
+    res = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    pairs = set(zip(res.column("a").to_pylist(), res.column("b").to_pylist()))
+    assert pairs == {(0, i) for i in range(1, n)}  # star around min id
+    assert all(res.column("from_oversized").to_pylist())
+    # every doc still reachable: ids 1..n-1 all appear
+    covered = {b for _, b in pairs} | {a for a, _ in pairs}
+    assert covered == set(range(n))
+
+
+def test_sig_matrix_roundtrip():
+    m = MinHasher(num_perm=16)
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["alpha beta gamma delta", "epsilon zeta eta theta"]})
+    out = m(t)
+    assert out.column("sig").type == pa.binary()
+    mat = _sig_matrix(out.column("sig"), 16)
+    assert mat.shape == (2, 16)
+    assert (mat[0] == m.signature("alpha beta gamma delta")).all()
+    # sliced column path (non-contiguous offsets start)
+    mat2 = _sig_matrix(out.column("sig").slice(1), 16)
+    assert (mat2[0] == mat[1]).all()
+
+
+def test_exact_dedup_keeps_min_id(ray_session):
+    import ray.data
+
+    t = pa.table({
+        "doc_id": pa.array([5, 3, 9, 1], pa.int64()),
+        "text": ["same", "same", "other", "same"],
+    })
+    out = exact_dedup(ray.data.from_arrow(t))
+    kept = sorted(
+        pa.concat_tables(
+            b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+        ).column("doc_id").to_pylist()
+    )
+    assert kept == [1, 9]
