@@ -225,20 +225,96 @@ def _q_fingerprint(sf_dir: str) -> pa.Table:
     )
 
 
+def _bpe_count_independent(text: str) -> int:
+    """Regex-free hand-rolled scanner implementing the same pretokenizer
+    spec as functions/text._BPE_PAT — used as an in-driver oracle for
+    the rows-only gate (the driver has no SQL for lookahead regexes)."""
+    def isw(c: str) -> bool:
+        return c.isalnum() or c == "_"
+
+    n, i, count = len(text), 0, 0
+    while i < n:
+        # contraction alternatives, in the pattern's alternation order:
+        # 's|'t|'re|'ve|'m|'ll|'d
+        if text[i] == "'":
+            if text[i:i + 2] in ("'s", "'t"):
+                i += 2; count += 1; continue
+            if text[i:i + 3] in ("'re", "'ve"):
+                i += 3; count += 1; continue
+            if text[i:i + 2] == "'m":
+                i += 2; count += 1; continue
+            if text[i:i + 3] == "'ll":
+                i += 3; count += 1; continue
+            if text[i:i + 2] == "'d":
+                i += 2; count += 1; continue
+        j = i + 1 if text[i] == " " else i
+        if j < n and isw(text[j]):            # " ?\\w+"
+            j += 1
+            while j < n and isw(text[j]):
+                j += 1
+            i = j; count += 1; continue
+        if j < n and not text[j].isspace() and not isw(text[j]):  # " ?[^\\s\\w]+"
+            j += 1
+            while j < n and not text[j].isspace() and not isw(text[j]):
+                j += 1
+            i = j; count += 1; continue
+        if text[i].isspace():
+            e = i + 1
+            while e < n and text[e].isspace():
+                e += 1
+            if e == n:                         # "\\s+(?!\\S)" trailing run
+                i = e
+            elif e - i >= 2:                   # backtracks to leave one
+                i = e - 1
+            else:                              # lone non-space-prefixable \\s
+                i = e
+            count += 1; continue
+        raise AssertionError(f"unreachable char {text[i]!r}")
+    return count
+
+
 def _q_bpe_tokens(sf_dir: str) -> pa.Table:
     from hyparquet_writer_ray.functions.text import bpe_token_counts
     ds = bpe_token_counts(_docs_ds(sf_dir)).select_columns(["doc_id", "n_bpe_tokens"])
-    return pa.concat_tables(
+    out = pa.concat_tables(
         b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
     )
+    # in-driver oracle: independent scanner over the raw parquet
+    raw = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    want = {
+        d: None if t is None else _bpe_count_independent(t)
+        for d, t in zip(raw.column("doc_id").to_pylist(), raw.column("text").to_pylist())
+    }
+    got = dict(zip(out.column("doc_id").to_pylist(), out.column("n_bpe_tokens").to_pylist()))
+    assert got == want, "bpe token counts diverge from independent scanner"
+    return out
 
 
 def _q_rolling_fp(sf_dir: str) -> pa.Table:
     from hyparquet_writer_ray.functions.text import rolling_fingerprints
     ds = rolling_fingerprints(_docs_ds(sf_dir)).select_columns(["doc_id", "rolling_fp"])
-    return pa.concat_tables(
+    out = pa.concat_tables(
         b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
     )
+    # in-driver oracle: scalar byte-at-a-time polynomial hash (the
+    # definition), vs the pipeline's segmented vectorized version
+    raw = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+
+    def scalar_fp(t: str) -> int:
+        h = 0
+        for byte in t.encode("utf-8"):
+            h = (h * 0x100000001B3 + byte) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    want = {
+        d: None if t is None else scalar_fp(t)
+        for d, t in zip(raw.column("doc_id").to_pylist(), raw.column("text").to_pylist())
+    }
+    got = dict(zip(out.column("doc_id").to_pylist(), out.column("rolling_fp").to_pylist()))
+    assert got == want, "rolling fingerprints diverge from scalar definition"
+    return out
 
 
 def _q_langid(sf_dir: str) -> pa.Table:
@@ -325,11 +401,15 @@ def _q_sim_lsh_pairs(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).union(
         ray.data.from_arrow(planted)
     )
-    pairs = lsh_bucket_pairs(ds, dim=dim, threshold=0.8)
+    pairs = lsh_bucket_pairs(ds, dim=dim, threshold=0.9)
     schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64()),
                         ("from_oversized", pa.bool_())])
     t = _collect(pairs, schema)
-    return t.sort_by([("a", "ascending"), ("b", "ascending")])
+    # drop the float cos column so the planted ground truth is exactly
+    # SQL-expressible (the oracle lists the 5 planted pairs)
+    return t.select(["a", "b", "from_oversized"]).sort_by(
+        [("a", "ascending"), ("b", "ascending")]
+    )
 
 
 def _q_webtable(sf_dir: str) -> pa.Table:
@@ -464,6 +544,16 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY list_cosine_similarity(embedding, "
         "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id LIMIT 10"
     )
+    sql["sim_lsh_pairs"] = (
+        # the query plants scaled copies of vec_id 0..4 under id+1e6
+        # (cosine exactly 1 >= 0.9); random gaussian pairs never reach
+        # the 0.9 threshold at this scale, so the result is exactly the
+        # planted ground truth
+        "SELECT vec_id AS a, vec_id + 1000000 AS b, false AS from_oversized "
+        "FROM embeddings WHERE vec_id < 5 ORDER BY a"
+    )
     # rows-only (non-SQL-expressible): text_langid, dedup_minhash,
-    # dedup_simhash, sim_lsh_pairs, webtable_encode, multimodal_decode
+    # dedup_simhash, webtable_encode, multimodal_decode,
+    # encode_variant_shredded; text_bpe_tokens and text_rolling_fp
+    # self-verify in-driver against independent implementations
     return sql

@@ -81,3 +81,27 @@ def test_tumbling_window_agg(ray_session):
     assert got.column("w_start").to_pylist() == want.column("w_start").to_pylist()
     assert got.column("n").to_pylist() == want.column("n").to_pylist()
     assert got.column("sum_user_id").to_pylist() == want.column("sum_user_id").to_pylist()
+
+
+def test_bpe_independent_scanner_matches_regex():
+    """The driver-side oracle scanner in __ray_entry__ must agree with
+    the compiled-regex implementation on adversarial inputs."""
+    import random
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __ray_entry__ import _bpe_count_independent
+    from hyparquet_writer_ray.functions.text import _BPE_PAT
+
+    cases = [
+        "", " ", "  ", "a", " a", "a ", "a  b", "don't stop, won't!",
+        "it's we're I've I'm we'll I'd", "a\nb", "a\n\nb", "tab\tsep",
+        "trailing   ", "...!!!", " ...", "under_score 123 mix3d",
+        "'lone 'll 're'", "x'sx", "a'dd", "e.g., (i.e.) [sic]",
+    ]
+    rng = random.Random(0)
+    alphabet = "ab c'.!\n\t_19"
+    cases += ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+              for _ in range(300)]
+    for s in cases:
+        assert _bpe_count_independent(s) == len(_BPE_PAT.findall(s)), repr(s)
