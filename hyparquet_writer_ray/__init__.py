@@ -6,7 +6,14 @@ ParquetWriter / write_rows. Distributed API: pipelines.write.
 """
 from .core.options import ColumnSpec, WriteOptions
 from .core.types import Codec, Encoding
-from .local import ParquetWriter, write_rows, write_table, write_table_to_bytes
+from .local import (
+    ParquetWriter,
+    auto_schema_from_rows,
+    write_rows,
+    write_rows_async,
+    write_table,
+    write_table_to_bytes,
+)
 from .pipelines.write import (
     write_parquet_dataset,
     write_parquet_files,
@@ -22,6 +29,8 @@ __all__ = [
     "Encoding",
     "ParquetWriter",
     "write_rows",
+    "write_rows_async",
+    "auto_schema_from_rows",
     "write_table",
     "write_table_to_bytes",
     "write_parquet_dataset",

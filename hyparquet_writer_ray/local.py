@@ -117,51 +117,246 @@ def write_table_to_bytes(table: pa.Table, opts: Optional[WriteOptions] = None) -
     return sink.getvalue()
 
 
+_INT32_MIN, _INT32_MAX = -(2 ** 31), 2 ** 31 - 1
+
+# (current, new) -> widened; anything not listed and not equal is a
+# mixed-type error, matching the reference's single INT32<->DOUBLE
+# widening rule (src/schema.js:224-230)
+_WIDEN = {
+    ("INT32", "DOUBLE"): "DOUBLE",
+    ("DOUBLE", "INT32"): "DOUBLE",
+    # Python-only: int covers both the reference's integer-Number
+    # (INT32) and bigint (INT64); out-of-range ints widen within int
+    ("INT32", "INT64"): "INT64",
+    ("INT64", "INT32"): "INT64",
+}
+
+_KIND_TO_ARROW = {
+    "BOOLEAN": pa.bool_(),
+    "INT32": pa.int32(),
+    "INT64": pa.int64(),
+    "DOUBLE": pa.float64(),
+    "BYTE_ARRAY": pa.binary(),
+    "UTF8": pa.string(),
+    "TIMESTAMP": pa.timestamp("ms"),
+    "JSON": pa.string(),
+}
+
+
+def _classify_value(v) -> str:
+    import datetime as _dt
+
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "BOOLEAN"
+    if isinstance(v, int):
+        return "INT32" if _INT32_MIN <= v <= _INT32_MAX else "INT64"
+    if isinstance(v, float):
+        return "DOUBLE"
+    if isinstance(v, (bytes, bytearray)):
+        return "BYTE_ARRAY"
+    if isinstance(v, str):
+        return "UTF8"
+    if isinstance(v, _dt.datetime):
+        return "TIMESTAMP"
+    if isinstance(v, (dict, list, tuple)):
+        return "JSON"
+    raise TypeError(f"cannot determine parquet type for: {v!r}")
+
+
+def auto_schema_from_rows(
+    sample: list[dict], columns: Optional[list[str]] = None
+) -> tuple[pa.Schema, list[str]]:
+    """Value-based schema inference with the reference's semantics
+    (autoSchemaElement, src/schema.js:173-241; sampling cap of 1000
+    values per column from src/schema.js:65):
+
+    - first-1000 value sampling per column
+    - a null (or missing key) makes the column OPTIONAL
+    - INT32 + DOUBLE widens to DOUBLE; any other mix raises
+      ``parquet cannot write mixed types``
+    - an all-null column falls back to OPTIONAL BYTE_ARRAY
+    - dict/list values follow the reference's object path: stored as
+      compact JSON text with the JSON annotation
+
+    Python deviation (documented): Python int plays both the
+    reference's integer Number (INT32) and bigint (INT64) — ints
+    outside int32 range widen the column to INT64 instead of erroring.
+
+    Returns ``(arrow_schema, json_columns)``; callers must JSON-encode
+    the listed columns' values and add a JSON schema override (both
+    handled by :func:`write_rows`).
+    """
+    if columns is None:
+        columns = []
+        seen = set()
+        for row in sample:
+            for k in row:
+                if k not in seen:
+                    seen.add(k)
+                    columns.append(k)
+    fields = []
+    json_cols: list[str] = []
+    for name in columns:
+        kind: Optional[str] = None
+        nullable = False
+        n_seen = 0
+        for row in sample:
+            if n_seen >= 1000:
+                break
+            v = row.get(name)
+            n_seen += 1
+            if v is None:
+                nullable = True
+                continue
+            vk = _classify_value(v)
+            if kind is None:
+                kind = vk
+            elif kind != vk:
+                widened = _WIDEN.get((kind, vk))
+                if widened is None:
+                    raise ValueError(
+                        f"parquet cannot write mixed types: {kind} and {vk}"
+                    )
+                kind = widened
+        if kind is None:
+            kind = "BYTE_ARRAY"  # all-null fallback (src/schema.js:236-240)
+            nullable = True
+        if kind == "JSON":
+            json_cols.append(name)
+        fields.append(pa.field(name, _KIND_TO_ARROW[kind], nullable=nullable))
+    return pa.schema(fields), json_cols
+
+
+def _json_override(name: str):
+    from .core.types import ConvertedType, LogicalType, ParquetType, SchemaElement
+
+    return SchemaElement(
+        name, type=ParquetType.BYTE_ARRAY,
+        converted_type=ConvertedType.JSON, logical_type=LogicalType("JSON"),
+    )
+
+
+class _RowGroupBuffer:
+    """Shared engine for the sync and async row sources: buffers one
+    row-group window at a time (reference parquetWriteRows,
+    src/write-rows.js:36-178; drainAsync src/write-rows.js:142-156).
+    Peak memory is one window regardless of total rows; the first
+    window fixes the schema (value inference if none given)."""
+
+    def __init__(self, f: BinaryIO, schema: Optional[pa.Schema],
+                 opts: WriteOptions, columns: Optional[list[str]]) -> None:
+        self.f = f
+        self.schema = schema
+        self.opts = opts
+        self.columns = columns
+        self.json_cols: list[str] = []
+        sched = opts.row_group_size
+        self.sched = (sched,) if isinstance(sched, int) else sched
+        self.window: list[dict] = []
+        self.gi = 0
+        self.target = self.sched[0]
+        self.pw: Optional[ParquetWriter] = None
+
+    def feed(self, row: dict) -> None:
+        self.window.append(row)
+        if len(self.window) >= self.target:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self.window:
+            return
+        if self.schema is None:
+            self.schema, self.json_cols = auto_schema_from_rows(
+                self.window[:1000], self.columns
+            )
+            if self.json_cols:
+                import dataclasses
+
+                self.opts = dataclasses.replace(
+                    self.opts,
+                    schema_overrides={
+                        **{c: _json_override(c) for c in self.json_cols},
+                        **self.opts.schema_overrides,
+                    },
+                )
+        rows = self.window
+        if self.json_cols:
+            import json as _json
+
+            rows = [
+                {
+                    **r,
+                    **{
+                        c: None if r.get(c) is None
+                        else _json.dumps(r[c], separators=(",", ":"), ensure_ascii=False)
+                        for c in self.json_cols
+                    },
+                }
+                for r in rows
+            ]
+        table = pa.Table.from_pylist(rows, schema=self.schema)
+        table = normalize_table(table)
+        if self.pw is None:
+            self.pw = ParquetWriter(self.f, table.schema, self.opts)
+        self.pw.write(table, split_row_groups=False)
+        self.window = []
+        self.gi += 1
+        self.target = self.sched[min(self.gi, len(self.sched) - 1)]
+
+    def finish(self) -> None:
+        self.flush()
+        if self.pw is None:
+            # zero rows: emit a valid empty file (src/write-rows.js:162-172)
+            if self.schema is None:
+                raise ValueError("zero rows and no schema: cannot write empty file")
+            self.pw = ParquetWriter(self.f, self.schema, self.opts)
+        self.pw.finish()
+
+
 def write_rows(
     rows: Iterable[dict],
     sink: Union[str, BinaryIO],
     schema: Optional[pa.Schema] = None,
     opts: Optional[WriteOptions] = None,
+    columns: Optional[list[str]] = None,
 ) -> None:
-    """Streaming row-dict source: buffers one row-group window at a time
-    (reference parquetWriteRows, src/write-rows.js:36-178). Peak memory is
-    one window regardless of total rows."""
-    opts = opts or WriteOptions()
-    sched = opts.row_group_size
-    if isinstance(sched, int):
-        sched = (sched,)
+    """Streaming row-dict source (reference parquetWriteRows,
+    src/write-rows.js:36-178). ``columns`` optionally fixes column
+    names/order (the reference requires it; here it defaults to
+    first-seen key order). Without ``schema``, types are inferred from
+    the first window with the reference's value-inference semantics
+    (see :func:`auto_schema_from_rows`)."""
     own = isinstance(sink, str)
     f = open(sink, "wb") if own else sink
-    pw: Optional[ParquetWriter] = None
     try:
-        window: list[dict] = []
-        gi = 0
-        target = sched[0]
-
-        def flush() -> None:
-            nonlocal pw, gi, target
-            if not window:
-                return
-            table = pa.Table.from_pylist(window, schema=schema)
-            table = normalize_table(table)
-            if pw is None:
-                pw = ParquetWriter(f, table.schema, opts)
-            pw.write(table, split_row_groups=False)
-            window.clear()
-            gi += 1
-            target = sched[min(gi, len(sched) - 1)]
-
+        buf = _RowGroupBuffer(f, schema, opts or WriteOptions(), columns)
         for row in rows:
-            window.append(row)
-            if len(window) >= target:
-                flush()
-        flush()
-        if pw is None:
-            # zero rows: emit a valid empty file (src/write-rows.js:162-172)
-            if schema is None:
-                raise ValueError("zero rows and no schema: cannot write empty file")
-            pw = ParquetWriter(f, schema, opts)
-        pw.finish()
+            buf.feed(row)
+        buf.finish()
+    finally:
+        if own:
+            f.close()
+
+
+async def write_rows_async(
+    rows,
+    sink: Union[str, BinaryIO],
+    schema: Optional[pa.Schema] = None,
+    opts: Optional[WriteOptions] = None,
+    columns: Optional[list[str]] = None,
+) -> None:
+    """Async-iterable row source (reference drainAsync,
+    src/write-rows.js:142-156): rows are pulled one group at a time —
+    each group's write completes before the next is pulled, so a lazy
+    source (DB cursor, stream) is never read ahead of the writer.
+    Byte-identical output to :func:`write_rows` on the same rows."""
+    own = isinstance(sink, str)
+    f = open(sink, "wb") if own else sink
+    try:
+        buf = _RowGroupBuffer(f, schema, opts or WriteOptions(), columns)
+        async for row in rows:
+            buf.feed(row)
+        buf.finish()
     finally:
         if own:
             f.close()
