@@ -2,11 +2,11 @@
 columns with typed metadata, processed by actor-pool map_batches
 stages.
 
-The actual media decode is STUBBED (the image/audio libraries are not
-in this container): ``DecodeStub`` raises NotImplementedError unless
-``fake=True``, in which case it produces deterministic hash-derived
-"pixels" so the Ray-side plumbing — schema, batch sizing, actor
-signature, output layout — is real and tested end-to-end.
+The media decode uses PIL when it is importable (loaded ONCE per actor
+in ``__init__`` — the point of the actor pool); this container has no
+image libraries, so tests exercise the deterministic ``fake=True``
+path, which produces hash-derived "pixels" with the same schema,
+batch sizing, actor signature and output layout as the real path.
 """
 from __future__ import annotations
 
@@ -17,11 +17,12 @@ import pyarrow as pa
 
 
 class ImageDecodeStage:
-    """Actor stage: binary payload -> fixed-size feature tensor.
+    """Actor stage: binary payload -> fixed-size uint8 feature tensor
+    (out_size x out_size grayscale thumbnail).
 
-    Real deployments replace ``_decode`` with PIL/libvips/ffmpeg loaded
-    once in __init__ (that is the point of the actor pool); here the
-    decode is a deterministic fake behind ``fake=True``.
+    Decode backends, in order: ``fake=True`` -> deterministic
+    hash-derived pixels; PIL if importable (real decode+resize);
+    otherwise NotImplementedError with guidance.
     """
 
     def __init__(self, *, out_size: int = 16, fake: bool = False,
@@ -30,37 +31,57 @@ class ImageDecodeStage:
         self.fake = fake
         self.payload_col = payload_col
         self.id_col = id_col
-        # real impl: self.decoder = PIL/torchvision model loaded ONCE here
+        self._pil = None
+        if not fake:
+            try:  # model/library load happens once per actor, never per batch
+                from PIL import Image  # type: ignore
+
+                self._pil = Image
+            except ImportError:
+                pass
 
     def _decode(self, payload: bytes) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "media decode requires an image library not present in this "
-                "container; construct with fake=True for plumbing tests"
-            )
-        # deterministic pseudo-pixels from the payload digest
-        digest = hashlib.sha256(payload).digest()
-        seed = int.from_bytes(digest[:8], "big")
-        rng = np.random.default_rng(seed)
-        return rng.integers(0, 256, (self.out_size, self.out_size), dtype=np.uint8)
+        if self.fake:
+            # deterministic pseudo-pixels from the payload digest
+            digest = hashlib.sha256(payload).digest()
+            seed = int.from_bytes(digest[:8], "big")
+            rng = np.random.default_rng(seed)
+            return rng.integers(0, 256, (self.out_size, self.out_size), dtype=np.uint8)
+        if self._pil is not None:
+            import io
+
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            img = img.resize((self.out_size, self.out_size))
+            return np.asarray(img, dtype=np.uint8)
+        raise NotImplementedError(
+            "media decode requires an image library (PIL) not present in "
+            "this container; construct with fake=True for plumbing tests"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col)
         payloads = batch.column(self.payload_col).to_pylist()
-        feats = []
-        ok = []
-        for p in payloads:
-            if p is None:
-                feats.append(None)
-                ok.append(False)
-            else:
-                feats.append(self._decode(p).reshape(-1).tolist())
-                ok.append(True)
         n = self.out_size * self.out_size
+        # one flat uint8 buffer for the whole batch; null rows stay zeroed
+        flat = np.zeros((len(payloads), n), dtype=np.uint8)
+        ok = np.zeros(len(payloads), dtype=bool)
+        for i, p in enumerate(payloads):
+            if p is not None:
+                flat[i] = self._decode(p).reshape(-1)
+                ok[i] = True
+        values = pa.array(flat.reshape(-1))
+        ok_arr = pa.array(ok)
+        # FixedSizeListArray straight from the flat buffer, validity from
+        # the bool array's bitmap — no per-row Python lists
+        pixels = pa.Array.from_buffers(
+            pa.list_(pa.uint8(), n), len(payloads),
+            [ok_arr.buffers()[1]], null_count=int((~ok).sum()),
+            children=[values],
+        )
         return pa.table({
             self.id_col: ids,
-            "pixels": pa.array(feats, type=pa.list_(pa.uint8(), n)),
-            "decoded": pa.array(ok),
+            "pixels": pixels,
+            "decoded": ok_arr,
         })
 
 

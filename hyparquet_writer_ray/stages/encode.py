@@ -40,17 +40,43 @@ def split_row_groups(
         yield table.slice(start, min(step, n - start))
 
 
+class _HashSink:
+    """File-like sink that streams writes into a hash (no buffering)."""
+
+    closed = False
+
+    def __init__(self, h) -> None:
+        self._h = h
+
+    def write(self, b) -> int:
+        self._h.update(b)
+        return len(b)
+
+    def writable(self) -> bool:
+        return True
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+    def tell(self) -> int:
+        return 0
+
+
 def content_part_id(table: pa.Table) -> str:
-    """Deterministic partition id from the group's content fingerprint:
-    stable across reruns of the same input + partitioning, which is what
-    per-partition resume keys on (BASELINE.md 'resumability')."""
-    h = hashlib.sha1()
-    h.update(str(table.num_rows).encode())
-    h.update(str(table.nbytes).encode())
-    first = table.slice(0, 1).to_pylist()
-    last = table.slice(max(table.num_rows - 1, 0), 1).to_pylist()
-    h.update(repr(first).encode())
-    h.update(repr(last).encode())
+    """Deterministic partition id from the group's FULL content: the
+    Arrow IPC stream of the table (schema + every value buffer) hashed
+    without materializing it. Same logical content + chunking -> same
+    id across reruns, so per-partition resume can safely skip finished
+    parts; any interior value change changes the id (no stale skips —
+    the earlier first/last-row approximation could silently keep stale
+    output). Cost is one streaming pass at hash speed, small next to
+    the encode itself."""
+    h = hashlib.blake2b(digest_size=12)
+    with pa.ipc.new_stream(pa.PythonFile(_HashSink(h), mode="w"), table.schema) as w:
+        w.write_table(table)
     return h.hexdigest()[:16]
 
 

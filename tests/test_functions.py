@@ -105,3 +105,32 @@ def test_bpe_independent_scanner_matches_regex():
               for _ in range(300)]
     for s in cases:
         assert _bpe_count_independent(s) == len(_BPE_PAT.findall(s)), repr(s)
+
+
+def test_multimodal_decode_plumbing(ray_session):
+    import ray.data
+
+    from hyparquet_writer_ray.functions.multimodal import ImageDecodeStage, decode_images
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array([b"imgbytes-a", None, b"imgbytes-b"], pa.binary()),
+    })
+    out = decode_images(ray.data.from_arrow(t), fake=True, out_size=4, batch_size=2)
+    got = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("id")
+    assert got.column("pixels").type == pa.list_(pa.uint8(), 16)
+    assert got.column("decoded").to_pylist() == [True, False, True]
+    pix = got.column("pixels").to_pylist()
+    assert pix[1] is None
+    # deterministic: same payload -> same pixels as a direct stage call
+    stage = ImageDecodeStage(fake=True, out_size=4)
+    assert pix[0] == stage._decode(b"imgbytes-a").reshape(-1).tolist()
+    # real-decode path degrades with guidance when no image lib exists
+    import pytest as _pytest
+
+    real = ImageDecodeStage(out_size=4)
+    if real._pil is None:
+        with _pytest.raises(NotImplementedError):
+            real._decode(b"x")
