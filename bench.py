@@ -86,7 +86,14 @@ def bench_webtable_encode(rows: int | None = None) -> tuple[float, dict]:
     inp = _ensure_webtable_input(rows)
     out = os.path.join(BENCH_TMP, f"webtable_out_{rows}")
     shutil.rmtree(out, ignore_errors=True)
-    ds = ray.data.read_parquet(inp)
+    # one read task per input file (no SplitBlocks) lets Ray fuse
+    # ReadParquet->MapBatches(encode) into ONE task: input bytes go
+    # file -> decode -> encode -> part file inside a single worker and
+    # never transit the object store
+    import glob
+
+    files = sorted(glob.glob(os.path.join(inp, "*.parquet")))
+    ds = ray.data.read_parquet(files, override_num_blocks=len(files))
     if os.environ.get("HPW_BENCH_CODEC") == "zstd12":
         # the archival config used for scaling runs: compute-heavy enough
         # that encode dominates fixed per-job overhead
