@@ -67,18 +67,45 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
 # ---------------------------------------------------------------------------
 
 
-def _token_hashes(words: list[str]) -> np.ndarray:
-    """64-bit per-token hashes via two crc32 lanes (C speed, deterministic
-    across processes — unlike builtin hash())."""
-    import zlib
+_POLY = np.uint64(0x100000001B3)
 
-    lo = np.fromiter(
-        (zlib.crc32(w.encode()) for w in words), dtype=np.uint64, count=len(words)
-    )
-    hi = np.fromiter(
-        (zlib.crc32(w.encode(), 0x9E3779B9) for w in words), dtype=np.uint64, count=len(words)
-    )
-    return (hi << np.uint64(32)) | lo
+
+def _segmented_poly_hash(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """64-bit polynomial hash per segment of a flat byte buffer,
+    fully vectorized (powers ladder + segmented weighted sum); empty
+    segments hash to 0. Deterministic across processes."""
+    n = len(lengths)
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    with np.errstate(over="ignore"):
+        maxlen = int(lengths.max()) if len(lengths) else 0
+        powers = np.ones(max(maxlen, 1), dtype=np.uint64)
+        for i in range(1, maxlen):
+            powers[i] = powers[i - 1] * _POLY
+        starts = np.cumsum(lengths) - lengths
+        pos = np.arange(len(data), dtype=np.int64)
+        owner = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        exp = (starts[owner] + lengths[owner] - 1 - pos).astype(np.int64)
+        weighted = data.astype(np.uint64) * powers[exp]
+        out = np.zeros(n, dtype=np.uint64)
+        nonempty = lengths > 0
+        if weighted.size:
+            # segments are contiguous in `data`, so reduceat over the
+            # nonempty starts sums each segment (np.add.at is ~10x
+            # slower for the same scatter)
+            out[nonempty] = np.add.reduceat(weighted, starts[nonempty])
+    return out
+
+
+def _token_hashes(words: list[str]) -> np.ndarray:
+    """64-bit per-token hashes (vectorized polynomial over the joined
+    byte buffer — no per-word Python hashing)."""
+    if not words:
+        return np.zeros(0, np.uint64)
+    bs = [w.encode() for w in words]
+    lengths = np.array([len(b) for b in bs], np.int64)
+    data = np.frombuffer(b"".join(bs), np.uint8)
+    return _segmented_poly_hash(lengths, data)
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
@@ -90,11 +117,10 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     th = _token_hashes(words)
     if len(words) < k:
         k = len(words)
-    P = np.uint64(0x100000001B3)
     with np.errstate(over="ignore"):
         acc = th[: len(th) - k + 1].copy()
         for j in range(1, k):
-            acc = acc * P + th[j : len(th) - k + 1 + j]
+            acc = acc * _POLY + th[j : len(th) - k + 1 + j]
     return np.unique(acc)
 
 
@@ -124,13 +150,75 @@ class MinHasher:
         vals = (self.a[:, None] * (h[None, :] % _MERSENNE) + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
+    def _batch_signatures(self, col: pa.Array) -> np.ndarray:
+        """Vectorized signatures for a whole batch: Arrow whitespace
+        split -> one segmented polynomial hash over the flat token
+        buffer -> global k-shingle combine -> per-permutation
+        minimum.reduceat over per-doc shingle segments. Bit-identical
+        to :meth:`signature` per doc, with zero per-word Python."""
+        import pyarrow.compute as pc
+
+        from ..core.arrays import byte_array_values
+
+        nd = len(col)
+        toks = pc.utf8_split_whitespace(col)
+        flat = toks.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_raw = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        lens, data = byte_array_values(flat)
+        keep = lens > 0  # arrow emits empty tokens at string edges; str.split() doesn't
+        doc_raw = np.repeat(np.arange(nd, dtype=np.int64), n_raw)
+        n_tok = np.bincount(doc_raw[keep], minlength=nd).astype(np.int64)
+        th = _segmented_poly_hash(lens, data)[keep]
+
+        k = self.k
+        sig = np.zeros((nd, self.num_perm), np.uint64)
+        T = len(th)
+        doc_of = np.repeat(np.arange(nd, dtype=np.int64), n_tok)
+        if T >= k:
+            with np.errstate(over="ignore"):
+                acc = th[: T - k + 1].copy()
+                for j in range(1, k):
+                    acc = acc * _POLY + th[j : T - k + 1 + j]
+            valid = doc_of[: T - k + 1] == doc_of[k - 1 : T]
+            sh = acc[valid] % _MERSENNE
+            sdoc = doc_of[: T - k + 1][valid]
+            if len(sh):
+                docs_u, seg_starts = np.unique(sdoc, return_index=True)
+                with np.errstate(over="ignore"):
+                    for p in range(self.num_perm):
+                        vals = (self.a[p] * sh + self.b[p]) % _MERSENNE
+                        sig[docs_u, p] = np.minimum.reduceat(vals, seg_starts)
+        # short docs (0 < n_tok < k): one shingle over all their tokens
+        tok_off = np.cumsum(n_tok) - n_tok
+        for i in np.nonzero((n_tok > 0) & (n_tok < k))[0]:
+            h = th[tok_off[i] : tok_off[i] + n_tok[i]]
+            with np.errstate(over="ignore"):
+                # length-1 ARRAYS throughout: a numpy uint64 *scalar*
+                # mixed with a python int silently promotes to float64
+                acc = h[:1].copy()
+                for j in range(1, len(h)):
+                    acc = acc * _POLY + h[j : j + 1]
+                shm = acc % _MERSENNE
+                sig[i] = (self.a * shm + self.b) % _MERSENNE
+        # empty non-null text: single zero shingle (matches signature());
+        # null text: all-zero signature
+        nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+        empty = (n_tok == 0) & ~nulls
+        if empty.any():
+            sig[empty] = self.b % _MERSENNE
+        sig[nulls] = 0
+        return sig
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
-        sigs = np.stack([
-            self.signature(t) if t is not None else np.zeros(self.num_perm, np.uint64)
-            for t in texts
-        ])
+        col = batch.column(self.text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sigs = self._batch_signatures(col)
         # one binary value per row (num_perm little-endian u64) — binary
         # survives parquet round-trips AND is a legal non-key column in
         # Acero hash joins (fixed_size_list is not).

@@ -127,3 +127,18 @@ def test_exact_dedup_keeps_min_id(ray_session):
         ).column("doc_id").to_pylist()
     )
     assert kept == [1, 9]
+
+
+def test_batch_signatures_match_per_doc():
+    """The vectorized batch path must be bit-identical to the scalar
+    signature() for every doc shape: normal, short (<k tokens), empty,
+    null, multi-space, leading/trailing whitespace."""
+    import pyarrow as pa
+
+    m = MinHasher(num_perm=32)
+    texts = ["alpha beta gamma delta epsilon", "one", "two words", "",
+             None, "a  b   c", "  lead trail  ", "x " * 500]
+    got = m._batch_signatures(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        want = m.signature(t) if t is not None else np.zeros(32, np.uint64)
+        assert (got[i] == want).all(), (i, t)
