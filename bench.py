@@ -170,6 +170,36 @@ def bench_text_ops() -> tuple[float, dict]:
     return dt, {"rows": n, "input_bytes": os.path.getsize(src)}
 
 
+def bench_fsst() -> tuple[float, dict]:
+    """FSST codec micro-bench on deterministic web text (single core):
+    reports enc/dec MB/s and ratio in extras (VERDICT round-1 item 8)."""
+    import duckdb
+
+    from hyparquet_writer_ray.core import fsst
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    text = "\n".join(
+        r[0] for r in duckdb.sql(f"SELECT text FROM '{src}' LIMIT 4000").fetchall()
+    ).encode()
+    while len(text) < 4 << 20:  # pad to >=4MB so MB/s is stable
+        text = text + b"\n" + text
+    tbl = fsst.train(text[:65536])
+    fsst.compress(text[:65536], tbl)  # warm (kernel build)
+    t0 = time.perf_counter()
+    enc = fsst.compress(text, tbl)
+    t_enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dec = fsst.decompress(enc, tbl)
+    t_dec = time.perf_counter() - t0
+    assert dec == text
+    return t_enc + t_dec, {
+        "bytes": len(text),
+        "enc_mb_s": round(len(text) / t_enc / 1e6, 1),
+        "dec_mb_s": round(len(text) / t_dec / 1e6, 1),
+        "ratio": round(len(enc) / len(text), 4),
+    }
+
+
 BENCHES = {
     "webtable_encode": lambda: bench_webtable_encode(
         int(os.environ.get("HPW_BENCH_ROWS", 0)) or None
@@ -177,6 +207,7 @@ BENCHES = {
     "lineitem_single_file": bench_lineitem_single_file,
     "documents_smart_parts": bench_documents_parts,
     "text_quality": bench_text_ops,
+    "fsst_codec": bench_fsst,
 }
 
 

@@ -427,10 +427,40 @@ class SimHasher:
         return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = [0 if t is None else self.simhash(t) for t in batch.column(self.text_col).to_pylist()]
+        import pyarrow.compute as pc
+
+        from ..core.arrays import byte_array_values
+
+        col = batch.column(self.text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        nd = len(col)
+        toks = pc.utf8_split_whitespace(col)
+        flat = toks.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_raw = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        lens, data = byte_array_values(flat)
+        keep = lens > 0
+        doc_raw = np.repeat(np.arange(nd, dtype=np.int64), n_raw)
+        n_tok = np.bincount(doc_raw[keep], minlength=nd).astype(np.int64)
+        th = _segmented_poly_hash(lens, data)[keep]
+        # bit votes: T x 64 int16 matrix, per-doc sums via one reduceat
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int16)
+        votes = np.zeros((nd, 64), np.int64)
+        nonempty = n_tok > 0
+        if len(th):
+            seg_starts = (np.cumsum(n_tok) - n_tok)[nonempty]
+            votes[nonempty] = np.add.reduceat(bits, seg_starts, axis=0)
+        # majority per bit: votes*2 > n_tok (matches (2*bits-1).sum() > 0)
+        maj = (votes * 2) > n_tok[:, None]
+        out = (maj.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
+        out[~nonempty] = 0  # empty/null text
         return pa.table({
             self.id_col: batch.column(self.id_col),
-            "simhash": pa.array(np.array(out, dtype=np.uint64)),
+            "simhash": pa.array(out),
         })
 
 
