@@ -246,7 +246,32 @@ def _try_dictionary(values: pa.Array, leaf: LeafInfo, spec: ColumnSpec, opts: Wr
         dict_bytes = len(dictionary) * FIXED_WIDTH.get(el.type, 8)
     if opts.page_size and dict_bytes > opts.page_size:
         return None
+    if opts.dict_sort_frequency and len(dictionary):
+        dict_arr = _sort_dict_by_frequency(dict_arr)
     return dict_arr
+
+
+def _sort_dict_by_frequency(dict_arr: pa.DictionaryArray) -> pa.DictionaryArray:
+    """Reorder dictionary entries by descending frequency (ties by
+    original order) and remap indices — hot values get small indices,
+    which pack into fewer bits per RLE run (reference TODO,
+    src/dictionary.js:133)."""
+    import numpy as np
+
+    idx = dict_arr.indices
+    ivals = idx.to_numpy(zero_copy_only=False)
+    valid = ~np.isnan(ivals) if ivals.dtype.kind == "f" else np.ones(len(ivals), bool)
+    ii = ivals[valid].astype(np.int64)
+    counts = np.bincount(ii, minlength=len(dict_arr.dictionary))
+    order = np.argsort(-counts, kind="stable")
+    remap = np.empty(len(order), np.int64)
+    remap[order] = np.arange(len(order))
+    new_vals = np.zeros(len(ivals), np.int64)
+    new_vals[valid] = remap[ii]
+    new_idx = pa.array(new_vals, mask=~valid)
+    return pa.DictionaryArray.from_arrays(
+        new_idx, dict_arr.dictionary.take(pa.array(order))
+    )
 
 
 _DELTA_TYPES = (ParquetType.INT32, ParquetType.INT64)

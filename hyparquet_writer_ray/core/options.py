@@ -38,6 +38,10 @@ class WriteOptions:
     # 'smart' = extended auto-selection (delta for sorted ints/timestamps,
     # delta-length for text, byte-stream-split for floats)
     auto_codec: str = "reference"
+    # sort dictionary entries by descending frequency so hot values get
+    # the small RLE/bit-packed indices (the reference's own open TODO,
+    # src/dictionary.js:133). Opt-in: changes page bytes vs reference.
+    dict_sort_frequency: bool = False
     column_specs: dict[str, ColumnSpec] = field(default_factory=dict)
     # per-column SchemaElement replacement (logical-type annotations like
     # UUID/JSON/ENUM that keep the same physical layout; reference

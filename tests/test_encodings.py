@@ -202,3 +202,27 @@ def test_smart_auto_codec():
     assert "DELTA_BINARY_PACKED" in by_col["warc_ts"]
     assert "DELTA_LENGTH_BYTE_ARRAY" in by_col["text"]
     assert "BYTE_STREAM_SPLIT" in by_col["value"]
+
+
+def test_dict_sort_frequency_roundtrip():
+    """Opt-in dictionary sort-by-frequency (the reference's own TODO,
+    src/dictionary.js:133): hot values get the smallest indices; values
+    and nulls round-trip unchanged."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    from hyparquet_writer_ray import WriteOptions, write_table_to_bytes
+
+    vals = (["hot"] * 700 + ["warm"] * 200 + ["cold"] * 60 + [None] * 40
+            + [f"rare{i}" for i in range(30)])
+    t = pa.table({"c": pa.array(vals)})
+    buf = write_table_to_bytes(t, WriteOptions(dict_sort_frequency=True))
+    f = pq.ParquetFile(io.BytesIO(buf))
+    assert "RLE_DICTIONARY" in str(f.metadata.row_group(0).column(0).encodings)
+    got = pq.read_table(io.BytesIO(buf)).column("c").to_pylist()
+    assert got == vals
+    # the dictionary page stores entries most-frequent-first
+    dt = pq.read_table(io.BytesIO(buf), read_dictionary=["c"]).column("c")
+    first_entry = dt.chunk(0).dictionary[0].as_py()
+    assert first_entry == "hot"
