@@ -354,6 +354,31 @@ def _q_dedup_minhash(sf_dir: str) -> pa.Table:
     return t.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
+def _q_dedup_ngram(sf_dir: str) -> pa.Table:
+    """EXACT word-3-gram Jaccard over all pairs among the first 60 docs
+    (the candidate set a production run would get from an LSH pass) —
+    fully SQL-expressible, so the oracle computes the identical sets."""
+    import ray.data
+    from hyparquet_writer_ray.functions.dedup import ngram_jaccard_pairs
+    n = 60
+    a, b = [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            a.append(i)
+            b.append(j)
+    cands = ray.data.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
+                                          "b": pa.array(b, pa.int64())}))
+    import pyarrow.dataset as pads
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < n,  # row-group/predicate pushdown at the read
+    )
+    out = ngram_jaccard_pairs(docs, cands, k=3, threshold=0.01)
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())])
+    return _collect(out, schema).sort_by([("a", "ascending"), ("b", "ascending")])
+
+
 def _q_dedup_simhash(sf_dir: str) -> pa.Table:
     from hyparquet_writer_ray.functions.dedup import simhashes
     ds = simhashes(_docs_ds(sf_dir))
@@ -496,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_exact"] = _q_dedup_exact
     q["dedup_minhash"] = _q_dedup_minhash
     q["dedup_simhash"] = _q_dedup_simhash
+    q["dedup_ngram_jaccard"] = _q_dedup_ngram
     q["sim_topk_cosine"] = _q_sim_topk
     q["sim_lsh_pairs"] = _q_sim_lsh_pairs
     q["webtable_encode"] = _q_webtable
@@ -543,6 +569,23 @@ def oracle_sql() -> dict[str, str]:
         "SELECT vec_id FROM embeddings "
         "ORDER BY list_cosine_similarity(embedding, "
         "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id LIMIT 10"
+    )
+    sql["dedup_ngram_jaccard"] = (
+        # identical 3-gram sets: single-space split, list_distinct,
+        # exact intersection/union ratio; pairs among first 60 docs
+        "WITH sh AS (SELECT doc_id, list_distinct(list_transform("
+        "range(1, len(string_split(text,' '))-1), i -> "
+        "string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
+        "|| ' ' || string_split(text,' ')[i+2])) AS g "
+        "FROM documents WHERE doc_id < 60) "
+        "SELECT a.doc_id AS a, b.doc_id AS b, "
+        "CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(a.g, b.g))) AS jaccard "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        "WHERE len(a.g) > 0 AND len(b.g) > 0 "
+        "AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(a.g, b.g))) >= 0.01 "
+        "ORDER BY a, b"
     )
     sql["sim_lsh_pairs"] = (
         # the query plants scaled copies of vec_id 0..4 under id+1e6

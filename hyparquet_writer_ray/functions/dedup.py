@@ -469,3 +469,166 @@ def simhashes(ds, concurrency=2, **kw):
         SimHasher, fn_constructor_kwargs=kw, batch_format="pyarrow",
         zero_copy_batch=True, concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+class NGramSetBuilder:
+    """Actor stage: doc rows -> (id, grams:binary, n_grams).
+
+    ``grams`` is the SORTED DISTINCT set of 64-bit polynomial hashes of
+    the doc's word k-grams (single-space tokenization, SQL
+    ``string_split(text, ' ')`` parity, so a DuckDB oracle can compute
+    the identical sets). Gram hashes equal the polynomial hash of the
+    full gram STRING ("w1 w2 w3") via hash composition
+    h(a+b) = h(a)*P^len(b) + h(b) — no gram strings are materialized."""
+
+    def __init__(self, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _doc_gram_sets(self, col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        import pyarrow.compute as pc
+
+        from ..core.arrays import byte_array_values
+
+        nd = len(col)
+        toks = pc.split_pattern(col, " ")  # SQL parity: keeps empty tokens
+        flat = toks.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_tok = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        lens, data = byte_array_values(flat)
+        th = _segmented_poly_hash(lens, data)
+        k = self.k
+        T = len(th)
+        doc_of = np.repeat(np.arange(nd, dtype=np.int64), n_tok)
+        if T < k:
+            return np.zeros(0, np.uint64), np.zeros(nd, np.int64)
+        with np.errstate(over="ignore"):
+            maxlen = int(lens.max()) if len(lens) else 0
+            powers = np.ones(maxlen + 2, dtype=np.uint64)
+            for i in range(1, maxlen + 2):
+                powers[i] = powers[i - 1] * _POLY
+            space = np.uint64(ord(" "))
+            # fold: h(acc + ' ' + w) = acc * P^(1+len(w)) + 32*P^len(w) + h(w)
+            acc = th[: T - k + 1].copy()
+            for j in range(1, k):
+                w_h = th[j : T - k + 1 + j]
+                w_l = lens[j : T - k + 1 + j]
+                acc = acc * powers[w_l + 1] + space * powers[w_l] + w_h
+        valid = doc_of[: T - k + 1] == doc_of[k - 1 : T]
+        gh = acc[valid]
+        gdoc = doc_of[: T - k + 1][valid]
+        # segmented distinct: sort within each doc, keep first occurrences
+        order = np.lexsort((gh, gdoc))
+        gh = gh[order]
+        gdoc = gdoc[order]
+        first = np.ones(len(gh), bool)
+        if len(gh) > 1:
+            first[1:] = (gh[1:] != gh[:-1]) | (gdoc[1:] != gdoc[:-1])
+        gh = gh[first]
+        gdoc = gdoc[first]
+        n_grams = np.bincount(gdoc, minlength=nd).astype(np.int64)
+        return gh, n_grams
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        gh, n_grams = self._doc_gram_sets(col)
+        flat = np.ascontiguousarray(gh, dtype="<u8").tobytes()
+        byte_off = np.concatenate([[0], np.cumsum(n_grams)]) * 8
+        grams = pa.BinaryArray.from_buffers(
+            pa.binary(), batch.num_rows,
+            [None, pa.array(byte_off.astype(np.int32)).buffers()[1], pa.py_buffer(flat)],
+        )
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "grams": grams,
+            "n_grams": pa.array(n_grams),
+        })
+
+
+def ngram_jaccard_pairs(
+    ds,
+    candidates,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=2,
+    grams_dir: str | None = None,
+    num_partitions: int = 8,
+):
+    """EXACT word-k-gram Jaccard for candidate pairs.
+
+    ``candidates`` is a Dataset of (a, b) doc-id pairs — at scale these
+    come from an LSH pass (minhash_lsh_pairs / lsh_bucket_pairs); exact
+    Jaccard is the verification step. Same shape as minhash
+    verification: per-doc gram sets are computed ONCE, checkpointed to
+    parquet, and hash-joined to the pairs on each side — no driver
+    state, no broadcast. Pairs where either side has no grams
+    (doc shorter than k words) are dropped, matching the SQL oracle's
+    ``len(g) > 0`` condition."""
+    import ray
+    import ray.data
+
+    sets = ds.map_batches(
+        NGramSetBuilder,
+        fn_constructor_kwargs=dict(k=k, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+    )
+    if grams_dir is None:
+        import tempfile
+
+        grams_dir = tempfile.mkdtemp(prefix="ngram_sets_")
+    sets.write_parquet(grams_dir)
+
+    def _sets_ds(suffix: str):
+        d = ray.data.read_parquet(grams_dir)
+        return d.map_batches(
+            lambda t, s=suffix: t.rename_columns(
+                [c if c == id_col else c + s for c in t.column_names]
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    j1 = candidates.join(
+        _sets_ds("_a"), join_type="inner", num_partitions=num_partitions,
+        on=("a",), right_on=(id_col,), right_suffix="_ra",
+    )
+    j2 = j1.join(
+        _sets_ds("_b"), join_type="inner", num_partitions=num_partitions,
+        on=("b",), right_on=(id_col,), right_suffix="_rb",
+    )
+
+    def exact_jaccard(batch: pa.Table) -> pa.Table:
+        a_ids, b_ids, js = [], [], []
+        ga = batch.column("grams_a")
+        gb = batch.column("grams_b")
+        for i in range(batch.num_rows):
+            va = np.frombuffer(ga[i].as_py(), "<u8")
+            vb = np.frombuffer(gb[i].as_py(), "<u8")
+            if not len(va) or not len(vb):
+                continue
+            inter = len(np.intersect1d(va, vb, assume_unique=True))
+            j = inter / (len(va) + len(vb) - inter)
+            if j >= threshold:
+                a_ids.append(batch.column("a")[i].as_py())
+                b_ids.append(batch.column("b")[i].as_py())
+                js.append(j)
+        return pa.table({
+            "a": pa.array(a_ids, pa.int64()),
+            "b": pa.array(b_ids, pa.int64()),
+            "jaccard": pa.array(js, pa.float64()),
+        })
+
+    return j2.map_batches(exact_jaccard, batch_format="pyarrow", zero_copy_batch=True)

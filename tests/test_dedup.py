@@ -142,3 +142,36 @@ def test_batch_signatures_match_per_doc():
     for i, t in enumerate(texts):
         want = m.signature(t) if t is not None else np.zeros(32, np.uint64)
         assert (got[i] == want).all(), (i, t)
+
+
+def test_ngram_jaccard_exact_values(ray_session, tmp_path):
+    """Exact k-gram Jaccard equals a hand-computed set ratio and drops
+    pairs where either side is shorter than k words."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.dedup import ngram_jaccard_pairs
+
+    texts = [
+        "a b c d e",      # grams: abc bcd cde
+        "a b c x y",      # grams: abc bcx cxy  -> inter 1, union 5 -> 0.2
+        "a b c d e",      # identical to 0 -> 1.0
+        "x y",            # < 3 words: no grams -> dropped
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": texts})
+    cands = ray.data.from_arrow(pa.table({
+        "a": pa.array([0, 0, 0, 1], pa.int64()),
+        "b": pa.array([1, 2, 3, 3], pa.int64()),
+    }))
+    out = ngram_jaccard_pairs(
+        ray.data.from_arrow(t), cands, k=3, threshold=0.05,
+        grams_dir=str(tmp_path / "grams"), num_partitions=2,
+    )
+    res = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by([("a", "ascending"), ("b", "ascending")])
+    got = {
+        (a, b): j for a, b, j in zip(res.column("a").to_pylist(),
+                                     res.column("b").to_pylist(),
+                                     res.column("jaccard").to_pylist())
+    }
+    assert got == {(0, 1): 0.2, (0, 2): 1.0}
