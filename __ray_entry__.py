@@ -398,6 +398,22 @@ def _q_sim_topk(sf_dir: str) -> pa.Table:
     return top.select(["vec_id"])
 
 
+def _q_sim_ivf(sf_dir: str) -> pa.Table:
+    """IVF top-k with nprobe == n_clusters: exercises the full IVF path
+    (sampled k-means, centroid broadcast, per-batch probe filtering)
+    while remaining exactly brute-force — so the brute-force SQL oracle
+    applies. Recall at nprobe < n_clusters is pinned by pytest
+    (tests/test_similarity.py)."""
+    import ray.data
+    from hyparquet_writer_ray.functions.similarity import ivf_topk
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    q = head.filter(pa.compute.equal(head.column("vec_id"), 0)).column("embedding")[0].as_py()
+    ds = ray.data.read_parquet(emb_path)
+    top = ivf_topk(ds, np.array(q), k=10, n_clusters=8, nprobe=8)
+    return top.select(["vec_id"])
+
+
 def _collect(ds, empty_schema: pa.Schema | None = None) -> pa.Table:
     batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
     if not batches:
@@ -522,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_minhash"] = _q_dedup_minhash
     q["dedup_simhash"] = _q_dedup_simhash
     q["dedup_ngram_jaccard"] = _q_dedup_ngram
+    q["sim_ivf_topk"] = _q_sim_ivf
     q["sim_topk_cosine"] = _q_sim_topk
     q["sim_lsh_pairs"] = _q_sim_lsh_pairs
     q["webtable_encode"] = _q_webtable
@@ -570,6 +587,8 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY list_cosine_similarity(embedding, "
         "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id LIMIT 10"
     )
+    # nprobe == n_clusters makes IVF exactly brute-force: same oracle
+    sql["sim_ivf_topk"] = sql["sim_topk_cosine"]
     sql["dedup_ngram_jaccard"] = (
         # identical 3-gram sets: single-space split, list_distinct,
         # exact intersection/union ratio; pairs among first 60 docs

@@ -77,3 +77,38 @@ def test_topk_cosine_exact(ray_session):
     want = list(np.argsort(-sims)[:5])
     assert out.column("vec_id").to_pylist() == want
     assert out.column("vec_id").to_pylist()[0] == 7
+
+
+def test_ivf_topk_exact_when_probing_all(ray_session):
+    """nprobe == n_clusters must reproduce brute-force top-k exactly."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.similarity import ivf_topk
+
+    mat = _random_embeddings(300, 16, seed=9)
+    ds = ray.data.from_arrow(_as_table(mat))
+    q = mat[5]
+    exact = topk_cosine(ds, q, k=8)
+    ivf = ivf_topk(ds, q, k=8, n_clusters=6, nprobe=6, sample_size=300)
+    assert ivf.column("vec_id").to_pylist() == exact.column("vec_id").to_pylist()
+
+
+def test_ivf_topk_recall_on_clustered_data(ray_session):
+    """With clustered vectors and nprobe << n_clusters, IVF must find
+    the true neighbors (they share the query's cluster)."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.similarity import ivf_topk
+
+    rng = np.random.default_rng(4)
+    centers = rng.normal(0, 1, (8, 24))
+    mat = np.vstack([c + rng.normal(0, 0.05, (50, 24)) for c in centers])
+    ds = ray.data.from_arrow(_as_table(mat))
+    q = centers[3] + rng.normal(0, 0.05, 24)
+    exact = set(topk_cosine(ds, q, k=10).column("vec_id").to_pylist())
+    ivf = ivf_topk(ds, q, k=10, n_clusters=8, nprobe=2, sample_size=400)
+    got = set(ivf.column("vec_id").to_pylist())
+    recall = len(got & exact) / 10
+    assert recall >= 0.9, recall
+    # every hit lives in the query's true cluster id range [150, 200)
+    assert all(150 <= v < 200 for v in got)
