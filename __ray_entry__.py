@@ -338,6 +338,20 @@ def _q_window_agg(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_window_hopping(sf_dir: str) -> pa.Table:
+    """Hopping-window aggregate (width 900s, slide 300s — every event
+    in 3 overlapping windows); partial fan-out before the shuffle."""
+    import ray.data
+    from hyparquet_writer_ray.functions.windows import hopping_window_agg
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "user_id"])
+    out = hopping_window_agg(ds, ts_col="ts", width_seconds=900,
+                             slide_seconds=300, sum_col="user_id")
+    return pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+
 def _q_dedup_exact(sf_dir: str) -> pa.Table:
     from hyparquet_writer_ray.functions.dedup import exact_dedup
     ds = exact_dedup(_docs_ds(sf_dir))
@@ -534,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["text_rolling_fp"] = _q_rolling_fp  # rows-only: polynomial hash
     q["text_langid"] = _q_langid
     q["window_agg"] = _q_window_agg
+    q["window_hopping"] = _q_window_hopping
     q["dedup_exact"] = _q_dedup_exact
     q["dedup_minhash"] = _q_dedup_minhash
     q["dedup_simhash"] = _q_dedup_simhash
@@ -581,6 +596,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS w_start, "
         "count(*) AS n, sum(user_id) AS sum_user_id FROM events GROUP BY 1 "
         "ORDER BY w_start"
+    )
+    sql["window_hopping"] = (
+        # each event belongs to the 3 slide-aligned windows covering it
+        "SELECT (CAST(floor(epoch(ts)/300) AS BIGINT) - j) * 300 AS w_start, "
+        "count(*) AS n, sum(user_id) AS sum_user_id "
+        "FROM events, range(0, 3) t(j) GROUP BY 1 ORDER BY w_start"
     )
     sql["sim_topk_cosine"] = (
         "SELECT vec_id FROM embeddings "

@@ -69,3 +69,67 @@ def tumbling_window_agg(
     if sort:
         out = out.sort("w_start")
     return out
+
+
+def hopping_window_agg(
+    ds,
+    *,
+    ts_col: str = "ts",
+    width_seconds: int = 600,
+    slide_seconds: int = 300,
+    sum_col: str | None = None,
+    sort: bool = True,
+):
+    """Hopping (sliding) window aggregate: each event lands in
+    ``width/slide`` overlapping epoch-aligned windows. Same scale shape
+    as the tumbling aggregate — the fan-out happens inside the
+    per-batch partial (each batch collapses to one row per touched
+    window BEFORE the shuffle), so the groupby still moves only
+    (window, partials) rows.
+
+    ``width_seconds`` must be a multiple of ``slide_seconds``."""
+    if width_seconds % slide_seconds:
+        raise ValueError("width_seconds must be a multiple of slide_seconds")
+    m = width_seconds // slide_seconds
+    slide_us = slide_seconds * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = us // slide_us  # slide-aligned bucket index
+        # windows starting at (base - j) * slide for j in 0..m-1
+        w = ((base[None, :] - np.arange(m, dtype=np.int64)[:, None])
+             * slide_seconds).reshape(-1)
+        uniq, inv = np.unique(w, return_inverse=True)
+        n = np.bincount(inv)
+        cols = {
+            "w_start": pa.array(uniq, pa.int64()),
+            "n": pa.array(n.astype(np.int64)),
+        }
+        if sum_col is not None:
+            v = batch.column(sum_col)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            vals = np.tile(v.cast(pa.int64()).to_numpy(zero_copy_only=False), m)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, vals)
+            cols[f"sum_{sum_col}"] = pa.array(sums)
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("w_start").sum(
+        ["n"] + ([f"sum_{sum_col}"] if sum_col else [])
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {"w_start": batch.column("w_start"), "n": batch.column("sum(n)")}
+        if sum_col is not None:
+            cols[f"sum_{sum_col}"] = batch.column(f"sum(sum_{sum_col})")
+        return pa.table(cols)
+
+    out = agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    if sort:
+        out = out.sort("w_start")
+    return out

@@ -134,3 +134,30 @@ def test_multimodal_decode_plumbing(ray_session):
     if real._pil is None:
         with _pytest.raises(NotImplementedError):
             real._decode(b"x")
+
+
+def test_hopping_window_agg(ray_session):
+    import duckdb
+    import ray.data
+
+    from hyparquet_writer_ray.functions.windows import hopping_window_agg
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    ds = ray.data.read_parquet(src, columns=["ts", "user_id"])
+    out = hopping_window_agg(ds, ts_col="ts", width_seconds=900,
+                             slide_seconds=300, sum_col="user_id")
+    got = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    want = duckdb.sql(
+        "SELECT (CAST(floor(epoch(ts)/300) AS BIGINT) - j) * 300 AS w_start, "
+        "count(*) AS n, sum(user_id) AS s "
+        f"FROM '{src}', range(0,3) t(j) GROUP BY 1 ORDER BY 1"
+    ).arrow()
+    assert got.column("w_start").to_pylist() == want.column("w_start").to_pylist()
+    assert got.column("n").to_pylist() == want.column("n").to_pylist()
+    assert got.column("sum_user_id").to_pylist() == want.column("s").to_pylist()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="multiple"):
+        hopping_window_agg(ds, width_seconds=700, slide_seconds=300)
