@@ -352,6 +352,19 @@ def _q_window_hopping(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_sessionize(sf_dir: str) -> pa.Table:
+    """Gap-based sessions per user over the events stream (single
+    groupby shuffle, vectorized per-key sessionization)."""
+    import ray.data
+    from hyparquet_writer_ray.functions.windows import sessionize
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    out = sessionize(ds, key_col="user_id", ts_col="ts", gap_seconds=1800)
+    return pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+
 def _q_dedup_exact(sf_dir: str) -> pa.Table:
     from hyparquet_writer_ray.functions.dedup import exact_dedup
     ds = exact_dedup(_docs_ds(sf_dir))
@@ -549,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["text_langid"] = _q_langid
     q["window_agg"] = _q_window_agg
     q["window_hopping"] = _q_window_hopping
+    q["sessionize"] = _q_sessionize
     q["dedup_exact"] = _q_dedup_exact
     q["dedup_minhash"] = _q_dedup_minhash
     q["dedup_simhash"] = _q_dedup_simhash
@@ -596,6 +610,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS w_start, "
         "count(*) AS n, sum(user_id) AS sum_user_id FROM events GROUP BY 1 "
         "ORDER BY w_start"
+    )
+    sql["sessionize"] = (
+        "WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec "
+        "FROM events), marked AS (SELECT user_id, sec, CASE WHEN sec - "
+        "lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800 THEN 1 "
+        "ELSE 0 END AS brk FROM e), sess AS (SELECT user_id, sec, "
+        "CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY sec "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM marked) "
+        "SELECT user_id, session_id, count(*) AS n_events, "
+        "min(sec) AS s_start, max(sec) AS s_end "
+        "FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id"
     )
     sql["window_hopping"] = (
         # each event belongs to the 3 slide-aligned windows covering it

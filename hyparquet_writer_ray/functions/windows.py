@@ -133,3 +133,53 @@ def hopping_window_agg(
     if sort:
         out = out.sort("w_start")
     return out
+
+
+def sessionize(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    sort: bool = True,
+):
+    """Gap-based sessionization: events of one key belong to the same
+    session while consecutive gaps are <= ``gap_seconds``.
+
+    Scale shape: ONE shuffle (groupby on the key); each group is
+    sessionized vectorized (sort by ts, diff > gap -> session breaks,
+    cumsum -> session ids, reduceat -> per-session aggregates). Skewed
+    keys are bounded: a key's group holds only its own events.
+
+    Returns (key, session_id:int64 per-key 0-based, n_events,
+    s_start:int64 epoch-seconds, s_end:int64)."""
+
+    def per_key(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = np.sort(ts.cast(pa.int64()).to_numpy(zero_copy_only=False))
+        sec = us // 1_000_000
+        breaks = np.zeros(len(sec), bool)
+        if len(sec) > 1:
+            breaks[1:] = np.diff(sec) > gap_seconds
+        sid = np.cumsum(breaks)
+        n_sessions = int(sid[-1]) + 1 if len(sid) else 0
+        counts = np.bincount(sid, minlength=n_sessions)
+        seg_starts = np.cumsum(counts) - counts
+        s_start = sec[seg_starts]
+        s_end = sec[np.cumsum(counts) - 1]
+        key_val = group.column(key_col)[0].as_py()
+        return pa.table({
+            key_col: pa.array([key_val] * n_sessions,
+                              type=group.column(key_col).type),
+            "session_id": pa.array(np.arange(n_sessions, dtype=np.int64)),
+            "n_events": pa.array(counts.astype(np.int64)),
+            "s_start": pa.array(s_start.astype(np.int64)),
+            "s_end": pa.array(s_end.astype(np.int64)),
+        })
+
+    out = ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    if sort:
+        out = out.sort([key_col, "session_id"])
+    return out

@@ -161,3 +161,34 @@ def test_hopping_window_agg(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="multiple"):
         hopping_window_agg(ds, width_seconds=700, slide_seconds=300)
+
+
+def test_sessionize_gap_semantics(ray_session):
+    import datetime
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.windows import sessionize
+
+    def ts(minute):
+        return datetime.datetime(2024, 1, 1, 0, minute)
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        # user 1: events at 0, 10, 50, 55 min with 30-min gap -> sessions
+        # {0,10} and {50,55}; user 2: single event
+        "ts": pa.array([ts(0), ts(10), ts(50), ts(55), ts(7)],
+                       pa.timestamp("us")),
+    })
+    out = sessionize(ray.data.from_arrow(t), gap_seconds=1800)
+    got = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    rows = list(zip(*[got.column(c).to_pylist()
+                      for c in ["user_id", "session_id", "n_events", "s_start", "s_end"]]))
+    base = int(ts(0).replace(tzinfo=datetime.timezone.utc).timestamp())
+    assert rows == [
+        (1, 0, 2, base, base + 600),
+        (1, 1, 2, base + 3000, base + 3300),
+        (2, 0, 1, base + 420, base + 420),
+    ]
