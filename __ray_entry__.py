@@ -365,6 +365,24 @@ def _q_sessionize(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_hll_distinct(sf_dir: str) -> pa.Table:
+    """HyperLogLog distinct users over the events stream (rows-only
+    gate, but self-verifying: the estimate must land within 5% of the
+    exact distinct count computed independently in-driver — p=12 gives
+    ~1.6% standard error)."""
+    import ray.data
+    from hyparquet_writer_ray.functions.sketches import hll_distinct
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    est = hll_distinct(ds, "user_id", p=12)["estimate"]
+    exact = pa.compute.count_distinct(
+        pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["user_id"]).column("user_id")
+    ).as_py()
+    assert abs(est - exact) / max(exact, 1) < 0.05, (est, exact)
+    return pa.table({"n_distinct_est": pa.array([int(round(est))], pa.int64())})
+
+
 def _q_dedup_exact(sf_dir: str) -> pa.Table:
     from hyparquet_writer_ray.functions.dedup import exact_dedup
     ds = exact_dedup(_docs_ds(sf_dir))
@@ -563,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["window_agg"] = _q_window_agg
     q["window_hopping"] = _q_window_hopping
     q["sessionize"] = _q_sessionize
+    q["hll_distinct_users"] = _q_hll_distinct
     q["dedup_exact"] = _q_dedup_exact
     q["dedup_minhash"] = _q_dedup_minhash
     q["dedup_simhash"] = _q_dedup_simhash

@@ -1,0 +1,98 @@
+"""Distributed sketches for large-scale profiling.
+
+HyperLogLog distinct counting (Flajolet et al. 2007, the standard
+bias-corrected variant): each batch collapses to one 2^p-byte register
+row (a *partial*), the tiny partials merge by elementwise max — the
+only data movement is n_batches x 2^p bytes, never the values. The
+estimate is fully deterministic for a given input set (hash is a fixed
+splitmix64), so tests can pin exact outputs.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _hash_column(col: pa.Array) -> np.ndarray:
+    """64-bit hashes of a column's non-null values (ints hashed by
+    value; strings/binary by their segmented polynomial hash)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    col = col.drop_null()
+    t = col.type
+    if pa.types.is_integer(t):
+        vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return _splitmix64(vals)
+    if pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t):
+        from ..core.arrays import byte_array_values
+        from .dedup import _segmented_poly_hash
+
+        lens, data = byte_array_values(col.cast(pa.binary()))
+        return _splitmix64(_segmented_poly_hash(lens, data))
+    raise TypeError(f"hll_distinct: unsupported column type {t}")
+
+
+def _registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    m = 1 << p
+    reg = np.zeros(m, np.uint8)
+    if not len(hashes):
+        return reg
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes << np.uint64(p)
+    # rho = leading-zero count of the remaining 64-p bits + 1,
+    # exact vectorized clz by binary search (6 masked shifts)
+    lz = np.full(len(rest), 64 - p, np.uint8)
+    nz = rest != 0
+    cur = rest[nz].copy()
+    shift_total = np.zeros(cur.shape, np.uint8)
+    for w in (32, 16, 8, 4, 2, 1):
+        zero_high = (cur >> np.uint64(64 - w)) == 0
+        shift_total += np.where(zero_high, w, 0).astype(np.uint8)
+        cur = np.where(zero_high, cur << np.uint64(w), cur)
+    lz[nz] = np.minimum(shift_total, 64 - p)
+    rho = (lz + 1).astype(np.uint8)
+    np.maximum.at(reg, idx, rho)
+    return reg
+
+
+def hll_estimate(reg: np.ndarray) -> float:
+    """Bias-corrected HLL cardinality estimate with the standard
+    small/large-range corrections."""
+    m = len(reg)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int((reg == 0).sum())
+        if zeros:
+            est = m * np.log(m / zeros)
+    elif est > (1 << 64) / 30.0:
+        est = -(1 << 64) * np.log1p(-est / (1 << 64))
+    return float(est)
+
+
+def hll_distinct(ds, col: str, *, p: int = 12) -> dict:
+    """Approximate distinct count of ``ds[col]``.
+
+    Returns {"estimate": float, "registers": np.ndarray}. Standard
+    error ~1.04/sqrt(2^p) (~1.6% at p=12). The per-batch partial is the
+    ONLY map over the data; the driver folds n_batches tiny register
+    rows."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        reg = _registers(_hash_column(batch.column(col)), p)
+        return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    reg = np.zeros(m, np.uint8)
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for v in b.column("reg"):
+            reg = np.maximum(reg, np.frombuffer(v.as_py(), np.uint8))
+    return {"estimate": hll_estimate(reg), "registers": reg}
