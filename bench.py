@@ -86,14 +86,10 @@ def bench_webtable_encode(rows: int | None = None) -> tuple[float, dict]:
     inp = _ensure_webtable_input(rows)
     out = os.path.join(BENCH_TMP, f"webtable_out_{rows}")
     shutil.rmtree(out, ignore_errors=True)
-    # one read task per input file (no SplitBlocks) lets Ray fuse
-    # ReadParquet->MapBatches(encode) into ONE task: input bytes go
-    # file -> decode -> encode -> part file inside a single worker and
-    # never transit the object store
-    import glob
+    # fused read->encode: input bytes never transit the object store
+    from hyparquet_writer_ray.pipelines.write import read_parquet_fused
 
-    files = sorted(glob.glob(os.path.join(inp, "*.parquet")))
-    ds = ray.data.read_parquet(files, override_num_blocks=len(files))
+    ds = read_parquet_fused(inp)
     if os.environ.get("HPW_BENCH_CODEC") == "zstd12":
         # the archival config used for scaling runs: compute-heavy enough
         # that encode dominates fixed per-job overhead

@@ -49,6 +49,33 @@ def _normalized_arrow_schema(ds) -> pa.Schema:
     return pa.schema(fields)
 
 
+def read_parquet_fused(path_or_paths, *, columns: Optional[list[str]] = None, **kw):
+    """``ray.data.read_parquet`` shaped so the read FUSES with the next
+    ``map_batches``: one read task per input file (no ``SplitBlocks``
+    operator — SplitBlocks is what breaks ReadParquet->MapBatches
+    fusion). Feeding this into ``write_parquet_dataset`` runs
+    read -> decode -> encode -> part file inside a single task, so
+    input bytes never transit the object store (measured 3.8x
+    end-to-end vs the unfused plan at 32 cpus, BASELINE.md).
+
+    ``path_or_paths``: a directory (its ``*.parquet`` files), one file,
+    or an explicit list. ``columns`` prunes at the read."""
+    import glob as _glob
+
+    import ray.data
+
+    if isinstance(path_or_paths, str):
+        if os.path.isdir(path_or_paths):
+            paths = sorted(_glob.glob(os.path.join(path_or_paths, "*.parquet")))
+        else:
+            paths = [path_or_paths]
+    else:
+        paths = list(path_or_paths)
+    return ray.data.read_parquet(
+        paths, columns=columns, override_num_blocks=len(paths), **kw
+    )
+
+
 def _default_concurrency(concurrency):
     """Autoscaling actor pool capped below the CPU count: a fixed pool
     that reserves every CPU starves upstream read tasks (livelock)."""

@@ -146,3 +146,26 @@ def test_write_parquet_files_shard_mode(ray_data, tmp_path):
     assert s3["skipped_parts"] == 3
     got = duckdb.sql(f"select count(*) from '{out_dir}/part-*.parquet'").fetchone()
     assert got == (4000,)
+
+
+def test_read_parquet_fused_plan(ray_session, tmp_path):
+    """read_parquet_fused must produce a plan where the read fuses with
+    the downstream map_batches (no SplitBlocks between them)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hyparquet_writer_ray.pipelines.write import read_parquet_fused
+
+    for i in range(3):
+        pq.write_table(pa.table({"x": list(range(i * 10, i * 10 + 10))}),
+                       str(tmp_path / f"f{i}.parquet"))
+    ds = read_parquet_fused(str(tmp_path))
+    out = ds.map_batches(lambda t: pa.table({"n": [t.num_rows]}),
+                         batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+    total = sum(b.column("n")[0].as_py()
+                for b in out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    assert total == 30
+    stats = out.stats()
+    assert "ReadParquet->MapBatches" in stats
+    assert "SplitBlocks" not in stats
