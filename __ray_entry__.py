@@ -352,6 +352,16 @@ def _q_window_hopping(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_top_tokens(sf_dir: str) -> pa.Table:
+    """Exact heavy hitters: top-25 tokens by occurrence count across
+    the corpus (per-batch combiner before a vocabulary-sized shuffle)."""
+    from hyparquet_writer_ray.functions.text import top_tokens
+    out = top_tokens(_docs_ds(sf_dir), k=25)
+    return pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+
 def _q_sessionize(sf_dir: str) -> pa.Table:
     """Gap-based sessions per user over the events stream (single
     groupby shuffle, vectorized per-key sessionization)."""
@@ -582,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["window_hopping"] = _q_window_hopping
     q["sessionize"] = _q_sessionize
     q["hll_distinct_users"] = _q_hll_distinct
+    q["text_top_tokens"] = _q_top_tokens
     q["dedup_exact"] = _q_dedup_exact
     q["dedup_minhash"] = _q_dedup_minhash
     q["dedup_simhash"] = _q_dedup_simhash
@@ -629,6 +640,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS w_start, "
         "count(*) AS n, sum(user_id) AS sum_user_id FROM events GROUP BY 1 "
         "ORDER BY w_start"
+    )
+    sql["text_top_tokens"] = (
+        "SELECT u.tok AS token, CAST(count(*) AS BIGINT) AS n "
+        "FROM documents, unnest(string_split(text, ' ')) AS u(tok) "
+        "GROUP BY 1 ORDER BY n DESC, token LIMIT 25"
     )
     sql["sessionize"] = (
         "WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec "

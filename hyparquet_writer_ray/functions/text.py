@@ -213,3 +213,41 @@ def lang_ids(ds, concurrency=2):
     return ds.map_batches(
         LangIdModel, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
     )
+
+
+def top_tokens(ds, k: int = 25, text_col: str = "text"):
+    """Exact top-k most frequent tokens (heavy hitters).
+
+    Scale shape: each batch collapses to (token, count) partials via
+    one Arrow split + np.unique BEFORE the shuffle, so the groupby
+    moves vocabulary-sized rows, not token occurrences; the final
+    sort+limit runs over the (tiny) distinct-token aggregate. Ties
+    break by token ascending for determinism. Tokenization is
+    single-space split (SQL ``string_split(text, ' ')`` parity)."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern(col, " "))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        # np.unique on the python-free dictionary trick: arrow
+        # dictionary_encode groups identical strings in C
+        denc = pc.dictionary_encode(flat)
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        counts = np.bincount(idx.astype(np.int64), minlength=len(denc.dictionary))
+        return pa.table({
+            "token": denc.dictionary,
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("token").sum("n")
+    top = agg.sort(["sum(n)", "token"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda b: pa.table({"token": b.column("token"),
+                            "n": b.column("sum(n)")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

@@ -192,3 +192,17 @@ def test_sessionize_gap_semantics(ray_session):
         (1, 1, 2, base + 3000, base + 3300),
         (2, 0, 1, base + 420, base + 420),
     ]
+
+
+def test_top_tokens_exact(ray_session):
+    import ray.data
+
+    from hyparquet_writer_ray.functions.text import top_tokens
+
+    t = pa.table({"text": ["a b a", "b a c", "a d"]})
+    out = top_tokens(ray.data.from_arrow(t), k=3)
+    got = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    rows = list(zip(got.column("token").to_pylist(), got.column("n").to_pylist()))
+    assert rows == [("a", 4), ("b", 2), ("c", 1)]  # ties by token asc
