@@ -84,3 +84,42 @@ def test_reader_decodes_standard_columns_too():
     got = read_byte_array_column(buf, "s")
     want = [None if x is None else x.encode() for x in t.column("s").to_pylist()]
     assert got == want
+
+
+def test_fsst_kernel_fuzz_roundtrip():
+    """The compiled kernel must roundtrip arbitrary byte strings —
+    including 0xFF runs (escape-code collisions), symbol-boundary
+    overlaps, and empty/tiny inputs — and agree with the pure-Python
+    decoder on its own output."""
+    from hypothesis import given, settings, strategies as st
+
+    from hyparquet_writer_ray.core import _fsst_kernel, fsst
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.binary(min_size=0, max_size=4000))
+    def run(data):
+        tbl = fsst.train(data[:2048] or b"ab")
+        enc = fsst.compress(data, tbl)
+        assert fsst.decompress(enc, tbl) == data
+        # pure-python decoder agrees on the kernel's parse
+        lib = _fsst_kernel._lib
+        _fsst_kernel._lib = None
+        try:
+            assert fsst.decompress(enc, tbl) == data
+            enc_py = fsst.compress(data, tbl)
+        finally:
+            _fsst_kernel._lib = lib
+        # and the kernel decodes the python parse
+        assert fsst.decompress(enc_py, tbl) == data
+
+    run()
+
+
+def test_fsst_kernel_escape_heavy():
+    from hyparquet_writer_ray.core import fsst
+
+    # table trained on text, data full of bytes the table never saw
+    tbl = fsst.train(b"the quick brown fox " * 100)
+    data = bytes(range(256)) * 40 + b"\xff" * 100
+    enc = fsst.compress(data, tbl)
+    assert fsst.decompress(enc, tbl) == data
