@@ -15,6 +15,8 @@ from .local import (
     write_table_to_bytes,
 )
 from .pipelines.write import (
+    compact_parquet_dataset,
+    read_parquet_fused,
     write_parquet_dataset,
     write_parquet_files,
     write_parquet_single_file,
@@ -35,5 +37,7 @@ __all__ = [
     "write_table_to_bytes",
     "write_parquet_dataset",
     "write_parquet_files",
+    "compact_parquet_dataset",
+    "read_parquet_fused",
     "write_parquet_single_file",
 ]

@@ -444,3 +444,137 @@ def write_parquet_dataset(
     lineage.close()
     total["out_dir"] = out_dir
     return total
+
+
+def _compact_group_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
+                      max_group_bytes, skip_ids, columns):
+    """Compaction task: reads its bucket's input files directly (no
+    object-store hop), concatenates, re-encodes as ONE part file."""
+    import pyarrow.parquet as pq
+
+    for row in range(batch.num_rows):
+        paths = batch.column("paths")[row].as_py()
+        gid = batch.column("group_id")[row].as_py()
+        fname = f"part-{gid}.parquet"
+        fpath = os.path.join(out_dir, fname)
+        if gid in skip_ids:
+            yield pa.table({
+                "part_id": [gid], "file": [fname],
+                "rows": pa.array([-1], type=pa.int64()),
+                "compressed_bytes": pa.array([os.path.getsize(fpath)], type=pa.int64()),
+                "uncompressed_bytes": pa.array([0], type=pa.int64()),
+                "skipped": [True],
+                "manifest": pa.array([None], type=pa.large_binary()),
+            })
+            continue
+        table = pa.concat_tables(
+            normalize_table(pq.read_table(p, columns=columns)) for p in paths
+        )
+        schema_ir = schema_from_arrow(table.schema, opts.schema_overrides)
+        leaves = leaf_columns(schema_ir)
+        tmp = fpath + ".inprogress"
+        raw = comp = 0
+        recs = []
+        with open(tmp, "wb") as sink:
+            asm = FileAssembler(sink, schema_ir, opts)
+            for group in split_row_groups(table, max_group_rows, max_group_bytes):
+                blob, meta = encode_row_group(group, schema_ir, leaves, opts)
+                asm.append_group(blob, meta)
+                raw += meta.total_byte_size
+                comp += len(blob)
+                recs.append(record_from_meta(gid, meta, len(blob), file=fname))
+            asm.finish()
+        os.replace(tmp, fpath)
+        LineageLog(out_dir).write_part_record(gid, recs)
+        yield pa.table({
+            "part_id": [gid], "file": [fname],
+            "rows": pa.array([table.num_rows], type=pa.int64()),
+            "compressed_bytes": pa.array([comp], type=pa.int64()),
+            "uncompressed_bytes": pa.array([raw], type=pa.int64()),
+            "skipped": [False],
+            "manifest": pa.array([pickle.dumps(recs)], type=pa.large_binary()),
+        })
+
+
+def compact_parquet_dataset(
+    input_paths,
+    out_dir: str,
+    opts: Optional[WriteOptions] = None,
+    *,
+    target_part_bytes: int = 128 << 20,
+    max_group_rows: int = DEFAULT_GROUP_ROWS,
+    max_group_bytes: int = DEFAULT_GROUP_BYTES,
+    resume: bool = True,
+    columns: Optional[list[str]] = None,
+) -> dict:
+    """Compact many small parquet files into target-sized parts — the
+    small-file problem killer for long-running 100 TB pipelines.
+
+    Files (sorted) are greedily bucketed by cumulative COMPRESSED input
+    size up to ``target_part_bytes``; one task per bucket reads its
+    files directly (bytes never enter the object store) and re-encodes
+    them as one part. A file larger than the target forms its own
+    bucket and still splits into row groups internally. Bucket ids hash
+    the member file names + sizes, so resume skips finished buckets and
+    any input change re-runs its bucket."""
+    import glob as _glob
+
+    import ray.data
+
+    opts = opts or WriteOptions()
+    if isinstance(input_paths, str):
+        input_paths = sorted(_glob.glob(os.path.join(input_paths, "*.parquet")))
+    files = [(p, os.path.getsize(p)) for p in sorted(input_paths)]
+    buckets: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for p, sz in files:
+        if cur and cur_bytes + sz > target_part_bytes:
+            buckets.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(p)
+        cur_bytes += sz
+    if cur:
+        buckets.append(cur)
+
+    def bucket_id(paths: list[str]) -> str:
+        h = hashlib.sha1()
+        for p in paths:
+            h.update(os.path.basename(p).encode())
+            h.update(str(os.path.getsize(p)).encode())
+        return h.hexdigest()[:16]
+
+    os.makedirs(out_dir, exist_ok=True)
+    lineage = LineageLog(out_dir)
+    skip: frozenset[str] = frozenset()
+    if resume:
+        skip = frozenset(
+            rec.file[5:-8] for rec in lineage.completed_parts().values() if rec.file
+        )
+
+    items = [{"group_id": bucket_id(b), "paths": b} for b in buckets]
+    gds = ray.data.from_items(items, override_num_blocks=max(len(items), 1))
+    manifest_ds = gds.map_batches(
+        partial(
+            _compact_group_fn,
+            opts=opts, out_dir=out_dir, max_group_rows=max_group_rows,
+            max_group_bytes=max_group_bytes, skip_ids=skip, columns=columns,
+        ),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    total = {"parts": 0, "rows": 0, "compressed_bytes": 0,
+             "uncompressed_bytes": 0, "skipped_parts": 0, "input_files": len(files)}
+    for batch in manifest_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for row in range(batch.num_rows):
+            total["parts"] += 1
+            total["compressed_bytes"] += batch.column("compressed_bytes")[row].as_py()
+            if batch.column("skipped")[row].as_py():
+                total["skipped_parts"] += 1
+                continue
+            total["rows"] += batch.column("rows")[row].as_py()
+            total["uncompressed_bytes"] += batch.column("uncompressed_bytes")[row].as_py()
+            for rec in pickle.loads(batch.column("manifest")[row].as_py()):
+                lineage.append(rec)
+    lineage.close()
+    total["out_dir"] = out_dir
+    return total

@@ -169,3 +169,40 @@ def test_read_parquet_fused_plan(ray_session, tmp_path):
     stats = out.stats()
     assert "ReadParquet->MapBatches" in stats
     assert "SplitBlocks" not in stats
+
+
+def test_compact_parquet_dataset(ray_session, tmp_path):
+    """Many small files -> few target-sized parts; values preserved;
+    rerun skips all finished buckets (resume by bucket identity)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hyparquet_writer_ray.pipelines.write import compact_parquet_dataset
+
+    src = tmp_path / "small"
+    src.mkdir()
+    for i in range(12):
+        pq.write_table(
+            pa.table({"id": list(range(i * 100, i * 100 + 100)),
+                      "v": [f"val{j}" for j in range(100)]}),
+            str(src / f"f{i:02d}.parquet"),
+        )
+    sizes = [os.path.getsize(src / f) for f in os.listdir(src)]
+    out = tmp_path / "compacted"
+    stats = compact_parquet_dataset(str(src), str(out),
+                                    target_part_bytes=4 * sizes[0])
+    assert stats["input_files"] == 12
+    assert stats["rows"] == 1200
+    n_parts = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    # ~4 files per bucket (sizes vary by a few bytes per file)
+    assert n_parts == stats["parts"]
+    assert 3 <= n_parts <= 4
+    got = duckdb.sql(
+        f"SELECT count(*), sum(id), count(DISTINCT v) FROM '{out}/*.parquet'"
+    ).fetchone()
+    assert got == (1200, sum(range(1200)), 100)
+    # resume: rerun with identical input skips every bucket
+    stats2 = compact_parquet_dataset(str(src), str(out),
+                                     target_part_bytes=4 * sizes[0])
+    assert stats2["skipped_parts"] == n_parts
