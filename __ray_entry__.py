@@ -362,6 +362,27 @@ def _q_top_tokens(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_curate(sf_dir: str) -> pa.Table:
+    """Flagship curation composition: exact dedup -> distributed join
+    of survivors -> vectorized quality filter -> parquet part encode ->
+    decode -> per-language stats. Every stage is this engine's own
+    operator; the SQL oracle reproduces the whole pipeline."""
+    import shutil
+    import tempfile
+
+    from hyparquet_writer_ray.pipelines.curate import curate_documents, lang_stats
+    out = tempfile.mkdtemp(prefix="curated_")
+    try:
+        curated = curate_documents(_docs_ds(sf_dir), out, min_tokens=10,
+                                   max_token_len=40)
+        stats = lang_stats(curated)
+        return pa.concat_tables(
+            b for b in stats.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_sessionize(sf_dir: str) -> pa.Table:
     """Gap-based sessions per user over the events stream (single
     groupby shuffle, vectorized per-key sessionization)."""
@@ -593,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sessionize"] = _q_sessionize
     q["hll_distinct_users"] = _q_hll_distinct
     q["text_top_tokens"] = _q_top_tokens
+    q["curate_pipeline"] = _q_curate
     q["dedup_exact"] = _q_dedup_exact
     q["dedup_minhash"] = _q_dedup_minhash
     q["dedup_simhash"] = _q_dedup_simhash
@@ -640,6 +662,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS w_start, "
         "count(*) AS n, sum(user_id) AS sum_user_id FROM events GROUP BY 1 "
         "ORDER BY w_start"
+    )
+    sql["curate_pipeline"] = (
+        "WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), "
+        "d AS (SELECT doc.* FROM documents doc JOIN kept USING (doc_id)), "
+        "f AS (SELECT lang, len(string_split(text, ' ')) AS nt FROM d "
+        "WHERE len(string_split(text, ' ')) >= 10 AND "
+        "list_max(list_transform(string_split(text, ' '), x -> length(x))) <= 40) "
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(nt) AS BIGINT) AS n_tokens FROM f GROUP BY 1 ORDER BY lang"
     )
     sql["text_top_tokens"] = (
         "SELECT u.tok AS token, CAST(count(*) AS BIGINT) AS n "

@@ -1,0 +1,93 @@
+"""End-to-end training-data curation pipeline: the composition a
+100 TB corpus run would execute, built entirely from this engine's
+operators.
+
+    read -> exact dedup (128-bit content key) -> vectorized quality
+    filter -> parquet part-file encode (smart codecs + lineage) ->
+    per-language stats
+
+Scale shape: the dedup keep-set returns doc ids only; survivors are
+recovered with a distributed hash join (never a driver-side id set);
+the quality filter is an Arrow-kernel map_batches; the encode is the
+part-file writer (no driver byte path); the stats aggregate moves one
+row per (lang, partial).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.options import WriteOptions
+from ..functions.dedup import exact_dedup
+from ..functions.text import quality_score_batch
+from .write import write_parquet_dataset
+
+
+def curate_documents(
+    ds,
+    out_dir: Optional[str] = None,
+    *,
+    min_tokens: int = 10,
+    max_token_len: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    opts: Optional[WriteOptions] = None,
+    num_partitions: int = 8,
+):
+    """Dedup + quality-filter ``ds``; optionally encode the survivors
+    to ``out_dir`` as parquet parts. Returns the curated Dataset
+    (columns unchanged plus the quality signals)."""
+    kept = exact_dedup(ds, key=text_col, id_col=id_col)
+    survivors = ds.join(
+        kept, join_type="inner", num_partitions=num_partitions,
+        on=(id_col,), right_on=(id_col,), right_suffix="_k",
+    )
+
+    def qfilter(batch: pa.Table) -> pa.Table:
+        scored = quality_score_batch(batch, text_col)
+        keep = pc.and_(
+            pc.greater_equal(scored.column("n_tokens"), min_tokens),
+            pc.less_equal(scored.column("max_token_len"), max_token_len),
+        )
+        return scored.filter(pc.fill_null(keep, False))
+
+    curated = survivors.map_batches(qfilter, batch_format="pyarrow", zero_copy_batch=True)
+    if out_dir is not None:
+        write_parquet_dataset(
+            curated, out_dir, opts or WriteOptions(auto_codec="smart"), resume=False
+        )
+        import ray.data
+
+        curated = ray.data.read_parquet(out_dir)
+    return curated
+
+
+def lang_stats(curated) -> "object":
+    """Per-language (count, token sum) over a curated Dataset — the
+    partial collapses each batch before the tiny lang-keyed shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang")
+        toks = batch.column("n_tokens")
+        agg = pa.table({"lang": langs, "n_tokens": toks}).group_by("lang").aggregate(
+            [("lang", "count"), ("n_tokens", "sum")]
+        )
+        return pa.table({
+            "lang": agg.column("lang"),
+            "n_docs": agg.column("lang_count"),
+            "n_tokens": agg.column("n_tokens_sum"),
+        })
+
+    partials = curated.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("lang").sum(["n_docs", "n_tokens"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_docs": batch.column("sum(n_docs)"),
+            "n_tokens": batch.column("sum(n_tokens)"),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True).sort("lang")
