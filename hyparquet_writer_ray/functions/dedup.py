@@ -310,6 +310,9 @@ def minhash_lsh_pairs(
         batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
     )
     if sig_dir is None:
+        # NOTE: the default tempdir is correct single-node only — on a
+        # multi-node cluster pass sig_dir on SHARED storage (s3/nfs), as
+        # write_parquet/read_parquet must see one namespace.
         import tempfile
 
         sig_dir = tempfile.mkdtemp(prefix="minhash_sigs_")
@@ -587,6 +590,7 @@ def ngram_jaccard_pairs(
         batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
     )
     if grams_dir is None:
+        # single-node default; use shared storage on a real cluster
         import tempfile
 
         grams_dir = tempfile.mkdtemp(prefix="ngram_sets_")
