@@ -22,21 +22,22 @@ _C_SRC = r"""
 /* candidate index: for each first byte, symbol codes sorted longest-first */
 typedef struct { uint8_t code; uint8_t len; } Cand;
 
+/* 255 slots per first byte: a table has at most 255 symbols total, so
+   no candidate list can ever overflow — the kernel parse is always the
+   same greedy longest-match the Python paths produce */
 size_t fsst_compress(const uint8_t* data, size_t n,
                      const uint8_t* sym_bytes /* 255*8 */, const uint8_t* sym_len,
                      int nsym, uint8_t* out) {
-    Cand cands[256][64];
+    static _Thread_local Cand cands[256][255];
     uint8_t ncand[256];
     memset(ncand, 0, sizeof ncand);
     for (int L = 8; L >= 1; L--) {           /* longest first */
         for (int c = 0; c < nsym; c++) {
             if (sym_len[c] != L) continue;
             uint8_t fb = sym_bytes[c * 8];
-            if (ncand[fb] < 64) {
-                cands[fb][ncand[fb]].code = (uint8_t)c;
-                cands[fb][ncand[fb]].len = (uint8_t)L;
-                ncand[fb]++;
-            }
+            cands[fb][ncand[fb]].code = (uint8_t)c;
+            cands[fb][ncand[fb]].len = (uint8_t)L;
+            ncand[fb]++;
         }
     }
     size_t o = 0, p = 0;
@@ -91,7 +92,7 @@ _tried = False
 def _build() -> "ctypes.CDLL | None":
     cache = os.path.join(tempfile.gettempdir(), f"hpw_fsst_kernel_{os.getuid()}")
     os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, "fsst_kernel_v1.so")
+    so = os.path.join(cache, "fsst_kernel_v2.so")
     if not os.path.exists(so):
         src = os.path.join(cache, "fsst_kernel.c")
         with open(src, "w") as f:

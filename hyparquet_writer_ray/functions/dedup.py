@@ -62,6 +62,29 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
     )
 
 
+def exact_dedup_rows(ds, key: str = "text", id_col: str = "doc_id"):
+    """Keep the FULL min-id row per distinct ``key`` value — one
+    shuffle of the rows keyed by the 128-bit content hash, no second
+    join to recover survivors (the join-free shape for pipelines that
+    need the surviving rows, e.g. curation)."""
+    import numpy as np
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hi, lo = _text_hash128(batch.column(key).to_pylist())
+        return batch.append_column("__h1", pa.array(hi, pa.int64())).append_column(
+            "__h2", pa.array(lo, pa.int64())
+        )
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or id_col not in group.column_names:
+            return group
+        idx = int(np.argmin(group.column(id_col).to_numpy(zero_copy_only=False)))
+        return group.take(pa.array([idx])).drop_columns(["__h1", "__h2"])
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return hashed.groupby(["__h1", "__h2"]).map_groups(keep_min, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -224,7 +247,12 @@ class MinHasher:
         # Acero hash joins (fixed_size_list is not).
         flat = np.ascontiguousarray(sigs, dtype="<u8").tobytes()
         w = self.num_perm * 8
-        offsets = pa.array(np.arange(len(ids) + 1, dtype=np.int32) * w)
+        if len(ids) * w > 2**31 - 1:  # int32 binary offsets would wrap
+            raise ValueError(
+                f"signature batch too large for 32-bit offsets "
+                f"({len(ids)} rows x {w} B); lower the batch size"
+            )
+        offsets = pa.array(np.arange(len(ids) + 1, dtype=np.int64) * w, type=pa.int32())
         sig_arr = pa.BinaryArray.from_buffers(
             pa.binary(), len(ids),
             [None, offsets.buffers()[1], pa.py_buffer(flat)],
@@ -264,6 +292,28 @@ def _band_rows(batch: pa.Table, bands: int, id_col: str, num_perm: int) -> pa.Ta
     })
 
 
+def _checkpoint_dataset(ds, out_dir: str) -> None:
+    """Write ``ds`` to ``out_dir`` as a resumable checkpoint: a dir
+    carrying the ``_DONE`` marker is reused as-is (true resume — the
+    expensive upstream pass is skipped); a dir with files but NO marker
+    is a partial write from a crashed run and is cleared first —
+    write_parquet APPENDS, so rerunning into a half-written dir would
+    double every row."""
+    import glob as _glob
+    import os
+    import shutil
+
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return
+    if _glob.glob(os.path.join(out_dir, "*.parquet")):
+        shutil.rmtree(out_dir)
+        os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir)
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
 def minhash_lsh_pairs(
     ds,
     *,
@@ -296,9 +346,13 @@ def minhash_lsh_pairs(
        quadratic; star pairs are marked ``from_oversized=true`` in the
        output — nothing is silently dropped, and near-duplicate clusters
        stay connected through the representative.
-    3. deduped pairs are **joined back to the signature checkpoint**
-       (two distributed hash joins on doc id) and verified by vectorized
-       signature agreement.  No broadcast of any O(n_docs) structure.
+    3. candidate pairs are **joined back to the signature checkpoint**
+       with a union + groupby-on-doc-id distributed join (a tag-union
+       hash join — Ray's experimental Dataset.join chokes on empty
+       partitions, and map_groups keeps every block's schema under our
+       control), then verified by vectorized signature agreement. No
+       broadcast of any O(n_docs) structure; duplicate candidates from
+       multiple bands deduplicate in the final per-pair group.
     """
     import ray
     import ray.data
@@ -316,7 +370,7 @@ def minhash_lsh_pairs(
         import tempfile
 
         sig_dir = tempfile.mkdtemp(prefix="minhash_sigs_")
-    sigs.write_parquet(sig_dir)
+    _checkpoint_dataset(sigs, sig_dir)
 
     def _sig_ds():
         return ray.data.read_parquet(sig_dir)
@@ -359,52 +413,100 @@ def minhash_lsh_pairs(
         })
 
     pairs = band_rows.groupby("band_hash").map_groups(emit_pairs, batch_format="pyarrow")
-    uniq = pairs.groupby(["a", "b"]).max("from_oversized")
 
-    def _clean(batch: pa.Table) -> pa.Table:
+    # tag-union join: every pair contributes two mention rows keyed by
+    # one side's doc id; the sig checkpoint contributes one payload row
+    # per doc (side = -1). One groupby on doc attaches the signature to
+    # each mention; a second groupby on (a, b) brings the two sides of
+    # each pair together, dedups band duplicates, and verifies.
+    def mentions(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return _MENTION_SCHEMA.empty_table()
+        a = batch.column("a")
+        b = batch.column("b")
+        fo = batch.column("from_oversized")
+        n = batch.num_rows
         return pa.table({
-            "a": batch.column("a"),
-            "b": batch.column("b"),
-            "from_oversized": batch.column("max(from_oversized)"),
+            "doc": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+            "a": pa.concat_arrays([a.combine_chunks(), a.combine_chunks()]),
+            "b": pa.concat_arrays([b.combine_chunks(), b.combine_chunks()]),
+            "from_oversized": pa.concat_arrays([fo.combine_chunks(), fo.combine_chunks()]),
+            "side": pa.array([0] * n + [1] * n, pa.int64()),
+            "sig": pa.array([None] * (2 * n), pa.binary()),
         })
 
-    uniq = uniq.map_batches(_clean, batch_format="pyarrow", zero_copy_batch=True)
-
-    # distributed verification: hash-join candidate pairs back to the
-    # signature checkpoint on each side's doc id.
-    j1 = uniq.join(
-        _sig_ds(), join_type="inner", num_partitions=num_partitions,
-        on=("a",), right_on=(id_col,), right_suffix="_ra",
-    )
-    j2 = j1.join(
-        _sig_ds().map_batches(
-            lambda t: t.rename_columns([c if c != "sig" else "sig_b" for c in t.column_names]),
-            batch_format="pyarrow", zero_copy_batch=True,
-        ),
-        join_type="inner", num_partitions=num_partitions,
-        on=("b",), right_on=(id_col,), right_suffix="_rb",
-    )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "jaccard_est": pa.array([], pa.float64()),
-                "from_oversized": pa.array([], pa.bool_()),
-            })
-        sa = _sig_matrix(batch.column("sig"), num_perm)
-        sb = _sig_matrix(batch.column("sig_b"), num_perm)
-        j = (sa == sb).mean(axis=1)
-        keep = j >= threshold
+    def sig_payload(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
         return pa.table({
-            "a": batch.column("a").filter(pa.array(keep)),
-            "b": batch.column("b").filter(pa.array(keep)),
-            "jaccard_est": pa.array(j[keep], pa.float64()),
-            "from_oversized": batch.column("from_oversized").filter(pa.array(keep)),
+            "doc": batch.column(id_col),
+            "a": pa.array([-1] * n, pa.int64()),
+            "b": pa.array([-1] * n, pa.int64()),
+            "from_oversized": pa.array([False] * n, pa.bool_()),
+            "side": pa.array([-1] * n, pa.int64()),
+            "sig": batch.column("sig"),
         })
 
-    return j2.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    tagged = pairs.map_batches(
+        mentions, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        _sig_ds().map_batches(sig_payload, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        payload = np.nonzero(side == -1)[0]
+        ment = np.nonzero(side >= 0)[0]
+        if not len(payload) or not len(ment):  # doc in no pair, or no sig
+            return _MENTION_SCHEMA.empty_table()
+        sig_val = group.column("sig")[int(payload[0])].as_py()
+        sel = group.take(pa.array(ment))
+        return pa.table({
+            "doc": sel.column("doc"),
+            "a": sel.column("a"),
+            "b": sel.column("b"),
+            "from_oversized": sel.column("from_oversized"),
+            "side": sel.column("side"),
+            "sig": pa.array([sig_val] * len(ment), pa.binary()),
+        })
+
+    attached = tagged.groupby("doc").map_groups(attach, batch_format="pyarrow")
+
+    def combine(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard_est": pa.array([], pa.float64()),
+            "from_oversized": pa.array([], pa.bool_()),
+        })
+        if group.num_rows == 0:
+            return empty
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        ia = np.nonzero(side == 0)[0]
+        ib = np.nonzero(side == 1)[0]
+        if not len(ia) or not len(ib):  # one side lost its signature
+            return empty
+        sa = np.frombuffer(group.column("sig")[int(ia[0])].as_py(), "<u8")
+        sb = np.frombuffer(group.column("sig")[int(ib[0])].as_py(), "<u8")
+        j = float((sa == sb).mean())
+        if j < threshold:
+            return empty
+        fo = bool(
+            pa.compute.any(group.column("from_oversized")).as_py() or False
+        )
+        return pa.table({
+            "a": group.column("a").slice(0, 1),
+            "b": group.column("b").slice(0, 1),
+            "jaccard_est": pa.array([j], pa.float64()),
+            "from_oversized": pa.array([fo], pa.bool_()),
+        })
+
+    return attached.groupby(["a", "b"]).map_groups(combine, batch_format="pyarrow")
+
+
+_MENTION_SCHEMA = pa.schema([
+    ("doc", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+    ("from_oversized", pa.bool_()), ("side", pa.int64()), ("sig", pa.binary()),
+])
 
 
 # ---------------------------------------------------------------------------
@@ -548,9 +650,11 @@ class NGramSetBuilder:
         gh, n_grams = self._doc_gram_sets(col)
         flat = np.ascontiguousarray(gh, dtype="<u8").tobytes()
         byte_off = np.concatenate([[0], np.cumsum(n_grams)]) * 8
+        if byte_off[-1] > 2**31 - 1:  # int32 binary offsets would wrap
+            raise ValueError("gram-set batch exceeds 32-bit offsets; lower the batch size")
         grams = pa.BinaryArray.from_buffers(
             pa.binary(), batch.num_rows,
-            [None, pa.array(byte_off.astype(np.int32)).buffers()[1], pa.py_buffer(flat)],
+            [None, pa.array(byte_off, type=pa.int32()).buffers()[1], pa.py_buffer(flat)],
         )
         return pa.table({
             self.id_col: batch.column(self.id_col),
@@ -594,45 +698,91 @@ def ngram_jaccard_pairs(
         import tempfile
 
         grams_dir = tempfile.mkdtemp(prefix="ngram_sets_")
-    sets.write_parquet(grams_dir)
+    _checkpoint_dataset(sets, grams_dir)
 
-    def _sets_ds(suffix: str):
-        d = ray.data.read_parquet(grams_dir)
-        return d.map_batches(
-            lambda t, s=suffix: t.rename_columns(
-                [c if c == id_col else c + s for c in t.column_names]
-            ),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
-
-    j1 = candidates.join(
-        _sets_ds("_a"), join_type="inner", num_partitions=num_partitions,
-        on=("a",), right_on=(id_col,), right_suffix="_ra",
-    )
-    j2 = j1.join(
-        _sets_ds("_b"), join_type="inner", num_partitions=num_partitions,
-        on=("b",), right_on=(id_col,), right_suffix="_rb",
-    )
-
-    def exact_jaccard(batch: pa.Table) -> pa.Table:
-        a_ids, b_ids, js = [], [], []
-        ga = batch.column("grams_a")
-        gb = batch.column("grams_b")
-        for i in range(batch.num_rows):
-            va = np.frombuffer(ga[i].as_py(), "<u8")
-            vb = np.frombuffer(gb[i].as_py(), "<u8")
-            if not len(va) or not len(vb):
-                continue
-            inter = len(np.intersect1d(va, vb, assume_unique=True))
-            j = inter / (len(va) + len(vb) - inter)
-            if j >= threshold:
-                a_ids.append(batch.column("a")[i].as_py())
-                b_ids.append(batch.column("b")[i].as_py())
-                js.append(j)
+    # tag-union distributed join (same shape as minhash verification —
+    # Ray's experimental Dataset.join mishandles empty partitions)
+    def mentions(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return _GRAM_MENTION_SCHEMA.empty_table()
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        n = batch.num_rows
         return pa.table({
-            "a": pa.array(a_ids, pa.int64()),
-            "b": pa.array(b_ids, pa.int64()),
-            "jaccard": pa.array(js, pa.float64()),
+            "doc": pa.concat_arrays([a, b]),
+            "a": pa.concat_arrays([a, a]),
+            "b": pa.concat_arrays([b, b]),
+            "side": pa.array([0] * n + [1] * n, pa.int64()),
+            "grams": pa.array([None] * (2 * n), pa.binary()),
         })
 
-    return j2.map_batches(exact_jaccard, batch_format="pyarrow", zero_copy_batch=True)
+    def gram_payload(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "doc": batch.column(id_col),
+            "a": pa.array([-1] * n, pa.int64()),
+            "b": pa.array([-1] * n, pa.int64()),
+            "side": pa.array([-1] * n, pa.int64()),
+            "grams": batch.column("grams"),
+        })
+
+    tagged = candidates.map_batches(
+        mentions, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        ray.data.read_parquet(grams_dir).map_batches(
+            gram_payload, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        payload = np.nonzero(side == -1)[0]
+        ment = np.nonzero(side >= 0)[0]
+        if not len(payload) or not len(ment):
+            return _GRAM_MENTION_SCHEMA.empty_table()
+        g = group.column("grams")[int(payload[0])].as_py()
+        if not g:  # doc shorter than k words: no grams, drop its pairs
+            return _GRAM_MENTION_SCHEMA.empty_table()
+        sel = group.take(pa.array(ment))
+        return pa.table({
+            "doc": sel.column("doc"),
+            "a": sel.column("a"),
+            "b": sel.column("b"),
+            "side": sel.column("side"),
+            "grams": pa.array([g] * len(ment), pa.binary()),
+        })
+
+    attached = tagged.groupby("doc").map_groups(attach, batch_format="pyarrow")
+
+    def combine(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        ia = np.nonzero(side == 0)[0]
+        ib = np.nonzero(side == 1)[0]
+        if not len(ia) or not len(ib):
+            return empty
+        va = np.frombuffer(group.column("grams")[int(ia[0])].as_py(), "<u8")
+        vb = np.frombuffer(group.column("grams")[int(ib[0])].as_py(), "<u8")
+        inter = len(np.intersect1d(va, vb, assume_unique=True))
+        j = inter / (len(va) + len(vb) - inter)
+        if j < threshold:
+            return empty
+        return pa.table({
+            "a": group.column("a").slice(0, 1),
+            "b": group.column("b").slice(0, 1),
+            "jaccard": pa.array([j], pa.float64()),
+        })
+
+    return attached.groupby(["a", "b"]).map_groups(combine, batch_format="pyarrow")
+
+
+_GRAM_MENTION_SCHEMA = pa.schema([
+    ("doc", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+    ("side", pa.int64()), ("grams", pa.binary()),
+])

@@ -39,11 +39,15 @@ def topk_cosine(ds, query: np.ndarray, k: int = 10,
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         scores = (m @ qv) / norms
+        ids = np.asarray(batch.column(id_col))
         kk = min(k, len(scores))
-        idx = np.argpartition(-scores, kk - 1)[:kk]
+        # deterministic per-batch top-k: ties at the k-th score keep the
+        # smallest ids (argpartition would drop an arbitrary tied row and
+        # could diverge from the ORDER BY score DESC, id oracle)
+        order = np.lexsort((ids, -scores))[:kk]
         return pa.table({
-            id_col: pa.array(np.asarray(batch.column(id_col))[idx]),
-            "score": pa.array(scores[idx], pa.float64()),
+            id_col: pa.array(ids[order]),
+            "score": pa.array(scores[order], pa.float64()),
         })
 
     reduced = ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True)
@@ -218,10 +222,10 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, *, n_clusters: int = 16,
         scores = mn[mask] @ q
         ids = np.asarray(batch.column(id_col))[mask]
         kk = min(k, len(scores))
-        idx = np.argpartition(-scores, kk - 1)[:kk]
+        order = np.lexsort((ids, -scores))[:kk]  # ties keep smallest ids
         return pa.table({
-            id_col: pa.array(ids[idx]),
-            "score": pa.array(scores[idx], pa.float64()),
+            id_col: pa.array(ids[order]),
+            "score": pa.array(scores[order], pa.float64()),
         })
 
     reduced = ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True)

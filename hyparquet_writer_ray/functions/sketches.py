@@ -30,11 +30,14 @@ def _hash_column(col: pa.Array) -> np.ndarray:
     if pa.types.is_integer(t):
         vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
         return _splitmix64(vals)
-    if pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t):
+    if (pa.types.is_string(t) or pa.types.is_binary(t)
+            or pa.types.is_large_string(t) or pa.types.is_large_binary(t)):
         from ..core.arrays import byte_array_values
         from .dedup import _segmented_poly_hash
 
-        lens, data = byte_array_values(col.cast(pa.binary()))
+        # byte_array_values handles 32- and 64-bit offsets natively —
+        # no cast (a cast to pa.binary() would overflow on >2GB chunks)
+        lens, data = byte_array_values(col)
         return _splitmix64(_segmented_poly_hash(lens, data))
     raise TypeError(f"hll_distinct: unsupported column type {t}")
 

@@ -6,11 +6,12 @@ operators.
     filter -> parquet part-file encode (smart codecs + lineage) ->
     per-language stats
 
-Scale shape: the dedup keep-set returns doc ids only; survivors are
-recovered with a distributed hash join (never a driver-side id set);
-the quality filter is an Arrow-kernel map_batches; the encode is the
-part-file writer (no driver byte path); the stats aggregate moves one
-row per (lang, partial).
+Scale shape: dedup is ONE shuffle of the rows keyed by the 128-bit
+content hash (survivor rows come straight out of the groupby — no
+second join, no driver-side id set); the quality filter is an
+Arrow-kernel map_batches; the encode is the part-file writer (no
+driver byte path); the stats aggregate moves one row per
+(lang, partial).
 """
 from __future__ import annotations
 
@@ -20,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..core.options import WriteOptions
-from ..functions.dedup import exact_dedup
+from ..functions.dedup import exact_dedup_rows
 from ..functions.text import quality_score_batch
 from .write import write_parquet_dataset
 
@@ -39,13 +40,13 @@ def curate_documents(
     """Dedup + quality-filter ``ds``; optionally encode the survivors
     to ``out_dir`` as parquet parts. Returns the curated Dataset
     (columns unchanged plus the quality signals)."""
-    kept = exact_dedup(ds, key=text_col, id_col=id_col)
-    survivors = ds.join(
-        kept, join_type="inner", num_partitions=num_partitions,
-        on=(id_col,), right_on=(id_col,), right_suffix="_k",
-    )
+    # join-free dedup: the survivors' full rows come straight out of
+    # the single content-hash shuffle
+    survivors = exact_dedup_rows(ds, key=text_col, id_col=id_col)
 
     def qfilter(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return batch
         scored = quality_score_batch(batch, text_col)
         keep = pc.and_(
             pc.greater_equal(scored.column("n_tokens"), min_tokens),

@@ -71,6 +71,10 @@ def read_parquet_fused(path_or_paths, *, columns: Optional[list[str]] = None, **
             paths = [path_or_paths]
     else:
         paths = list(path_or_paths)
+    if not paths:
+        raise ValueError(
+            f"read_parquet_fused: no parquet files found in {path_or_paths!r}"
+        )
     return ray.data.read_parquet(
         paths, columns=columns, override_num_blocks=len(paths), **kw
     )
@@ -223,10 +227,16 @@ class PartFileWriter:
         batch = normalize_table(batch)
         if batch.num_rows == 0:
             return
-        part_id = content_part_id(batch)
+        # ONE content-hash pass: per-group digests, part id derived from
+        # them (hashing the whole batch AND each group would read every
+        # byte twice)
+        groups = list(split_row_groups(batch, self.max_group_rows, self.max_group_bytes))
+        gids = [content_part_id(g) for g in groups]
+        part_id = hashlib.blake2b("".join(gids).encode(), digest_size=12).hexdigest()[:16]
         fname = f"part-{part_id}.parquet"
         fpath = os.path.join(self.out_dir, fname)
-        if part_id in self.skip:
+        # a lineage record without its file on disk is NOT done
+        if part_id in self.skip and os.path.exists(fpath):
             yield pa.table({
                 "part_id": [part_id], "file": [fname],
                 "rows": pa.array([batch.num_rows], type=pa.int64()),
@@ -241,12 +251,12 @@ class PartFileWriter:
         recs = []
         with open(tmp, "wb") as sink:
             asm = FileAssembler(sink, self.schema_ir, self.opts)
-            for group in split_row_groups(batch, self.max_group_rows, self.max_group_bytes):
+            for gid, group in zip(gids, groups):
                 blob, meta = encode_row_group(group, self.schema_ir, self.leaves, self.opts)
                 asm.append_group(blob, meta)
                 raw += meta.total_byte_size
                 comp += len(blob)
-                recs.append(record_from_meta(content_part_id(group), meta, len(blob), file=fname))
+                recs.append(record_from_meta(gid, meta, len(blob), file=fname))
             asm.finish()
         os.replace(tmp, fpath)
         checksum = hashlib.sha1(open(fpath, "rb").read(1 << 16)).hexdigest()[:12]
@@ -277,7 +287,7 @@ def _encode_files_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
         base = os.path.splitext(os.path.basename(path))[0]
         fname = f"part-{base}.parquet"
         fpath = os.path.join(out_dir, fname)
-        if base in skip_names:
+        if base in skip_names and os.path.exists(fpath):
             yield pa.table({
                 "part_id": [base], "file": [fname],
                 "rows": pa.array([-1], type=pa.int64()),
@@ -457,7 +467,7 @@ def _compact_group_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
         gid = batch.column("group_id")[row].as_py()
         fname = f"part-{gid}.parquet"
         fpath = os.path.join(out_dir, fname)
-        if gid in skip_ids:
+        if gid in skip_ids and os.path.exists(fpath):
             yield pa.table({
                 "part_id": [gid], "file": [fname],
                 "rows": pa.array([-1], type=pa.int64()),
@@ -485,6 +495,9 @@ def _compact_group_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
                 recs.append(record_from_meta(gid, meta, len(blob), file=fname))
             asm.finish()
         os.replace(tmp, fpath)
+        checksum = hashlib.sha1(open(fpath, "rb").read(1 << 16)).hexdigest()[:12]
+        for r in recs:
+            r.checksum = checksum
         LineageLog(out_dir).write_part_record(gid, recs)
         yield pa.table({
             "part_id": [gid], "file": [fname],
@@ -538,10 +551,16 @@ def compact_parquet_dataset(
         buckets.append(cur)
 
     def bucket_id(paths: list[str]) -> str:
+        # name + size + mtime_ns: regenerating an input file changes its
+        # mtime even when the size is preserved, so the bucket re-runs.
+        # (A same-size same-mtime in-place byte edit would still be
+        # missed — full-content ids would need a read pass per resume.)
         h = hashlib.sha1()
         for p in paths:
+            st = os.stat(p)
             h.update(os.path.basename(p).encode())
-            h.update(str(os.path.getsize(p)).encode())
+            h.update(str(st.st_size).encode())
+            h.update(str(st.st_mtime_ns).encode())
         return h.hexdigest()[:16]
 
     os.makedirs(out_dir, exist_ok=True)

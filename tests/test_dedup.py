@@ -175,3 +175,34 @@ def test_ngram_jaccard_exact_values(ray_session, tmp_path):
                                      res.column("jaccard").to_pylist())
     }
     assert got == {(0, 1): 0.2, (0, 2): 1.0}
+
+
+def test_minhash_sig_dir_reuse_no_duplication(ray_session, tmp_path):
+    """Rerunning with the same sig_dir must NOT duplicate signatures
+    (write_parquet appends!) — the checkpoint is reused via its _DONE
+    marker and results are identical, and the expensive signature pass
+    is skipped (true resume)."""
+    import os
+
+    import ray.data
+
+    texts = _rand_docs(30)
+    texts = [texts[0], texts[0]] + texts[2:]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    sd = str(tmp_path / "sigs")
+
+    def run():
+        out = minhash_lsh_pairs(ray.data.from_arrow(t), threshold=0.5,
+                                num_partitions=2, sig_dir=sd)
+        res = pa.concat_tables(
+            b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        return sorted(zip(res.column("a").to_pylist(), res.column("b").to_pylist()))
+
+    first = run()
+    assert first == [(0, 1)]
+    assert os.path.exists(os.path.join(sd, "_DONE"))
+    n_files = len([f for f in os.listdir(sd) if f.endswith(".parquet")])
+    second = run()  # reuses the checkpoint
+    assert second == first  # no 4x duplication
+    assert len([f for f in os.listdir(sd) if f.endswith(".parquet")]) == n_files
