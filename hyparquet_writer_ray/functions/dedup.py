@@ -326,7 +326,8 @@ def minhash_lsh_pairs(
     concurrency=2,
     sig_dir: str | None = None,
     max_bucket: int = 256,
-    num_partitions: int = 8,
+    num_partitions: int = 8,  # retained for API stability; the
+    # tag-union join partitions via its groupby shuffles
 ):
     """Near-duplicate candidate pairs with estimated Jaccard >= threshold.
 
@@ -673,7 +674,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     concurrency=2,
     grams_dir: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int = 8,  # retained for API stability (groupby-partitioned)
 ):
     """EXACT word-k-gram Jaccard for candidate pairs.
 

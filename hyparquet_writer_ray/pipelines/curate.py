@@ -35,7 +35,7 @@ def curate_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     opts: Optional[WriteOptions] = None,
-    num_partitions: int = 8,
+    num_partitions: int = 8,  # retained for API stability (dedup is join-free now)
 ):
     """Dedup + quality-filter ``ds``; optionally encode the survivors
     to ``out_dir`` as parquet parts. Returns the curated Dataset
