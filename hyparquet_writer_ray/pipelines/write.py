@@ -393,6 +393,11 @@ def write_parquet_dataset(
 ) -> dict:
     """Partitioned parquet output with lineage manifest + resume.
 
+    For maximum throughput feed this a dataset from
+    :func:`read_parquet_fused`: the read then fuses with the encode into
+    one task and input bytes never transit the object store
+    (measured 3.8x end-to-end, BASELINE.md).
+
     Each input block becomes ``part-<content_hash>.parquet``; reruns of
     the same input skip parts whose files already exist (verified
     through the manifest), giving partition-granular resumability.
