@@ -4,7 +4,10 @@ engine with the capabilities of hyparam/hyparquet-writer (see SURVEY.md).
 Local (single-process) API: write_table / write_table_to_bytes /
 ParquetWriter / write_rows. Distributed API: pipelines.write.
 """
+from .core.bufwriter import BufWriter
+from .core.geo import geojson_to_wkb, wkb_to_geojson
 from .core.options import ColumnSpec, WriteOptions
+from .core.schema import schema_from_arrow
 from .core.types import Codec, Encoding
 from .local import (
     ParquetWriter,
@@ -25,6 +28,10 @@ from .pipelines.write import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "BufWriter",
+    "geojson_to_wkb",
+    "wkb_to_geojson",
+    "schema_from_arrow",
     "ColumnSpec",
     "WriteOptions",
     "Codec",
