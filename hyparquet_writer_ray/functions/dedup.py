@@ -62,27 +62,57 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
     )
 
 
-def exact_dedup_rows(ds, key: str = "text", id_col: str = "doc_id"):
+def exact_dedup_rows(ds, key: str = "text", id_col: str = "doc_id",
+                     num_buckets: int = 256):
     """Keep the FULL min-id row per distinct ``key`` value — one
     shuffle of the rows keyed by the 128-bit content hash, no second
     join to recover survivors (the join-free shape for pipelines that
-    need the surviving rows, e.g. curation)."""
+    need the surviving rows, e.g. curation).
+
+    The shuffle groups on ``hash % num_buckets`` (a CONSTANT group
+    count — one Python call per bucket, not per distinct document);
+    each bucket dedups vectorized (lexsort by the 128-bit key, per-key
+    min id via reduceat)."""
     import numpy as np
+
+    NB = max(int(num_buckets), 1)
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hi, lo = _text_hash128(batch.column(key).to_pylist())
-        return batch.append_column("__h1", pa.array(hi, pa.int64())).append_column(
+        h1 = pa.array(hi, pa.int64())
+        bucket = pa.compute.fill_null(
+            pa.compute.bit_wise_and(h1, NB - 1)
+            if NB & (NB - 1) == 0
+            else pa.array([None if h is None else h % NB for h in hi], pa.int64()),
+            0,
+        )
+        return batch.append_column("__h1", h1).append_column(
             "__h2", pa.array(lo, pa.int64())
+        ).append_column("__bucket", bucket)
+
+    def keep_min_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "__h1" not in group.column_names:
+            return group
+        h1 = group.column("__h1").to_numpy(zero_copy_only=False)
+        h2 = group.column("__h2").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        # null keys (null text) are all kept: give them unique pseudo-keys
+        nulls = np.isnan(h1) if h1.dtype.kind == "f" else np.zeros(len(h1), bool)
+        h1 = np.where(nulls, -np.arange(1, len(h1) + 1), h1).astype(np.int64)
+        h2 = np.where(nulls, -np.arange(1, len(h2) + 1), np.nan_to_num(h2)).astype(np.int64)
+        order = np.lexsort((ids, h2, h1))
+        h1s, h2s, ids_s = h1[order], h2[order], ids[order]
+        first = np.ones(len(order), bool)
+        first[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        # ids ascending within each key segment (lexsort): the first row
+        # of each segment IS the min-id row
+        keep_idx = order[np.nonzero(first)[0]]
+        return group.take(pa.array(np.sort(keep_idx))).drop_columns(
+            ["__h1", "__h2", "__bucket"]
         )
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0 or id_col not in group.column_names:
-            return group
-        idx = int(np.argmin(group.column(id_col).to_numpy(zero_copy_only=False)))
-        return group.take(pa.array([idx])).drop_columns(["__h1", "__h2"])
-
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-    return hashed.groupby(["__h1", "__h2"]).map_groups(keep_min, batch_format="pyarrow")
+    return hashed.groupby("__bucket").map_groups(keep_min_bucket, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -276,7 +306,8 @@ def _sig_matrix(col, num_perm: int) -> np.ndarray:
     return np.stack([np.frombuffer(v.as_py(), "<u8") for v in col])
 
 
-def _band_rows(batch: pa.Table, bands: int, id_col: str, num_perm: int) -> pa.Table:
+def _band_rows(batch: pa.Table, bands: int, id_col: str, num_perm: int,
+               n_buckets: int = 1) -> pa.Table:
     sigs = _sig_matrix(batch.column("sig"), num_perm)
     rows_per_band = num_perm // bands
     ids = np.repeat(np.asarray(batch.column(id_col)), bands)
@@ -285,10 +316,13 @@ def _band_rows(batch: pa.Table, bands: int, id_col: str, num_perm: int) -> pa.Ta
     view = sigs.reshape(batch.num_rows, bands, rows_per_band)
     mixed = view * np.uint64(0x9E3779B97F4A7C15)
     bh = mixed.sum(axis=2, dtype=np.uint64) ^ (np.arange(bands, dtype=np.uint64) << np.uint64(56))
+    flat = bh.reshape(-1)
     return pa.table({
         id_col: pa.array(ids),
         "band": pa.array(band_idx),
-        "band_hash": pa.array(bh.reshape(-1)),
+        "band_hash": pa.array(flat),
+        # shuffle key: constant bucket count, never one group per hash
+        "bbucket": pa.array((flat % np.uint64(max(n_buckets, 1))).astype(np.int64)),
     })
 
 
@@ -326,8 +360,7 @@ def minhash_lsh_pairs(
     concurrency=2,
     sig_dir: str | None = None,
     max_bucket: int = 256,
-    num_partitions: int = 8,  # retained for API stability; the
-    # tag-union join partitions via its groupby shuffles
+    num_partitions: int = 8,  # join bucket count (doc%N / hash(a,b)%N)
 ):
     """Near-duplicate candidate pairs with estimated Jaccard >= threshold.
 
@@ -376,62 +409,93 @@ def minhash_lsh_pairs(
     def _sig_ds():
         return ray.data.read_parquet(sig_dir)
 
+    # shuffle on a constant-count bucket of the band hash — one Python
+    # call per bucket, not per distinct band hash (at 10^12 docs there
+    # are ~10^13 band hashes); inside a bucket, only COLLIDING hash
+    # segments (actual candidate clusters) are touched.
+    NBB = max(int(num_partitions) * 32, 256)
     band_rows = _sig_ds().map_batches(
-        lambda b: _band_rows(b, bands, id_col, num_perm),
+        lambda b: _band_rows(b, bands, id_col, num_perm, n_buckets=NBB),
         batch_format="pyarrow", zero_copy_batch=True,
     )
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column(id_col).to_pylist())
-        n = len(ids)
-        a, b, star = [], [], []
-        if n > max_bucket:
-            # star policy: linear in bucket size, keeps the cluster
-            # connected via the min-id representative; flagged so
-            # downstream can count/inspect hot buckets.
-            import logging
+    def emit_pairs_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "from_oversized": pa.array([], pa.bool_()),
+        })
+        if group.num_columns == 0 or group.num_rows == 0:
+            return empty
+        bh = group.column("band_hash").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bh))
+        bh_s, ids_s = bh[order], ids[order]
+        new = np.ones(len(order), bool)
+        new[1:] = bh_s[1:] != bh_s[:-1]
+        seg_start = np.nonzero(new)[0]
+        seg_end = np.append(seg_start[1:], len(order))
+        sizes = seg_end - seg_start
+        out_a, out_b, out_star = [], [], []
+        for si in np.nonzero(sizes >= 2)[0]:
+            seg_ids = ids_s[seg_start[si] : seg_end[si]]  # sorted asc
+            n = len(seg_ids)
+            if n > max_bucket:
+                # star policy: linear in cluster size, keeps the cluster
+                # connected via the min-id representative; flagged so
+                # downstream can count/inspect hot buckets.
+                import logging
 
-            logging.getLogger(__name__).warning(
-                "minhash_lsh_pairs: bucket of %d ids > max_bucket=%d; "
-                "emitting %d star pairs instead of %d all-pairs",
-                n, max_bucket, n - 1, n * (n - 1) // 2,
-            )
-            rep = ids[0]
-            for x in ids[1:]:
-                a.append(rep)
-                b.append(x)
-                star.append(True)
-        else:
-            for i in range(n):
-                for j in range(i + 1, n):
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    star.append(False)
+                logging.getLogger(__name__).warning(
+                    "minhash_lsh_pairs: band cluster of %d ids > "
+                    "max_bucket=%d; emitting %d star pairs instead of %d "
+                    "all-pairs", n, max_bucket, n - 1, n * (n - 1) // 2,
+                )
+                out_a.append(np.full(n - 1, seg_ids[0]))
+                out_b.append(seg_ids[1:])
+                out_star.append(np.ones(n - 1, bool))
+            else:
+                iu = np.triu_indices(n, 1)
+                out_a.append(seg_ids[iu[0]])
+                out_b.append(seg_ids[iu[1]])
+                out_star.append(np.zeros(len(iu[0]), bool))
+        if not out_a:
+            return empty
         return pa.table({
-            "a": pa.array(a, pa.int64()),
-            "b": pa.array(b, pa.int64()),
-            "from_oversized": pa.array(star, pa.bool_()),
+            "a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "b": pa.array(np.concatenate(out_b).astype(np.int64)),
+            "from_oversized": pa.array(np.concatenate(out_star)),
         })
 
-    pairs = band_rows.groupby("band_hash").map_groups(emit_pairs, batch_format="pyarrow")
+    pairs = band_rows.groupby("bbucket").map_groups(
+        emit_pairs_bucket, batch_format="pyarrow"
+    )
 
-    # tag-union join: every pair contributes two mention rows keyed by
-    # one side's doc id; the sig checkpoint contributes one payload row
-    # per doc (side = -1). One groupby on doc attaches the signature to
-    # each mention; a second groupby on (a, b) brings the two sides of
-    # each pair together, dedups band duplicates, and verifies.
+    # tag-union hash join, BUCKETED: pair mentions and sig payload rows
+    # share a `bucket = doc % num_partitions` key, so the groupby has a
+    # CONSTANT number of groups (never one Python call per doc — at
+    # 10^12 docs a per-doc map_groups would be 10^12 UDF calls) and the
+    # within-bucket join is a vectorized sort + searchsorted. A second
+    # bucketed groupby on hash(a, b) brings the two sides of each pair
+    # together, dedups band duplicates, and verifies.
+    NB = max(int(num_partitions), 1)
+
     def mentions(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
             return _MENTION_SCHEMA.empty_table()
-        a = batch.column("a")
-        b = batch.column("b")
-        fo = batch.column("from_oversized")
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        fo = batch.column("from_oversized").combine_chunks()
         n = batch.num_rows
+        doc = pa.concat_arrays([a, b])
         return pa.table({
-            "doc": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
-            "a": pa.concat_arrays([a.combine_chunks(), a.combine_chunks()]),
-            "b": pa.concat_arrays([b.combine_chunks(), b.combine_chunks()]),
-            "from_oversized": pa.concat_arrays([fo.combine_chunks(), fo.combine_chunks()]),
+            "bucket": pa.array(
+                doc.to_numpy(zero_copy_only=False) % NB, pa.int64()
+            ),
+            "doc": doc,
+            "a": pa.concat_arrays([a, a]),
+            "b": pa.concat_arrays([b, b]),
+            "from_oversized": pa.concat_arrays([fo, fo]),
             "side": pa.array([0] * n + [1] * n, pa.int64()),
             "sig": pa.array([None] * (2 * n), pa.binary()),
         })
@@ -439,6 +503,9 @@ def minhash_lsh_pairs(
     def sig_payload(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table({
+            "bucket": pa.array(
+                batch.column(id_col).to_numpy(zero_copy_only=False) % NB, pa.int64()
+            ),
             "doc": batch.column(id_col),
             "a": pa.array([-1] * n, pa.int64()),
             "b": pa.array([-1] * n, pa.int64()),
@@ -453,59 +520,108 @@ def minhash_lsh_pairs(
         _sig_ds().map_batches(sig_payload, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def attach(group: pa.Table) -> pa.Table:
+    def attach_bucket(group: pa.Table) -> pa.Table:
+        """Vectorized within-bucket join: mention rows pick up their
+        doc's signature via searchsorted against the bucket's payload
+        rows. Output carries `pbucket = hash(a,b) % NB` for stage 2."""
+        if group.num_columns == 0 or group.num_rows == 0:
+            return _ATTACHED_SCHEMA.empty_table()
         side = group.column("side").to_numpy(zero_copy_only=False)
-        payload = np.nonzero(side == -1)[0]
+        docs = group.column("doc").to_numpy(zero_copy_only=False)
+        pay = np.nonzero(side == -1)[0]
         ment = np.nonzero(side >= 0)[0]
-        if not len(payload) or not len(ment):  # doc in no pair, or no sig
-            return _MENTION_SCHEMA.empty_table()
-        sig_val = group.column("sig")[int(payload[0])].as_py()
-        sel = group.take(pa.array(ment))
+        if not len(pay) or not len(ment):
+            return _ATTACHED_SCHEMA.empty_table()
+        order = np.argsort(docs[pay])
+        pdocs = docs[pay][order]
+        pay_sorted = pay[order]
+        pos = np.searchsorted(pdocs, docs[ment])
+        pos = np.minimum(pos, len(pdocs) - 1)
+        ok = pdocs[pos] == docs[ment]
+        keep = ment[ok]
+        src = pay_sorted[pos[ok]]
+        sel = group.take(pa.array(keep))
+        a = sel.column("a").to_numpy(zero_copy_only=False)
+        b = sel.column("b").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            pb = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                   ^ b.astype(np.uint64)) % np.uint64(NB)).astype(np.int64)
         return pa.table({
-            "doc": sel.column("doc"),
+            "pbucket": pa.array(pb),
             "a": sel.column("a"),
             "b": sel.column("b"),
             "from_oversized": sel.column("from_oversized"),
             "side": sel.column("side"),
-            "sig": pa.array([sig_val] * len(ment), pa.binary()),
+            "sig": group.column("sig").take(pa.array(src)),
         })
 
-    attached = tagged.groupby("doc").map_groups(attach, batch_format="pyarrow")
+    attached = tagged.groupby("bucket").map_groups(attach_bucket, batch_format="pyarrow")
 
-    def combine(group: pa.Table) -> pa.Table:
+    def combine_bucket(group: pa.Table) -> pa.Table:
+        """Vectorized pair assembly: first occurrence per (a, b, side),
+        pairs with both sides verify by rowwise signature agreement."""
         empty = pa.table({
             "a": pa.array([], pa.int64()),
             "b": pa.array([], pa.int64()),
             "jaccard_est": pa.array([], pa.float64()),
             "from_oversized": pa.array([], pa.bool_()),
         })
-        if group.num_rows == 0:
+        if group.num_columns == 0 or group.num_rows == 0:
             return empty
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
         side = group.column("side").to_numpy(zero_copy_only=False)
-        ia = np.nonzero(side == 0)[0]
-        ib = np.nonzero(side == 1)[0]
-        if not len(ia) or not len(ib):  # one side lost its signature
+        fo = group.column("from_oversized").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, b, a))
+        a_s, b_s, side_s = a[order], b[order], side[order]
+        new_pair = np.ones(len(order), bool)
+        new_pair[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        pair_seg = np.cumsum(new_pair) - 1
+        # per-pair any(from_oversized) across band duplicates
+        npairs = int(pair_seg[-1]) + 1
+        fo_any = np.zeros(npairs, bool)
+        np.logical_or.at(fo_any, pair_seg, fo[order])
+        # first row per (pair, side)
+        new_ps = np.ones(len(order), bool)
+        new_ps[1:] = new_pair[1:] | (side_s[1:] != side_s[:-1])
+        firsts = np.nonzero(new_ps)[0]
+        f_pair = pair_seg[firsts]
+        f_side = side_s[firsts]
+        # a pair is complete when it has a side-0 AND a side-1 first row
+        idx0 = np.full(npairs, -1, np.int64)
+        idx1 = np.full(npairs, -1, np.int64)
+        m0 = f_side == 0
+        idx0[f_pair[m0]] = firsts[m0]
+        m1 = f_side == 1
+        idx1[f_pair[m1]] = firsts[m1]
+        complete = (idx0 >= 0) & (idx1 >= 0)
+        if not complete.any():
             return empty
-        sa = np.frombuffer(group.column("sig")[int(ia[0])].as_py(), "<u8")
-        sb = np.frombuffer(group.column("sig")[int(ib[0])].as_py(), "<u8")
-        j = float((sa == sb).mean())
-        if j < threshold:
-            return empty
-        fo = bool(
-            pa.compute.any(group.column("from_oversized")).as_py() or False
-        )
+        take0 = pa.array(order[idx0[complete]])
+        take1 = pa.array(order[idx1[complete]])
+        sa = _sig_matrix(group.column("sig").take(take0), num_perm)
+        sb = _sig_matrix(group.column("sig").take(take1), num_perm)
+        j = (sa == sb).mean(axis=1)
+        keep = j >= threshold
+        rows0 = group.take(take0)
         return pa.table({
-            "a": group.column("a").slice(0, 1),
-            "b": group.column("b").slice(0, 1),
-            "jaccard_est": pa.array([j], pa.float64()),
-            "from_oversized": pa.array([fo], pa.bool_()),
+            "a": rows0.column("a").filter(pa.array(keep)),
+            "b": rows0.column("b").filter(pa.array(keep)),
+            "jaccard_est": pa.array(j[keep], pa.float64()),
+            "from_oversized": pa.array(fo_any[complete][keep]),
         })
 
-    return attached.groupby(["a", "b"]).map_groups(combine, batch_format="pyarrow")
+    return attached.groupby("pbucket").map_groups(combine_bucket, batch_format="pyarrow")
 
 
 _MENTION_SCHEMA = pa.schema([
-    ("doc", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+    ("bucket", pa.int64()), ("doc", pa.int64()), ("a", pa.int64()),
+    ("b", pa.int64()), ("from_oversized", pa.bool_()), ("side", pa.int64()),
+    ("sig", pa.binary()),
+])
+
+_ATTACHED_SCHEMA = pa.schema([
+    ("pbucket", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
     ("from_oversized", pa.bool_()), ("side", pa.int64()), ("sig", pa.binary()),
 ])
 
@@ -701,16 +817,20 @@ def ngram_jaccard_pairs(
         grams_dir = tempfile.mkdtemp(prefix="ngram_sets_")
     _checkpoint_dataset(sets, grams_dir)
 
-    # tag-union distributed join (same shape as minhash verification —
-    # Ray's experimental Dataset.join mishandles empty partitions)
+    # bucketed tag-union hash join (same shape as minhash verification:
+    # constant group count, vectorized within-bucket searchsorted join)
+    NB = max(int(num_partitions), 1)
+
     def mentions(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
             return _GRAM_MENTION_SCHEMA.empty_table()
         a = batch.column("a").combine_chunks()
         b = batch.column("b").combine_chunks()
         n = batch.num_rows
+        doc = pa.concat_arrays([a, b])
         return pa.table({
-            "doc": pa.concat_arrays([a, b]),
+            "bucket": pa.array(doc.to_numpy(zero_copy_only=False) % NB, pa.int64()),
+            "doc": doc,
             "a": pa.concat_arrays([a, a]),
             "b": pa.concat_arrays([b, b]),
             "side": pa.array([0] * n + [1] * n, pa.int64()),
@@ -720,6 +840,9 @@ def ngram_jaccard_pairs(
     def gram_payload(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table({
+            "bucket": pa.array(
+                batch.column(id_col).to_numpy(zero_copy_only=False) % NB, pa.int64()
+            ),
             "doc": batch.column(id_col),
             "a": pa.array([-1] * n, pa.int64()),
             "b": pa.array([-1] * n, pa.int64()),
@@ -735,55 +858,101 @@ def ngram_jaccard_pairs(
         )
     )
 
-    def attach(group: pa.Table) -> pa.Table:
+    def attach_bucket(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return _GRAM_ATTACHED_SCHEMA.empty_table()
         side = group.column("side").to_numpy(zero_copy_only=False)
-        payload = np.nonzero(side == -1)[0]
+        docs = group.column("doc").to_numpy(zero_copy_only=False)
+        glens = pa.compute.binary_length(
+            pa.compute.fill_null(group.column("grams"), b"")
+        ).to_numpy(zero_copy_only=False)
+        # docs shorter than k words have empty gram sets: inner-join
+        # semantics drop their pairs (the SQL oracle's len(g) > 0)
+        pay = np.nonzero((side == -1) & (glens > 0))[0]
         ment = np.nonzero(side >= 0)[0]
-        if not len(payload) or not len(ment):
-            return _GRAM_MENTION_SCHEMA.empty_table()
-        g = group.column("grams")[int(payload[0])].as_py()
-        if not g:  # doc shorter than k words: no grams, drop its pairs
-            return _GRAM_MENTION_SCHEMA.empty_table()
-        sel = group.take(pa.array(ment))
+        if not len(pay) or not len(ment):
+            return _GRAM_ATTACHED_SCHEMA.empty_table()
+        order = np.argsort(docs[pay])
+        pdocs = docs[pay][order]
+        pay_sorted = pay[order]
+        pos = np.searchsorted(pdocs, docs[ment])
+        pos = np.minimum(pos, len(pdocs) - 1)
+        ok = pdocs[pos] == docs[ment]
+        keep = ment[ok]
+        src = pay_sorted[pos[ok]]
+        sel = group.take(pa.array(keep))
+        a = sel.column("a").to_numpy(zero_copy_only=False)
+        b = sel.column("b").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            pb = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                   ^ b.astype(np.uint64)) % np.uint64(NB)).astype(np.int64)
         return pa.table({
-            "doc": sel.column("doc"),
+            "pbucket": pa.array(pb),
             "a": sel.column("a"),
             "b": sel.column("b"),
             "side": sel.column("side"),
-            "grams": pa.array([g] * len(ment), pa.binary()),
+            "grams": group.column("grams").take(pa.array(src)),
         })
 
-    attached = tagged.groupby("doc").map_groups(attach, batch_format="pyarrow")
+    attached = tagged.groupby("bucket").map_groups(attach_bucket, batch_format="pyarrow")
 
-    def combine(group: pa.Table) -> pa.Table:
+    def combine_bucket(group: pa.Table) -> pa.Table:
         empty = pa.table({
             "a": pa.array([], pa.int64()),
             "b": pa.array([], pa.int64()),
             "jaccard": pa.array([], pa.float64()),
         })
-        if group.num_rows == 0:
+        if group.num_columns == 0 or group.num_rows == 0:
             return empty
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
         side = group.column("side").to_numpy(zero_copy_only=False)
-        ia = np.nonzero(side == 0)[0]
-        ib = np.nonzero(side == 1)[0]
-        if not len(ia) or not len(ib):
+        order = np.lexsort((side, b, a))
+        a_s, b_s, side_s = a[order], b[order], side[order]
+        new_pair = np.ones(len(order), bool)
+        new_pair[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        pair_seg = np.cumsum(new_pair) - 1
+        npairs = int(pair_seg[-1]) + 1
+        new_ps = np.ones(len(order), bool)
+        new_ps[1:] = new_pair[1:] | (side_s[1:] != side_s[:-1])
+        firsts = np.nonzero(new_ps)[0]
+        idx0 = np.full(npairs, -1, np.int64)
+        idx1 = np.full(npairs, -1, np.int64)
+        m0 = side_s[firsts] == 0
+        idx0[pair_seg[firsts][m0]] = firsts[m0]
+        m1 = side_s[firsts] == 1
+        idx1[pair_seg[firsts][m1]] = firsts[m1]
+        complete = (idx0 >= 0) & (idx1 >= 0)
+        if not complete.any():
             return empty
-        va = np.frombuffer(group.column("grams")[int(ia[0])].as_py(), "<u8")
-        vb = np.frombuffer(group.column("grams")[int(ib[0])].as_py(), "<u8")
-        inter = len(np.intersect1d(va, vb, assume_unique=True))
-        j = inter / (len(va) + len(vb) - inter)
-        if j < threshold:
-            return empty
+        grams = group.column("grams")
+        a_ids, b_ids, js = [], [], []
+        for p0, p1 in zip(order[idx0[complete]], order[idx1[complete]]):
+            # python loop ONLY over candidate pairs (bounded by the LSH
+            # pass), never over docs
+            va = np.frombuffer(grams[int(p0)].as_py(), "<u8")
+            vb = np.frombuffer(grams[int(p1)].as_py(), "<u8")
+            inter = len(np.intersect1d(va, vb, assume_unique=True))
+            j = inter / (len(va) + len(vb) - inter)
+            if j >= threshold:
+                a_ids.append(int(a[p0]))
+                b_ids.append(int(b[p0]))
+                js.append(j)
         return pa.table({
-            "a": group.column("a").slice(0, 1),
-            "b": group.column("b").slice(0, 1),
-            "jaccard": pa.array([j], pa.float64()),
+            "a": pa.array(a_ids, pa.int64()),
+            "b": pa.array(b_ids, pa.int64()),
+            "jaccard": pa.array(js, pa.float64()),
         })
 
-    return attached.groupby(["a", "b"]).map_groups(combine, batch_format="pyarrow")
+    return attached.groupby("pbucket").map_groups(combine_bucket, batch_format="pyarrow")
 
 
 _GRAM_MENTION_SCHEMA = pa.schema([
-    ("doc", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+    ("bucket", pa.int64()), ("doc", pa.int64()), ("a", pa.int64()),
+    ("b", pa.int64()), ("side", pa.int64()), ("grams", pa.binary()),
+])
+
+_GRAM_ATTACHED_SCHEMA = pa.schema([
+    ("pbucket", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
     ("side", pa.int64()), ("grams", pa.binary()),
 ])

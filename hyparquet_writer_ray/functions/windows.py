@@ -142,44 +142,70 @@ def sessionize(
     ts_col: str = "ts",
     gap_seconds: int = 1800,
     sort: bool = True,
+    num_buckets: int = 256,
 ):
     """Gap-based sessionization: events of one key belong to the same
     session while consecutive gaps are <= ``gap_seconds``.
 
-    Scale shape: ONE shuffle (groupby on the key); each group is
-    sessionized vectorized (sort by ts, diff > gap -> session breaks,
-    cumsum -> session ids, reduceat -> per-session aggregates). Skewed
-    keys are bounded: a key's group holds only its own events.
+    Scale shape: ONE shuffle, grouped on ``key % num_buckets`` — a
+    CONSTANT group count (one Python call per bucket, never per key);
+    each bucket sessionizes ALL its keys vectorized (lexsort by
+    (key, ts), breaks at key change or gap, reduceat-style segment
+    aggregates). Skewed keys are bounded: a bucket holds only its own
+    keys' events.
 
     Returns (key, session_id:int64 per-key 0-based, n_events,
     s_start:int64 epoch-seconds, s_end:int64)."""
+    NB = max(int(num_buckets), 1)
 
-    def per_key(group: pa.Table) -> pa.Table:
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return batch.append_column("__bucket", pa.array(k % NB, pa.int64()))
+
+    def sess_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key_col: pa.array([], pa.int64()),
+            "session_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "s_start": pa.array([], pa.int64()),
+            "s_end": pa.array([], pa.int64()),
+        })
+        if group.num_columns == 0 or group.num_rows == 0:
+            return empty
+        keys = group.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         ts = group.column(ts_col)
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
-        us = np.sort(ts.cast(pa.int64()).to_numpy(zero_copy_only=False))
-        sec = us // 1_000_000
-        breaks = np.zeros(len(sec), bool)
-        if len(sec) > 1:
-            breaks[1:] = np.diff(sec) > gap_seconds
-        sid = np.cumsum(breaks)
-        n_sessions = int(sid[-1]) + 1 if len(sid) else 0
-        counts = np.bincount(sid, minlength=n_sessions)
-        seg_starts = np.cumsum(counts) - counts
-        s_start = sec[seg_starts]
-        s_end = sec[np.cumsum(counts) - 1]
-        key_val = group.column(key_col)[0].as_py()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(keys)
+        order = np.lexsort((us, keys))
+        k_s = keys[order]
+        sec_s = us[order] // 1_000_000
+        brk = np.ones(n, bool)
+        if n > 1:
+            same_key = k_s[1:] == k_s[:-1]
+            brk[1:] = ~same_key | ((sec_s[1:] - sec_s[:-1]) > gap_seconds)
+        seg_start = np.nonzero(brk)[0]
+        seg_end = np.append(seg_start[1:], n)
+        counts = seg_end - seg_start
+        sess_key = k_s[seg_start]
+        # per-key 0-based session numbering
+        nseg = len(seg_start)
+        seg_idx = np.arange(nseg)
+        key_first = np.ones(nseg, bool)
+        key_first[1:] = sess_key[1:] != sess_key[:-1]
+        firsts = seg_idx[key_first]
+        base = np.repeat(firsts, np.diff(np.append(firsts, nseg)))
         return pa.table({
-            key_col: pa.array([key_val] * n_sessions,
-                              type=group.column(key_col).type),
-            "session_id": pa.array(np.arange(n_sessions, dtype=np.int64)),
+            key_col: pa.array(sess_key),
+            "session_id": pa.array(seg_idx - base),
             "n_events": pa.array(counts.astype(np.int64)),
-            "s_start": pa.array(s_start.astype(np.int64)),
-            "s_end": pa.array(s_end.astype(np.int64)),
+            "s_start": pa.array(sec_s[seg_start].astype(np.int64)),
+            "s_end": pa.array(sec_s[seg_end - 1].astype(np.int64)),
         })
 
-    out = ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    out = bucketed.groupby("__bucket").map_groups(sess_bucket, batch_format="pyarrow")
     if sort:
         out = out.sort([key_col, "session_id"])
     return out
