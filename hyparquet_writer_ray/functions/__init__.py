@@ -1,0 +1,36 @@
+"""Training-data operators: dedup, similarity search, text analysis,
+windows/sessions, sketches, multimodal plumbing."""
+from .dedup import (
+    MinHasher,
+    SimHasher,
+    exact_dedup,
+    exact_dedup_rows,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhashes,
+)
+from .multimodal import ImageDecodeStage, decode_images
+from .similarity import HyperplaneBucketer, ivf_topk, lsh_bucket_pairs, topk_cosine
+from .sketches import hll_distinct, hll_estimate
+from .text import (
+    LangIdModel,
+    bpe_token_counts,
+    fingerprints,
+    lang_ids,
+    quality_scores,
+    rolling_fingerprints,
+    token_counts,
+    top_tokens,
+)
+from .windows import hopping_window_agg, sessionize, tumbling_window_agg
+
+__all__ = [
+    "MinHasher", "SimHasher", "exact_dedup", "exact_dedup_rows",
+    "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhashes",
+    "ImageDecodeStage", "decode_images",
+    "HyperplaneBucketer", "ivf_topk", "lsh_bucket_pairs", "topk_cosine",
+    "hll_distinct", "hll_estimate",
+    "LangIdModel", "bpe_token_counts", "fingerprints", "lang_ids",
+    "quality_scores", "rolling_fingerprints", "token_counts", "top_tokens",
+    "hopping_window_agg", "sessionize", "tumbling_window_agg",
+]

@@ -206,3 +206,42 @@ def test_minhash_sig_dir_reuse_no_duplication(ray_session, tmp_path):
     second = run()  # reuses the checkpoint
     assert second == first  # no 4x duplication
     assert len([f for f in os.listdir(sd) if f.endswith(".parquet")]) == n_files
+
+
+def test_exact_dedup_rows_matches_exact_dedup(ray_session):
+    """Property: the row-carrying dedup keeps exactly the ids the
+    id-only dedup selects, on randomized duplicated corpora."""
+    import random
+
+    import ray.data
+
+    rng = random.Random(12)
+    base = _rand_docs(40, seed=12)
+    texts, ids = [], []
+    next_id = 0
+    for t in base:
+        for _ in range(rng.randrange(1, 4)):  # 1-3 copies each
+            texts.append(t)
+            ids.append(next_id)
+            next_id += 1
+    order = list(range(len(texts)))
+    rng.shuffle(order)
+    t = pa.table({
+        "doc_id": pa.array([ids[i] for i in order], pa.int64()),
+        "text": [texts[i] for i in order],
+    })
+    ds = ray.data.from_arrow(t)
+    want = sorted(pa.concat_tables(
+        b for b in exact_dedup(ds).iter_batches(batch_size=None, batch_format="pyarrow")
+    ).column("doc_id").to_pylist())
+    from hyparquet_writer_ray.functions.dedup import exact_dedup_rows
+    got_t = pa.concat_tables(
+        b for b in exact_dedup_rows(ds).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    got = sorted(got_t.column("doc_id").to_pylist())
+    assert got == want
+    assert len(got) == 40
+    # full rows preserved: text of each kept row matches its id
+    by_id = {i: x for i, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())}
+    for i, x in zip(got_t.column("doc_id").to_pylist(), got_t.column("text").to_pylist()):
+        assert by_id[i] == x
