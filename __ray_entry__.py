@@ -423,11 +423,33 @@ def _q_dedup_exact(sf_dir: str) -> pa.Table:
 
 
 def _q_dedup_minhash(sf_dir: str) -> pa.Table:
+    """Rows-only gate made meaningful in-driver: every returned pair's
+    minhash ESTIMATE is checked against the TRUE word-3-shingle Jaccard
+    computed by an independent set implementation (64 permutations give
+    ~1/sqrt(64)=0.125 standard error; we allow 0.35)."""
     from hyparquet_writer_ray.functions.dedup import minhash_lsh_pairs
     ds = minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.5)
-    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard_est", pa.float64())])
-    t = _collect(ds, schema)
-    return t.sort_by([("a", "ascending"), ("b", "ascending")])
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard_est", pa.float64()),
+                        ("from_oversized", pa.bool_())])
+    t = _collect(ds, schema).sort_by([("a", "ascending"), ("b", "ascending")])
+
+    raw = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    texts = dict(zip(raw.column("doc_id").to_pylist(), raw.column("text").to_pylist()))
+
+    def true_jaccard(x: str, y: str) -> float:
+        def sh(s):
+            w = s.split()
+            k = min(3, max(len(w), 1))
+            return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)} or {""}
+        sx, sy = sh(x), sh(y)
+        return len(sx & sy) / len(sx | sy)
+
+    for a, b, est in zip(t.column("a").to_pylist(), t.column("b").to_pylist(),
+                         t.column("jaccard_est").to_pylist()):
+        tj = true_jaccard(texts[a], texts[b])
+        assert abs(est - tj) <= 0.35, (a, b, est, tj)
+    return t.select(["a", "b", "jaccard_est"])
 
 
 def _q_dedup_ngram(sf_dir: str) -> pa.Table:
