@@ -239,3 +239,59 @@ def read_bloom(data) -> np.ndarray:
     num_bytes = header[1]
     words = np.frombuffer(data, dtype="<u4", count=num_bytes // 4, offset=r.pos)
     return words
+
+
+def bloom_might_contain(source, column: str, value) -> list[bool]:
+    """Reader-side bloom probe: for each row group of a parquet file (a
+    path or bytes) that carries a bloom filter on ``column``, report
+    whether ``value`` MIGHT be present (False = definitely absent —
+    the row group can be skipped without reading data pages).
+
+    ``value``: int (INT32/INT64 columns), float (DOUBLE), str or bytes
+    (BYTE_ARRAY). Raises if the column has no bloom filter."""
+    from .thrift import CompactReader
+
+    if isinstance(source, str):
+        with open(source, "rb") as f:
+            buf = f.read()
+    else:
+        buf = bytes(source)
+    flen = int.from_bytes(buf[-8:-4], "little")
+    fmeta = CompactReader(buf[-8 - flen : -8]).read_struct()
+    schema_elems = fmeta[2]
+    # leaf order: schema elements with a physical type, skipping root/groups
+    leaf_names = [
+        el[4].decode() if isinstance(el[4], bytes) else el[4]
+        for el in schema_elems if el.get(1) is not None
+    ]
+    leaf_types = [el[1] for el in schema_elems if el.get(1) is not None]
+    if column not in leaf_names:
+        raise KeyError(f"no leaf column named {column!r}")
+    ci = leaf_names.index(column)
+    ptype = leaf_types[ci]
+    if isinstance(value, bool):
+        raise TypeError("bloom probe on BOOLEAN is unsupported (as in parquet)")
+    if isinstance(value, str):
+        data = value.encode()
+    elif isinstance(value, bytes):
+        data = value
+    elif isinstance(value, int):
+        width = 4 if ptype == 1 else 8  # INT32 vs INT64
+        data = value.to_bytes(width, "little", signed=True)
+    elif isinstance(value, float):
+        import struct as _struct
+
+        data = _struct.pack("<f" if ptype == 4 else "<d", value)
+    else:
+        raise TypeError(f"unsupported probe value type {type(value)}")
+    h = xxhash64(data)
+    out = []
+    for rg in fmeta[4]:
+        chunk = rg[1][ci]
+        md = chunk[3]
+        off, ln = md.get(14), md.get(15)
+        if off is None or not ln:
+            raise ValueError(f"column {column!r} has no bloom filter in a row group")
+        words = read_bloom(buf[off : off + ln])
+        out.append(bool(sbbf_check(words, h)))
+    return out

@@ -81,3 +81,30 @@ def test_bloom_in_file():
             else:  # name column (byte array)
                 assert bloom.sbbf_check(words, bloom.xxhash64(b"user-42"))
                 assert not bloom.sbbf_check(words, bloom.xxhash64(b"definitely-not-here-xyz")) or True
+
+
+def test_bloom_might_contain_utility(tmp_path):
+    import os
+
+    from hyparquet_writer_ray import ColumnSpec, WriteOptions, write_table
+    from hyparquet_writer_ray.core.bloom import bloom_might_contain
+
+    t = pa.table({
+        "id": pa.array(list(range(2000)) + list(range(50000, 52000)), pa.int64()),
+        "name": pa.array([f"u{i % 700}" for i in range(4000)]),
+    })
+    p = str(tmp_path / "b.parquet")
+    write_table(t, p, WriteOptions(row_group_size=(2000,), column_specs={
+        "id": ColumnSpec(bloom_filter=True),
+        "name": ColumnSpec(bloom_filter=True),
+    }))
+    # value present only in the second row group
+    hits = bloom_might_contain(p, "id", 51000)
+    assert hits[1] is True and hits[0] is False  # rg0 definitely lacks it
+    assert bloom_might_contain(p, "id", 10)[0] is True
+    assert bloom_might_contain(p, "name", "u42") == [True, True]
+    miss = bloom_might_contain(p, "name", "definitely-absent-value-xyz")
+    assert miss.count(True) <= 1  # fpp, not correctness
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        bloom_might_contain(p, "nope", 1)
