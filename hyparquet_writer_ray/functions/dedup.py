@@ -184,6 +184,149 @@ def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
+
+# --- shared bucketed tag-union hash join ------------------------------------
+# Pair mentions and per-doc payload rows share a `bucket = doc % nb` key,
+# so the groupby has a CONSTANT number of groups (never one Python call
+# per doc); the within-bucket join is a vectorized sort + searchsorted.
+# A second bucketed groupby on hash(a, b) brings the two sides of each
+# pair together (see _pair_sides) — used by minhash and n-gram
+# verification with different per-pair verify kernels.
+
+_ATTACH_PAYLOAD = "payload"
+
+_MENTION_SCHEMA = pa.schema([
+    ("bucket", pa.int64()), ("doc", pa.int64()), ("a", pa.int64()),
+    ("b", pa.int64()), ("from_oversized", pa.bool_()), ("side", pa.int64()),
+    (_ATTACH_PAYLOAD, pa.binary()),
+])
+
+_ATTACHED_SCHEMA = pa.schema([
+    ("pbucket", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+    ("from_oversized", pa.bool_()), ("side", pa.int64()),
+    (_ATTACH_PAYLOAD, pa.binary()),
+])
+
+
+def _bucketed_pair_attach(pairs, payload_ds, *, payload_col: str,
+                          id_col: str, nb: int):
+    """pairs (a, b[, from_oversized]) x payload (id_col, payload_col)
+    -> Dataset (pbucket, a, b, from_oversized, side, payload): each pair
+    appears as two rows, one per side, carrying that side's payload.
+    Payload rows with empty/null payload are inner-join-dropped."""
+
+    def mentions(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return _MENTION_SCHEMA.empty_table()
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        n = batch.num_rows
+        if "from_oversized" in batch.column_names:
+            fo = batch.column("from_oversized").combine_chunks()
+        else:
+            fo = pa.array([False] * n, pa.bool_())
+        doc = pa.concat_arrays([a, b])
+        return pa.table({
+            "bucket": pa.array(doc.to_numpy(zero_copy_only=False) % nb, pa.int64()),
+            "doc": doc,
+            "a": pa.concat_arrays([a, a]),
+            "b": pa.concat_arrays([b, b]),
+            "from_oversized": pa.concat_arrays([fo, fo]),
+            "side": pa.array([0] * n + [1] * n, pa.int64()),
+            _ATTACH_PAYLOAD: pa.array([None] * (2 * n), pa.binary()),
+        })
+
+    def payload_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "bucket": pa.array(
+                batch.column(id_col).to_numpy(zero_copy_only=False) % nb, pa.int64()
+            ),
+            "doc": batch.column(id_col),
+            "a": pa.array([-1] * n, pa.int64()),
+            "b": pa.array([-1] * n, pa.int64()),
+            "from_oversized": pa.array([False] * n, pa.bool_()),
+            "side": pa.array([-1] * n, pa.int64()),
+            _ATTACH_PAYLOAD: batch.column(payload_col).cast(pa.binary()),
+        })
+
+    tagged = pairs.map_batches(
+        mentions, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        payload_ds.map_batches(payload_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def attach_bucket(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return _ATTACHED_SCHEMA.empty_table()
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        docs = group.column("doc").to_numpy(zero_copy_only=False)
+        plens = pa.compute.binary_length(
+            pa.compute.fill_null(group.column(_ATTACH_PAYLOAD), b"")
+        ).to_numpy(zero_copy_only=False)
+        pay = np.nonzero((side == -1) & (plens > 0))[0]
+        ment = np.nonzero(side >= 0)[0]
+        if not len(pay) or not len(ment):
+            return _ATTACHED_SCHEMA.empty_table()
+        order = np.argsort(docs[pay])
+        pdocs = docs[pay][order]
+        pay_sorted = pay[order]
+        pos = np.searchsorted(pdocs, docs[ment])
+        pos = np.minimum(pos, len(pdocs) - 1)
+        ok = pdocs[pos] == docs[ment]
+        keep = ment[ok]
+        src = pay_sorted[pos[ok]]
+        sel = group.take(pa.array(keep))
+        a = sel.column("a").to_numpy(zero_copy_only=False)
+        b = sel.column("b").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            pb = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                   ^ b.astype(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return pa.table({
+            "pbucket": pa.array(pb),
+            "a": sel.column("a"),
+            "b": sel.column("b"),
+            "from_oversized": sel.column("from_oversized"),
+            "side": sel.column("side"),
+            _ATTACH_PAYLOAD: group.column(_ATTACH_PAYLOAD).take(pa.array(src)),
+        })
+
+    return tagged.groupby("bucket").map_groups(attach_bucket, batch_format="pyarrow")
+
+
+def _pair_sides(group: pa.Table):
+    """For a combine bucket: indices (into the group) of the first
+    side-0 and side-1 row of every complete pair, plus per-pair
+    any(from_oversized). Returns (take0, take1, fo_any) or None."""
+    a = group.column("a").to_numpy(zero_copy_only=False)
+    b = group.column("b").to_numpy(zero_copy_only=False)
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    fo = group.column("from_oversized").to_numpy(zero_copy_only=False)
+    order = np.lexsort((side, b, a))
+    a_s, b_s, side_s = a[order], b[order], side[order]
+    new_pair = np.ones(len(order), bool)
+    new_pair[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    pair_seg = np.cumsum(new_pair) - 1
+    npairs = int(pair_seg[-1]) + 1
+    fo_any = np.zeros(npairs, bool)
+    np.logical_or.at(fo_any, pair_seg, fo[order])
+    new_ps = np.ones(len(order), bool)
+    new_ps[1:] = new_pair[1:] | (side_s[1:] != side_s[:-1])
+    firsts = np.nonzero(new_ps)[0]
+    f_pair = pair_seg[firsts]
+    f_side = side_s[firsts]
+    idx0 = np.full(npairs, -1, np.int64)
+    idx1 = np.full(npairs, -1, np.int64)
+    m0 = f_side == 0
+    idx0[f_pair[m0]] = firsts[m0]
+    m1 = f_side == 1
+    idx1[f_pair[m1]] = firsts[m1]
+    complete = (idx0 >= 0) & (idx1 >= 0)
+    if not complete.any():
+        return None
+    return order[idx0[complete]], order[idx1[complete]], fo_any[complete]
+
+
 class MinHasher:
     """Stateful actor stage: permutation parameters built once per actor."""
 
@@ -471,95 +614,15 @@ def minhash_lsh_pairs(
         emit_pairs_bucket, batch_format="pyarrow"
     )
 
-    # tag-union hash join, BUCKETED: pair mentions and sig payload rows
-    # share a `bucket = doc % num_partitions` key, so the groupby has a
-    # CONSTANT number of groups (never one Python call per doc — at
-    # 10^12 docs a per-doc map_groups would be 10^12 UDF calls) and the
-    # within-bucket join is a vectorized sort + searchsorted. A second
-    # bucketed groupby on hash(a, b) brings the two sides of each pair
-    # together, dedups band duplicates, and verifies.
-    NB = max(int(num_partitions), 1)
-
-    def mentions(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0 or batch.num_rows == 0:
-            return _MENTION_SCHEMA.empty_table()
-        a = batch.column("a").combine_chunks()
-        b = batch.column("b").combine_chunks()
-        fo = batch.column("from_oversized").combine_chunks()
-        n = batch.num_rows
-        doc = pa.concat_arrays([a, b])
-        return pa.table({
-            "bucket": pa.array(
-                doc.to_numpy(zero_copy_only=False) % NB, pa.int64()
-            ),
-            "doc": doc,
-            "a": pa.concat_arrays([a, a]),
-            "b": pa.concat_arrays([b, b]),
-            "from_oversized": pa.concat_arrays([fo, fo]),
-            "side": pa.array([0] * n + [1] * n, pa.int64()),
-            "sig": pa.array([None] * (2 * n), pa.binary()),
-        })
-
-    def sig_payload(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table({
-            "bucket": pa.array(
-                batch.column(id_col).to_numpy(zero_copy_only=False) % NB, pa.int64()
-            ),
-            "doc": batch.column(id_col),
-            "a": pa.array([-1] * n, pa.int64()),
-            "b": pa.array([-1] * n, pa.int64()),
-            "from_oversized": pa.array([False] * n, pa.bool_()),
-            "side": pa.array([-1] * n, pa.int64()),
-            "sig": batch.column("sig"),
-        })
-
-    tagged = pairs.map_batches(
-        mentions, batch_format="pyarrow", zero_copy_batch=True
-    ).union(
-        _sig_ds().map_batches(sig_payload, batch_format="pyarrow", zero_copy_batch=True)
+    # bucketed tag-union hash join: attach each side's signature, then
+    # assemble per-pair in a second bucketed groupby (dedups band
+    # duplicates) and verify by rowwise signature agreement.
+    attached = _bucketed_pair_attach(
+        pairs, _sig_ds(), payload_col="sig", id_col=id_col,
+        nb=max(int(num_partitions), 1),
     )
 
-    def attach_bucket(group: pa.Table) -> pa.Table:
-        """Vectorized within-bucket join: mention rows pick up their
-        doc's signature via searchsorted against the bucket's payload
-        rows. Output carries `pbucket = hash(a,b) % NB` for stage 2."""
-        if group.num_columns == 0 or group.num_rows == 0:
-            return _ATTACHED_SCHEMA.empty_table()
-        side = group.column("side").to_numpy(zero_copy_only=False)
-        docs = group.column("doc").to_numpy(zero_copy_only=False)
-        pay = np.nonzero(side == -1)[0]
-        ment = np.nonzero(side >= 0)[0]
-        if not len(pay) or not len(ment):
-            return _ATTACHED_SCHEMA.empty_table()
-        order = np.argsort(docs[pay])
-        pdocs = docs[pay][order]
-        pay_sorted = pay[order]
-        pos = np.searchsorted(pdocs, docs[ment])
-        pos = np.minimum(pos, len(pdocs) - 1)
-        ok = pdocs[pos] == docs[ment]
-        keep = ment[ok]
-        src = pay_sorted[pos[ok]]
-        sel = group.take(pa.array(keep))
-        a = sel.column("a").to_numpy(zero_copy_only=False)
-        b = sel.column("b").to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            pb = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                   ^ b.astype(np.uint64)) % np.uint64(NB)).astype(np.int64)
-        return pa.table({
-            "pbucket": pa.array(pb),
-            "a": sel.column("a"),
-            "b": sel.column("b"),
-            "from_oversized": sel.column("from_oversized"),
-            "side": sel.column("side"),
-            "sig": group.column("sig").take(pa.array(src)),
-        })
-
-    attached = tagged.groupby("bucket").map_groups(attach_bucket, batch_format="pyarrow")
-
     def combine_bucket(group: pa.Table) -> pa.Table:
-        """Vectorized pair assembly: first occurrence per (a, b, side),
-        pairs with both sides verify by rowwise signature agreement."""
         empty = pa.table({
             "a": pa.array([], pa.int64()),
             "b": pa.array([], pa.int64()),
@@ -568,62 +631,23 @@ def minhash_lsh_pairs(
         })
         if group.num_columns == 0 or group.num_rows == 0:
             return empty
-        a = group.column("a").to_numpy(zero_copy_only=False)
-        b = group.column("b").to_numpy(zero_copy_only=False)
-        side = group.column("side").to_numpy(zero_copy_only=False)
-        fo = group.column("from_oversized").to_numpy(zero_copy_only=False)
-        order = np.lexsort((side, b, a))
-        a_s, b_s, side_s = a[order], b[order], side[order]
-        new_pair = np.ones(len(order), bool)
-        new_pair[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
-        pair_seg = np.cumsum(new_pair) - 1
-        # per-pair any(from_oversized) across band duplicates
-        npairs = int(pair_seg[-1]) + 1
-        fo_any = np.zeros(npairs, bool)
-        np.logical_or.at(fo_any, pair_seg, fo[order])
-        # first row per (pair, side)
-        new_ps = np.ones(len(order), bool)
-        new_ps[1:] = new_pair[1:] | (side_s[1:] != side_s[:-1])
-        firsts = np.nonzero(new_ps)[0]
-        f_pair = pair_seg[firsts]
-        f_side = side_s[firsts]
-        # a pair is complete when it has a side-0 AND a side-1 first row
-        idx0 = np.full(npairs, -1, np.int64)
-        idx1 = np.full(npairs, -1, np.int64)
-        m0 = f_side == 0
-        idx0[f_pair[m0]] = firsts[m0]
-        m1 = f_side == 1
-        idx1[f_pair[m1]] = firsts[m1]
-        complete = (idx0 >= 0) & (idx1 >= 0)
-        if not complete.any():
+        sides = _pair_sides(group)
+        if sides is None:
             return empty
-        take0 = pa.array(order[idx0[complete]])
-        take1 = pa.array(order[idx1[complete]])
-        sa = _sig_matrix(group.column("sig").take(take0), num_perm)
-        sb = _sig_matrix(group.column("sig").take(take1), num_perm)
+        take0, take1, fo_any = sides
+        sa = _sig_matrix(group.column(_ATTACH_PAYLOAD).take(pa.array(take0)), num_perm)
+        sb = _sig_matrix(group.column(_ATTACH_PAYLOAD).take(pa.array(take1)), num_perm)
         j = (sa == sb).mean(axis=1)
         keep = j >= threshold
-        rows0 = group.take(take0)
+        rows0 = group.take(pa.array(take0))
         return pa.table({
             "a": rows0.column("a").filter(pa.array(keep)),
             "b": rows0.column("b").filter(pa.array(keep)),
             "jaccard_est": pa.array(j[keep], pa.float64()),
-            "from_oversized": pa.array(fo_any[complete][keep]),
+            "from_oversized": pa.array(fo_any[keep]),
         })
 
     return attached.groupby("pbucket").map_groups(combine_bucket, batch_format="pyarrow")
-
-
-_MENTION_SCHEMA = pa.schema([
-    ("bucket", pa.int64()), ("doc", pa.int64()), ("a", pa.int64()),
-    ("b", pa.int64()), ("from_oversized", pa.bool_()), ("side", pa.int64()),
-    ("sig", pa.binary()),
-])
-
-_ATTACHED_SCHEMA = pa.schema([
-    ("pbucket", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
-    ("from_oversized", pa.bool_()), ("side", pa.int64()), ("sig", pa.binary()),
-])
 
 
 # ---------------------------------------------------------------------------
@@ -817,84 +841,13 @@ def ngram_jaccard_pairs(
         grams_dir = tempfile.mkdtemp(prefix="ngram_sets_")
     _checkpoint_dataset(sets, grams_dir)
 
-    # bucketed tag-union hash join (same shape as minhash verification:
-    # constant group count, vectorized within-bucket searchsorted join)
-    NB = max(int(num_partitions), 1)
-
-    def mentions(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0 or batch.num_rows == 0:
-            return _GRAM_MENTION_SCHEMA.empty_table()
-        a = batch.column("a").combine_chunks()
-        b = batch.column("b").combine_chunks()
-        n = batch.num_rows
-        doc = pa.concat_arrays([a, b])
-        return pa.table({
-            "bucket": pa.array(doc.to_numpy(zero_copy_only=False) % NB, pa.int64()),
-            "doc": doc,
-            "a": pa.concat_arrays([a, a]),
-            "b": pa.concat_arrays([b, b]),
-            "side": pa.array([0] * n + [1] * n, pa.int64()),
-            "grams": pa.array([None] * (2 * n), pa.binary()),
-        })
-
-    def gram_payload(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table({
-            "bucket": pa.array(
-                batch.column(id_col).to_numpy(zero_copy_only=False) % NB, pa.int64()
-            ),
-            "doc": batch.column(id_col),
-            "a": pa.array([-1] * n, pa.int64()),
-            "b": pa.array([-1] * n, pa.int64()),
-            "side": pa.array([-1] * n, pa.int64()),
-            "grams": batch.column("grams"),
-        })
-
-    tagged = candidates.map_batches(
-        mentions, batch_format="pyarrow", zero_copy_batch=True
-    ).union(
-        ray.data.read_parquet(grams_dir).map_batches(
-            gram_payload, batch_format="pyarrow", zero_copy_batch=True
-        )
+    # shared bucketed tag-union hash join; exact per-pair Jaccard in
+    # the combine kernel (python loop ONLY over candidate pairs —
+    # bounded by the LSH pass — never over docs)
+    attached = _bucketed_pair_attach(
+        candidates, ray.data.read_parquet(grams_dir),
+        payload_col="grams", id_col=id_col, nb=max(int(num_partitions), 1),
     )
-
-    def attach_bucket(group: pa.Table) -> pa.Table:
-        if group.num_columns == 0 or group.num_rows == 0:
-            return _GRAM_ATTACHED_SCHEMA.empty_table()
-        side = group.column("side").to_numpy(zero_copy_only=False)
-        docs = group.column("doc").to_numpy(zero_copy_only=False)
-        glens = pa.compute.binary_length(
-            pa.compute.fill_null(group.column("grams"), b"")
-        ).to_numpy(zero_copy_only=False)
-        # docs shorter than k words have empty gram sets: inner-join
-        # semantics drop their pairs (the SQL oracle's len(g) > 0)
-        pay = np.nonzero((side == -1) & (glens > 0))[0]
-        ment = np.nonzero(side >= 0)[0]
-        if not len(pay) or not len(ment):
-            return _GRAM_ATTACHED_SCHEMA.empty_table()
-        order = np.argsort(docs[pay])
-        pdocs = docs[pay][order]
-        pay_sorted = pay[order]
-        pos = np.searchsorted(pdocs, docs[ment])
-        pos = np.minimum(pos, len(pdocs) - 1)
-        ok = pdocs[pos] == docs[ment]
-        keep = ment[ok]
-        src = pay_sorted[pos[ok]]
-        sel = group.take(pa.array(keep))
-        a = sel.column("a").to_numpy(zero_copy_only=False)
-        b = sel.column("b").to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            pb = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                   ^ b.astype(np.uint64)) % np.uint64(NB)).astype(np.int64)
-        return pa.table({
-            "pbucket": pa.array(pb),
-            "a": sel.column("a"),
-            "b": sel.column("b"),
-            "side": sel.column("side"),
-            "grams": group.column("grams").take(pa.array(src)),
-        })
-
-    attached = tagged.groupby("bucket").map_groups(attach_bucket, batch_format="pyarrow")
 
     def combine_bucket(group: pa.Table) -> pa.Table:
         empty = pa.table({
@@ -904,32 +857,15 @@ def ngram_jaccard_pairs(
         })
         if group.num_columns == 0 or group.num_rows == 0:
             return empty
+        sides = _pair_sides(group)
+        if sides is None:
+            return empty
+        take0, take1, _ = sides
+        grams = group.column(_ATTACH_PAYLOAD)
         a = group.column("a").to_numpy(zero_copy_only=False)
         b = group.column("b").to_numpy(zero_copy_only=False)
-        side = group.column("side").to_numpy(zero_copy_only=False)
-        order = np.lexsort((side, b, a))
-        a_s, b_s, side_s = a[order], b[order], side[order]
-        new_pair = np.ones(len(order), bool)
-        new_pair[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
-        pair_seg = np.cumsum(new_pair) - 1
-        npairs = int(pair_seg[-1]) + 1
-        new_ps = np.ones(len(order), bool)
-        new_ps[1:] = new_pair[1:] | (side_s[1:] != side_s[:-1])
-        firsts = np.nonzero(new_ps)[0]
-        idx0 = np.full(npairs, -1, np.int64)
-        idx1 = np.full(npairs, -1, np.int64)
-        m0 = side_s[firsts] == 0
-        idx0[pair_seg[firsts][m0]] = firsts[m0]
-        m1 = side_s[firsts] == 1
-        idx1[pair_seg[firsts][m1]] = firsts[m1]
-        complete = (idx0 >= 0) & (idx1 >= 0)
-        if not complete.any():
-            return empty
-        grams = group.column("grams")
         a_ids, b_ids, js = [], [], []
-        for p0, p1 in zip(order[idx0[complete]], order[idx1[complete]]):
-            # python loop ONLY over candidate pairs (bounded by the LSH
-            # pass), never over docs
+        for p0, p1 in zip(take0, take1):
             va = np.frombuffer(grams[int(p0)].as_py(), "<u8")
             vb = np.frombuffer(grams[int(p1)].as_py(), "<u8")
             inter = len(np.intersect1d(va, vb, assume_unique=True))
@@ -945,14 +881,3 @@ def ngram_jaccard_pairs(
         })
 
     return attached.groupby("pbucket").map_groups(combine_bucket, batch_format="pyarrow")
-
-
-_GRAM_MENTION_SCHEMA = pa.schema([
-    ("bucket", pa.int64()), ("doc", pa.int64()), ("a", pa.int64()),
-    ("b", pa.int64()), ("side", pa.int64()), ("grams", pa.binary()),
-])
-
-_GRAM_ATTACHED_SCHEMA = pa.schema([
-    ("pbucket", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
-    ("side", pa.int64()), ("grams", pa.binary()),
-])
