@@ -437,9 +437,9 @@ def _q_dedup_minhash(sf_dir: str) -> pa.Table:
                         columns=["doc_id", "text"])
     texts = dict(zip(raw.column("doc_id").to_pylist(), raw.column("text").to_pylist()))
 
-    def true_jaccard(x: str, y: str) -> float:
+    def true_jaccard(x, y) -> float:
         def sh(s):
-            w = s.split()
+            w = (s or "").split()  # null text: empty shingle sentinel
             k = min(3, max(len(w), 1))
             return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)} or {""}
         sx, sy = sh(x), sh(y)

@@ -243,21 +243,44 @@ def read_bloom(data) -> np.ndarray:
 
 def bloom_might_contain(source, column: str, value) -> list[bool]:
     """Reader-side bloom probe: for each row group of a parquet file (a
-    path or bytes) that carries a bloom filter on ``column``, report
-    whether ``value`` MIGHT be present (False = definitely absent —
-    the row group can be skipped without reading data pages).
+    path or bytes), report whether ``value`` MIGHT be present in
+    ``column`` (False = definitely absent — the row group can be
+    skipped without reading data pages). A row group that carries no
+    bloom filter on the column reports True (cannot be skipped).
 
-    ``value``: int (INT32/INT64 columns), float (DOUBLE), str or bytes
-    (BYTE_ARRAY). Raises if the column has no bloom filter."""
+    The probe bytes are derived from the COLUMN's physical type, so an
+    int probe against a DOUBLE column hashes the IEEE double bits (a
+    value-type-driven encoding would produce silent false negatives).
+    For a path source only the footer and the bloom byte ranges are
+    read — never the data pages."""
+    import struct as _struct
+
     from .thrift import CompactReader
 
     if isinstance(source, str):
         with open(source, "rb") as f:
-            buf = f.read()
-    else:
-        buf = bytes(source)
+            f.seek(0, 2)
+            size = f.tell()
+            f.seek(size - 8)
+            flen = int.from_bytes(f.read(4), "little")
+            f.seek(size - 8 - flen)
+            footer = f.read(flen)
+            fmeta = CompactReader(footer).read_struct()
+
+            def read_range(off: int, ln: int) -> bytes:
+                f.seek(off)
+                return f.read(ln)
+
+            return _bloom_probe(fmeta, read_range, column, value, _struct)
+    buf = bytes(source)
     flen = int.from_bytes(buf[-8:-4], "little")
     fmeta = CompactReader(buf[-8 - flen : -8]).read_struct()
+    return _bloom_probe(
+        fmeta, lambda off, ln: buf[off : off + ln], column, value, _struct
+    )
+
+
+def _bloom_probe(fmeta, read_range, column: str, value, _struct) -> list[bool]:
     schema_elems = fmeta[2]
     # leaf order: schema elements with a physical type, skipping root/groups
     leaf_names = [
@@ -269,21 +292,17 @@ def bloom_might_contain(source, column: str, value) -> list[bool]:
         raise KeyError(f"no leaf column named {column!r}")
     ci = leaf_names.index(column)
     ptype = leaf_types[ci]
-    if isinstance(value, bool):
+    # encode the probe by the COLUMN's physical type (parquet bloom
+    # hashes the stored representation): 1=INT32 2=INT64 4=FLOAT
+    # 5=DOUBLE 6=BYTE_ARRAY 7=FLBA
+    if ptype == 0:
         raise TypeError("bloom probe on BOOLEAN is unsupported (as in parquet)")
-    if isinstance(value, str):
-        data = value.encode()
-    elif isinstance(value, bytes):
-        data = value
-    elif isinstance(value, int):
-        width = 4 if ptype == 1 else 8  # INT32 vs INT64
-        data = value.to_bytes(width, "little", signed=True)
-    elif isinstance(value, float):
-        import struct as _struct
-
-        data = _struct.pack("<f" if ptype == 4 else "<d", value)
-    else:
-        raise TypeError(f"unsupported probe value type {type(value)}")
+    if ptype in (1, 2):
+        data = int(value).to_bytes(4 if ptype == 1 else 8, "little", signed=True)
+    elif ptype in (4, 5):
+        data = _struct.pack("<f" if ptype == 4 else "<d", float(value))
+    else:  # BYTE_ARRAY / FIXED_LEN_BYTE_ARRAY
+        data = value.encode() if isinstance(value, str) else bytes(value)
     h = xxhash64(data)
     out = []
     for rg in fmeta[4]:
@@ -291,7 +310,8 @@ def bloom_might_contain(source, column: str, value) -> list[bool]:
         md = chunk[3]
         off, ln = md.get(14), md.get(15)
         if off is None or not ln:
-            raise ValueError(f"column {column!r} has no bloom filter in a row group")
-        words = read_bloom(buf[off : off + ln])
+            out.append(True)  # no bloom here: cannot rule the value out
+            continue
+        words = read_bloom(read_range(off, ln))
         out.append(bool(sbbf_check(words, h)))
     return out

@@ -64,6 +64,8 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
 
 def exact_dedup_rows(ds, key: str = "text", id_col: str = "doc_id",
                      num_buckets: int = 256):
+    # num_buckets must scale with input: target ~250k rows per bucket
+    # (one bucket is materialized per map_groups task)
     """Keep the FULL min-id row per distinct ``key`` value — one
     shuffle of the rows keyed by the 128-bit content hash, no second
     join to recover survivors (the join-free shape for pipelines that
@@ -91,19 +93,26 @@ def exact_dedup_rows(ds, key: str = "text", id_col: str = "doc_id",
         ).append_column("__bucket", bucket)
 
     def keep_min_bucket(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0 or "__h1" not in group.column_names:
+        if "__h1" not in group.column_names:
             return group
+        if group.num_rows == 0:
+            return group.drop_columns(["__h1", "__h2", "__bucket"])
         h1 = group.column("__h1").to_numpy(zero_copy_only=False)
         h2 = group.column("__h2").to_numpy(zero_copy_only=False)
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        # null keys (null text) are all kept: give them unique pseudo-keys
+        # null keys form ONE group (SQL GROUP BY semantics, matching
+        # exact_dedup): sentinel hash plus a null flag that segments
+        # them apart from any real text hashing to the sentinel
         nulls = np.isnan(h1) if h1.dtype.kind == "f" else np.zeros(len(h1), bool)
-        h1 = np.where(nulls, -np.arange(1, len(h1) + 1), h1).astype(np.int64)
-        h2 = np.where(nulls, -np.arange(1, len(h2) + 1), np.nan_to_num(h2)).astype(np.int64)
-        order = np.lexsort((ids, h2, h1))
-        h1s, h2s, ids_s = h1[order], h2[order], ids[order]
+        hn = nulls.astype(np.int64)
+        h1 = np.where(nulls, 0, np.nan_to_num(h1)).astype(np.int64)
+        h2 = np.where(nulls, 0, np.nan_to_num(h2)).astype(np.int64)
+        order = np.lexsort((ids, hn, h2, h1))
+        h1s, h2s, hns = h1[order], h2[order], hn[order]
         first = np.ones(len(order), bool)
-        first[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        first[1:] = (
+            (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1]) | (hns[1:] != hns[:-1])
+        )
         # ids ascending within each key segment (lexsort): the first row
         # of each segment IS the min-id row
         keep_idx = order[np.nonzero(first)[0]]
@@ -552,11 +561,15 @@ def minhash_lsh_pairs(
     def _sig_ds():
         return ray.data.read_parquet(sig_dir)
 
-    # shuffle on a constant-count bucket of the band hash — one Python
-    # call per bucket, not per distinct band hash (at 10^12 docs there
-    # are ~10^13 band hashes); inside a bucket, only COLLIDING hash
-    # segments (actual candidate clusters) are touched.
-    NBB = max(int(num_partitions) * 32, 256)
+    # buckets sized so one bucket's rows stay task-sized at ANY corpus
+    # size: the checkpoint's row count is free (parquet metadata), and
+    # bucket count grows with it — a fixed constant would hand each
+    # map_groups task O(n/NB) rows and OOM long before 10^12 docs
+    n_docs = _sig_ds().count()  # metadata-only for parquet inputs
+    nb_join = max(int(num_partitions), (n_docs * bands) // 2_000_000 + 1)
+    # band shuffle: one Python call per bucket, not per distinct band
+    # hash; inside a bucket only COLLIDING hash segments are touched
+    NBB = max(nb_join * 32, 256)
     band_rows = _sig_ds().map_batches(
         lambda b: _band_rows(b, bands, id_col, num_perm, n_buckets=NBB),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -618,8 +631,7 @@ def minhash_lsh_pairs(
     # assemble per-pair in a second bucketed groupby (dedups band
     # duplicates) and verify by rowwise signature agreement.
     attached = _bucketed_pair_attach(
-        pairs, _sig_ds(), payload_col="sig", id_col=id_col,
-        nb=max(int(num_partitions), 1),
+        pairs, _sig_ds(), payload_col="sig", id_col=id_col, nb=nb_join,
     )
 
     def combine_bucket(group: pa.Table) -> pa.Table:
@@ -844,9 +856,10 @@ def ngram_jaccard_pairs(
     # shared bucketed tag-union hash join; exact per-pair Jaccard in
     # the combine kernel (python loop ONLY over candidate pairs —
     # bounded by the LSH pass — never over docs)
+    grams_ds = ray.data.read_parquet(grams_dir)
+    nb_join = max(int(num_partitions), grams_ds.count() // 500_000 + 1)
     attached = _bucketed_pair_attach(
-        candidates, ray.data.read_parquet(grams_dir),
-        payload_col="grams", id_col=id_col, nb=max(int(num_partitions), 1),
+        candidates, grams_ds, payload_col="grams", id_col=id_col, nb=nb_join,
     )
 
     def combine_bucket(group: pa.Table) -> pa.Table:

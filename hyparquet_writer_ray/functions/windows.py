@@ -147,39 +147,64 @@ def sessionize(
     """Gap-based sessionization: events of one key belong to the same
     session while consecutive gaps are <= ``gap_seconds``.
 
-    Scale shape: ONE shuffle, grouped on ``key % num_buckets`` — a
-    CONSTANT group count (one Python call per bucket, never per key);
-    each bucket sessionizes ALL its keys vectorized (lexsort by
-    (key, ts), breaks at key change or gap, reduceat-style segment
-    aggregates). Skewed keys are bounded: a bucket holds only its own
-    keys' events.
+    Scale shape: ONE shuffle, grouped on ``hash(key) % num_buckets`` —
+    a constant group count (one Python call per bucket, never per key);
+    each bucket sessionizes ALL its keys vectorized
+    (dictionary-encode the keys, lexsort by (key_code, ts), breaks at
+    key change or gap, segment reduces). Keys may be integers, strings
+    or binary; the output preserves the key column's type.
+    Size ``num_buckets`` so a bucket's events fit one task (~250k rows
+    per bucket as a guide).
 
     Returns (key, session_id:int64 per-key 0-based, n_events,
     s_start:int64 epoch-seconds, s_end:int64)."""
     NB = max(int(num_buckets), 1)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return batch.append_column("__bucket", pa.array(k % NB, pa.int64()))
+        col = batch.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        if pa.types.is_integer(t):
+            k = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            b = (k % NB).astype(np.int64)
+        elif pa.types.is_string(t) or pa.types.is_binary(t) or \
+                pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+            from ..core.arrays import byte_array_values
+            from ..functions.dedup import _segmented_poly_hash
+
+            lens, data = byte_array_values(col)
+            b = (_segmented_poly_hash(lens, data) % np.uint64(NB)).astype(np.int64)
+        else:
+            raise TypeError(f"sessionize: unsupported key type {t}")
+        return batch.append_column("__bucket", pa.array(b))
 
     def sess_bucket(group: pa.Table) -> pa.Table:
-        empty = pa.table({
-            key_col: pa.array([], pa.int64()),
-            "session_id": pa.array([], pa.int64()),
-            "n_events": pa.array([], pa.int64()),
-            "s_start": pa.array([], pa.int64()),
-            "s_end": pa.array([], pa.int64()),
-        })
         if group.num_columns == 0 or group.num_rows == 0:
-            return empty
-        keys = group.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ktype = (
+                group.column(key_col).type
+                if key_col in group.column_names else pa.int64()
+            )
+            return pa.table({
+                key_col: pa.array([], ktype),
+                "session_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "s_start": pa.array([], pa.int64()),
+                "s_end": pa.array([], pa.int64()),
+            })
+        kcol = group.column(key_col)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        # collision-free integer key codes of ANY key type, in C
+        denc = pa.compute.dictionary_encode(kcol)
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         ts = group.column(ts_col)
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
         us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        n = len(keys)
-        order = np.lexsort((us, keys))
-        k_s = keys[order]
+        n = len(codes)
+        order = np.lexsort((us, codes))
+        k_s = codes[order]
         sec_s = us[order] // 1_000_000
         brk = np.ones(n, bool)
         if n > 1:
@@ -188,16 +213,16 @@ def sessionize(
         seg_start = np.nonzero(brk)[0]
         seg_end = np.append(seg_start[1:], n)
         counts = seg_end - seg_start
-        sess_key = k_s[seg_start]
+        sess_code = k_s[seg_start]
         # per-key 0-based session numbering
         nseg = len(seg_start)
         seg_idx = np.arange(nseg)
         key_first = np.ones(nseg, bool)
-        key_first[1:] = sess_key[1:] != sess_key[:-1]
+        key_first[1:] = sess_code[1:] != sess_code[:-1]
         firsts = seg_idx[key_first]
         base = np.repeat(firsts, np.diff(np.append(firsts, nseg)))
         return pa.table({
-            key_col: pa.array(sess_key),
+            key_col: denc.dictionary.take(pa.array(sess_code)),
             "session_id": pa.array(seg_idx - base),
             "n_events": pa.array(counts.astype(np.int64)),
             "s_start": pa.array(sec_s[seg_start].astype(np.int64)),

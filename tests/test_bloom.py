@@ -108,3 +108,25 @@ def test_bloom_might_contain_utility(tmp_path):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         bloom_might_contain(p, "nope", 1)
+
+
+def test_bloom_probe_type_coercion_and_missing_blooms(tmp_path):
+    from hyparquet_writer_ray import ColumnSpec, WriteOptions, write_table
+    from hyparquet_writer_ray.core.bloom import bloom_might_contain
+
+    t = pa.table({
+        "price": pa.array([1.0, 5.0, 9.5], pa.float64()),
+        "qty": pa.array([10, 20, 30], pa.int64()),
+        "plain": pa.array(["x", "y", "z"]),  # no bloom on this column
+    })
+    p = str(tmp_path / "c.parquet")
+    write_table(t, p, WriteOptions(column_specs={
+        "price": ColumnSpec(bloom_filter=True),
+        "qty": ColumnSpec(bloom_filter=True),
+    }))
+    # int probe against a DOUBLE column must hash the double bits
+    assert bloom_might_contain(p, "price", 5) == [True]
+    # float probe against an INT64 column must hash the int bytes
+    assert bloom_might_contain(p, "qty", 20.0) == [True]
+    # column without a bloom: True (cannot skip), not an exception
+    assert bloom_might_contain(p, "plain", "x") == [True]

@@ -245,3 +245,24 @@ def test_exact_dedup_rows_matches_exact_dedup(ray_session):
     by_id = {i: x for i, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())}
     for i, x in zip(got_t.column("doc_id").to_pylist(), got_t.column("text").to_pylist()):
         assert by_id[i] == x
+
+
+def test_exact_dedup_rows_null_group_matches_sql_semantics(ray_session):
+    """Null texts form ONE group (SQL GROUP BY), matching exact_dedup."""
+    import ray.data
+
+    t = pa.table({
+        "doc_id": pa.array([3, 1, 2, 4, 5], pa.int64()),
+        "text": ["x", "x", None, None, "y"],
+    })
+    from hyparquet_writer_ray.functions.dedup import exact_dedup_rows
+
+    got = sorted(pa.concat_tables(
+        b for b in exact_dedup_rows(ray.data.from_arrow(t)).iter_batches(
+            batch_size=None, batch_format="pyarrow")
+    ).column("doc_id").to_pylist())
+    want = sorted(pa.concat_tables(
+        b for b in exact_dedup(ray.data.from_arrow(t)).iter_batches(
+            batch_size=None, batch_format="pyarrow")
+    ).column("doc_id").to_pylist())
+    assert got == want == [1, 2, 5]

@@ -206,3 +206,28 @@ def test_top_tokens_exact(ray_session):
     )
     rows = list(zip(got.column("token").to_pylist(), got.column("n").to_pylist()))
     assert rows == [("a", 4), ("b", 2), ("c", 1)]  # ties by token asc
+
+
+def test_sessionize_string_keys(ray_session):
+    import datetime
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.windows import sessionize
+
+    def ts(minute):
+        return datetime.datetime(2024, 1, 1, 0, minute)
+
+    t = pa.table({
+        "user_id": pa.array(["alice", "alice", "bob", "alice"]),
+        "ts": pa.array([ts(0), ts(50), ts(5), ts(55)], pa.timestamp("us")),
+    })
+    out = sessionize(ray.data.from_arrow(t), gap_seconds=1800)
+    got = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    rows = list(zip(got.column("user_id").to_pylist(),
+                    got.column("session_id").to_pylist(),
+                    got.column("n_events").to_pylist()))
+    assert rows == [("alice", 0, 1), ("alice", 1, 2), ("bob", 0, 1)]
+    assert got.column("user_id").type == pa.string()
