@@ -385,6 +385,30 @@ def _q_curate(sf_dir: str) -> pa.Table:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Deterministic per-language sampling (rows-only, self-verifying:
+    the kept id set is recomputed in-driver from the same splitmix
+    threshold rule and must match exactly)."""
+    from hyparquet_writer_ray.functions.sketches import _splitmix64
+    from hyparquet_writer_ray.functions.text import stratified_sample
+    fr = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1}
+    out = stratified_sample(_docs_ds(sf_dir), fractions=fr)
+    t = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("doc_id")
+    raw = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "lang"])
+    ids = np.array(raw.column("doc_id").to_pylist(), np.uint64)
+    langs = raw.column("lang").to_pylist()
+    h = _splitmix64(ids).astype(np.float64)
+    want = sorted(
+        int(i) for i, l, hv in zip(ids, langs, h)
+        if hv < fr.get(l, 0.0) * float(2 ** 64)
+    )
+    assert t.column("doc_id").to_pylist() == want, "sample set mismatch"
+    return t.select(["doc_id", "lang"])
+
+
 def _q_sessionize(sf_dir: str) -> pa.Table:
     """Gap-based sessions per user over the events stream (single
     groupby shuffle, vectorized per-key sessionization)."""
@@ -639,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["hll_distinct_users"] = _q_hll_distinct
     q["text_top_tokens"] = _q_top_tokens
     q["curate_pipeline"] = _q_curate
+    q["stratified_sample"] = _q_stratified_sample
     q["dedup_exact"] = _q_dedup_exact
     q["dedup_minhash"] = _q_dedup_minhash
     q["dedup_simhash"] = _q_dedup_simhash

@@ -19,6 +19,7 @@ from .text import (
     lang_ids,
     quality_scores,
     rolling_fingerprints,
+    stratified_sample,
     token_counts,
     top_tokens,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "HyperplaneBucketer", "ivf_topk", "lsh_bucket_pairs", "topk_cosine",
     "hll_distinct", "hll_estimate",
     "LangIdModel", "bpe_token_counts", "fingerprints", "lang_ids",
-    "quality_scores", "rolling_fingerprints", "token_counts", "top_tokens",
+    "quality_scores", "rolling_fingerprints", "stratified_sample",
+    "token_counts", "top_tokens",
     "hopping_window_agg", "sessionize", "tumbling_window_agg",
 ]

@@ -251,3 +251,36 @@ def top_tokens(ds, k: int = 25, text_col: str = "text"):
                             "n": b.column("sum(n)")}),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def stratified_sample(ds, *, key_col: str = "lang", id_col: str = "doc_id",
+                      fractions: dict | float = 0.1):
+    """Deterministic per-stratum sampling: keep a row iff
+    ``splitmix64(id) < fraction(key) * 2^64``.
+
+    Pure map_batches filter — no shuffle, no RNG state, identical
+    output on reruns and across any partitioning (resume-safe). Pass a
+    single float or a {key: fraction} dict (keys absent from the dict
+    keep fraction 0.0 — a whitelist)."""
+    import numpy as np
+
+    from .sketches import _splitmix64
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return batch
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = _splitmix64(ids.astype(np.uint64))
+        if isinstance(fractions, dict):
+            keys = batch.column(key_col).to_pylist()
+            thresh = np.array(
+                [int(min(max(fractions.get(k, 0.0), 0.0), 1.0) * float(2 ** 64))
+                 for k in keys], dtype=np.float64,
+            )
+            keep = h.astype(np.float64) < thresh
+        else:
+            f = min(max(float(fractions), 0.0), 1.0)
+            keep = h.astype(np.float64) < f * float(2 ** 64)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)

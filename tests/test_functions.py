@@ -231,3 +231,44 @@ def test_sessionize_string_keys(ray_session):
                     got.column("n_events").to_pylist()))
     assert rows == [("alice", 0, 1), ("alice", 1, 2), ("bob", 0, 1)]
     assert got.column("user_id").type == pa.string()
+
+
+def test_stratified_sample_deterministic(ray_session):
+    import ray.data
+
+    from hyparquet_writer_ray.functions.sketches import _splitmix64
+    from hyparquet_writer_ray.functions.text import stratified_sample
+
+    n = 10_000
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array(["en" if i % 3 else "de" for i in range(n)]),
+    })
+    fr = {"en": 0.25, "de": 0.5}
+    out = stratified_sample(ray.data.from_arrow(t), fractions=fr)
+    got = sorted(pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).column("doc_id").to_pylist())
+    # independent expected set from the same deterministic rule
+    h = _splitmix64(np.arange(n, dtype=np.uint64)).astype(np.float64)
+    want = sorted(
+        i for i in range(n)
+        if h[i] < fr["en" if i % 3 else "de"] * float(2 ** 64)
+    )
+    assert got == want
+    # sampled rates in the right ballpark
+    en = sum(1 for i in got if i % 3)
+    de = len(got) - en
+    assert abs(en / (n * 2 / 3) - 0.25) < 0.02
+    assert abs(de / (n / 3) - 0.5) < 0.03
+    # rerun identical (determinism / resume safety)
+    out2 = stratified_sample(ray.data.from_arrow(t), fractions=fr)
+    got2 = sorted(pa.concat_tables(
+        b for b in out2.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).column("doc_id").to_pylist())
+    assert got2 == got
+    # whitelist semantics: missing keys are dropped entirely
+    only_de = stratified_sample(ray.data.from_arrow(t), fractions={"de": 1.0})
+    kd = pa.concat_tables(b for b in only_de.iter_batches(
+        batch_size=None, batch_format="pyarrow"))
+    assert set(kd.column("lang").to_pylist()) == {"de"}
