@@ -181,3 +181,64 @@ def test_async_backpressure_one_group_ahead():
     # first write happens after exactly the first window (1000 rows,
     # the default schedule's first entry), not after the whole source
     assert sink.pulled_at_write[0] == 1000
+
+
+def test_inference_fuzz_roundtrip():
+    """Random homogeneous row dicts round-trip through inference +
+    write + pyarrow decode; mixed-type columns always raise."""
+    from hypothesis import given, settings, strategies as st
+
+    scalar = st.one_of(
+        st.integers(min_value=-(2 ** 62), max_value=2 ** 62),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=12),
+        st.binary(max_size=12),
+        st.booleans(),
+        st.none(),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.fixed_dictionaries({"a": scalar, "b": scalar}),
+                    min_size=1, max_size=30))
+    def run(rows):
+        def is_mixed(col):
+            ks = set()
+            for r in rows:
+                v = r[col]
+                if v is None:
+                    continue
+                if isinstance(v, bool):
+                    ks.add("bool")
+                elif isinstance(v, int):
+                    ks.add("i32" if -(2 ** 31) <= v <= 2 ** 31 - 1 else "i64")
+                elif isinstance(v, float):
+                    ks.add("f")
+                else:
+                    ks.add(type(v).__name__)
+            # legal widenings: i32+i64, i32+f; i64+f errors (bigint vs
+            # Number in the reference), as does any non-numeric mix
+            if ks <= {"i32", "i64"} or ks <= {"i32", "f"}:
+                return False
+            return len(ks) > 1
+
+        mixed = any(is_mixed(c) for c in ("a", "b"))
+        if mixed:
+            with pytest.raises((ValueError, TypeError)):
+                _write(rows)
+            return
+        buf = _write(rows)
+        got = pq.read_table(io.BytesIO(buf))
+        assert got.num_rows == len(rows)
+        for c in ("a", "b"):
+            vals = got.column(c).to_pylist()
+            for v, r in zip(vals, rows):
+                exp = r[c]
+                if isinstance(exp, float) and not isinstance(exp, bool):
+                    assert v == exp or (abs(v - exp) < 1e-12)
+                elif isinstance(exp, int) and not isinstance(exp, bool) and \
+                        any(isinstance(rr[c], float) for rr in rows):
+                    assert v == float(exp)  # INT32+DOUBLE widened
+                else:
+                    assert v == exp
+
+    run()
