@@ -400,10 +400,10 @@ def _q_stratified_sample(sf_dir: str) -> pa.Table:
                         columns=["doc_id", "lang"])
     ids = np.array(raw.column("doc_id").to_pylist(), np.uint64)
     langs = raw.column("lang").to_pylist()
-    h = _splitmix64(ids).astype(np.float64)
+    h = _splitmix64(ids)
     want = sorted(
         int(i) for i, l, hv in zip(ids, langs, h)
-        if hv < fr.get(l, 0.0) * float(2 ** 64)
+        if int(hv) < int(fr.get(l, 0.0) * 2 ** 64)
     )
     assert t.column("doc_id").to_pylist() == want, "sample set mismatch"
     return t.select(["doc_id", "lang"])

@@ -271,16 +271,23 @@ def stratified_sample(ds, *, key_col: str = "lang", id_col: str = "doc_id",
             return batch
         ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         h = _splitmix64(ids.astype(np.uint64))
+
+        def thresh_of(f: float):
+            # exact uint64 threshold; fraction >= 1 keeps everything
+            # (float64 comparison would round near 2^64 and drop rows)
+            f = min(max(float(f), 0.0), 1.0)
+            return None if f >= 1.0 else np.uint64(int(f * 2 ** 64))
+
         if isinstance(fractions, dict):
             keys = batch.column(key_col).to_pylist()
-            thresh = np.array(
-                [int(min(max(fractions.get(k, 0.0), 0.0), 1.0) * float(2 ** 64))
-                 for k in keys], dtype=np.float64,
-            )
-            keep = h.astype(np.float64) < thresh
+            keep = np.zeros(len(keys), bool)
+            for k in set(keys):
+                t = thresh_of(fractions.get(k, 0.0))
+                mask = np.array([x == k for x in keys])
+                keep[mask] = True if t is None else (h[mask] < t)
         else:
-            f = min(max(float(fractions), 0.0), 1.0)
-            keep = h.astype(np.float64) < f * float(2 ** 64)
+            t = thresh_of(fractions)
+            keep = np.ones(len(h), bool) if t is None else h < t
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)

@@ -250,10 +250,10 @@ def test_stratified_sample_deterministic(ray_session):
         b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
     ).column("doc_id").to_pylist())
     # independent expected set from the same deterministic rule
-    h = _splitmix64(np.arange(n, dtype=np.uint64)).astype(np.float64)
+    h = _splitmix64(np.arange(n, dtype=np.uint64))
     want = sorted(
         i for i in range(n)
-        if h[i] < fr["en" if i % 3 else "de"] * float(2 ** 64)
+        if int(h[i]) < int(fr["en" if i % 3 else "de"] * 2 ** 64)
     )
     assert got == want
     # sampled rates in the right ballpark
