@@ -600,5 +600,15 @@ def compact_parquet_dataset(
             for rec in pickle.loads(batch.column("manifest")[row].as_py()):
                 lineage.append(rec)
     lineage.close()
+    # garbage-collect parts from superseded bucket layouts: a changed
+    # input produces a NEW bucket id, and without cleanup the stale
+    # part would keep serving the old rows alongside the new ones
+    expected = {f"part-{it['group_id']}.parquet" for it in items}
+    removed = 0
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet") and f not in expected:
+            os.remove(os.path.join(out_dir, f))
+            removed += 1
+    total["removed_stale_parts"] = removed
     total["out_dir"] = out_dir
     return total

@@ -206,3 +206,40 @@ def test_compact_parquet_dataset(ray_session, tmp_path):
     stats2 = compact_parquet_dataset(str(src), str(out),
                                      target_part_bytes=4 * sizes[0])
     assert stats2["skipped_parts"] == n_parts
+
+
+def test_compact_rerun_after_input_change(ray_session, tmp_path):
+    """Regenerating an input file (same size, new mtime) must re-run its
+    bucket instead of serving stale compacted output."""
+    import time
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hyparquet_writer_ray.pipelines.write import compact_parquet_dataset
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(4):
+        pq.write_table(pa.table({"v": [i * 10 + j for j in range(50)]}),
+                       str(src / f"f{i}.parquet"))
+    out = tmp_path / "out"
+    compact_parquet_dataset(str(src), str(out), target_part_bytes=1 << 30)
+    before = duckdb.sql(f"SELECT sum(v) FROM '{out}/*.parquet'").fetchone()[0]
+    # regenerate one input with DIFFERENT values but identical size
+    time.sleep(0.05)
+    pq.write_table(pa.table({"v": [900 + j for j in range(50)]}),
+                   str(src / "f0.parquet"))
+    stats = compact_parquet_dataset(str(src), str(out), target_part_bytes=1 << 30)
+    assert stats["skipped_parts"] == 0  # bucket id changed -> re-ran
+    assert stats["removed_stale_parts"] == 1  # superseded part GC'd
+    # exactly the new corpus remains: old f0 rows replaced by the 900s
+    rows = duckdb.sql(
+        f"SELECT count(*), sum(v) FROM '{out}/part-*.parquet'"
+    ).fetchone()
+    assert rows[0] == 200
+    assert rows[1] != before
+    assert duckdb.sql(
+        f"SELECT count(*) FROM '{out}/part-*.parquet' WHERE v < 10"
+    ).fetchone()[0] == 0
