@@ -709,8 +709,8 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_exact"] = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
     sql["window_agg"] = (
         "SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS w_start, "
-        "count(*) AS n, sum(user_id) AS sum_user_id FROM events GROUP BY 1 "
-        "ORDER BY w_start"
+        "count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_user_id "
+        "FROM events GROUP BY 1 ORDER BY w_start"
     )
     sql["curate_pipeline"] = (
         "WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), "
@@ -740,7 +740,7 @@ def oracle_sql() -> dict[str, str]:
     sql["window_hopping"] = (
         # each event belongs to the 3 slide-aligned windows covering it
         "SELECT (CAST(floor(epoch(ts)/300) AS BIGINT) - j) * 300 AS w_start, "
-        "count(*) AS n, sum(user_id) AS sum_user_id "
+        "count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_user_id "
         "FROM events, range(0, 3) t(j) GROUP BY 1 ORDER BY w_start"
     )
     sql["sim_topk_cosine"] = (

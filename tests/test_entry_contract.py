@@ -13,7 +13,9 @@ import pytest
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.001"
+# override for per-round CI-style runs at bigger scale:
+#   GRAFT_CONTRACT_SF_DIR=/root/testdata/sf0.1 pytest tests/test_entry_contract.py
+SF_DIR = os.environ.get("GRAFT_CONTRACT_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -35,13 +37,54 @@ def con():
     return c
 
 
-def to_df(result) -> pd.DataFrame:
-    if isinstance(result, pd.DataFrame):
-        return result
+def to_arrow(result) -> pa.Table:
     if isinstance(result, pa.Table):
-        return result.to_pandas()
+        return result
+    if isinstance(result, pd.DataFrame):
+        return pa.Table.from_pandas(result, preserve_index=False)
     # ray Dataset
-    return result.to_pandas()
+    import ray
+
+    refs = result.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows or len(refs) == 1]
+    if not tables:
+        tables = ray.get(refs)[:1]
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def to_df(result) -> pd.DataFrame:
+    return to_arrow(result).to_pandas()
+
+
+def _norm_type(t: pa.DataType) -> pa.DataType:
+    """Normalize representation-only differences that the driver's
+    type-sensitive hash also normalizes (string offsets width, tz-less
+    timestamp unit) while keeping semantic type differences (decimal vs
+    int64, float vs int) fatal — that is the class of red VERDICT r2
+    diagnosed."""
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_timestamp(t):
+        return pa.timestamp("us", tz=t.tz)
+    if pa.types.is_dictionary(t):
+        return _norm_type(t.value_type)
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return pa.list_(_norm_type(t.value_type))
+    return t
+
+
+def assert_schema_match(got: pa.Table, want: pa.Table, name: str):
+    ga = {f.name: _norm_type(f.type) for f in got.schema}
+    wa = {f.name: _norm_type(f.type) for f in want.schema}
+    assert set(ga) == set(wa), (
+        f"{name}: cols {sorted(ga)} vs {sorted(wa)}"
+    )
+    for col in sorted(ga):
+        assert ga[col].equals(wa[col]), (
+            f"{name}.{col}: arrow type {ga[col]} (query) vs {wa[col]} (oracle)"
+        )
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -96,16 +139,19 @@ def test_all_queries_against_oracles(entrymod, con):
     failures = []
     for name, fn in qs.items():
         try:
-            got = to_df(fn(SF_DIR))
+            got_t = to_arrow(fn(SF_DIR))
         except Exception as e:  # pragma: no cover
             failures.append(f"{name}: EXC {type(e).__name__}: {e}")
             continue
         if name in oracles:
-            want = con.sql(oracles[name]).df()
+            want_t = con.sql(oracles[name]).arrow()
             try:
-                compare(got, want, name)
+                # type-faithful gate first: the driver's value hash is
+                # type-sensitive, so decimal-vs-int64 etc. must fail HERE
+                assert_schema_match(got_t, want_t, name)
+                compare(got_t.to_pandas(), want_t.to_pandas(), name)
             except AssertionError as e:
                 failures.append(str(e))
         else:
-            assert got is not None and len(got) >= 0
+            assert got_t is not None and got_t.num_rows >= 0
     assert not failures, "\n".join(failures)
