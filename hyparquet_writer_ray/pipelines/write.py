@@ -568,13 +568,22 @@ def compact_parquet_dataset(
             h.update(str(st.st_mtime_ns).encode())
         return h.hexdigest()[:16]
 
+    # refuse in-place compaction: with out_dir == input dir the stale-part
+    # GC below would delete the input files themselves after the first run
+    out_real = os.path.realpath(out_dir)
+    for p, _ in files:
+        if os.path.realpath(p).startswith(out_real + os.sep):
+            raise ValueError(
+                f"compact_parquet_dataset: input file {p} lies inside "
+                f"out_dir {out_dir}; compaction must not write in place"
+            )
+
     os.makedirs(out_dir, exist_ok=True)
     lineage = LineageLog(out_dir)
+    prior = [rec.file for rec in lineage.completed_parts().values() if rec.file]
     skip: frozenset[str] = frozenset()
     if resume:
-        skip = frozenset(
-            rec.file[5:-8] for rec in lineage.completed_parts().values() if rec.file
-        )
+        skip = frozenset(rec[5:-8] for rec in prior)
 
     items = [{"group_id": bucket_id(b), "paths": b} for b in buckets]
     gds = ray.data.from_items(items, override_num_blocks=max(len(items), 1))
@@ -602,12 +611,15 @@ def compact_parquet_dataset(
     lineage.close()
     # garbage-collect parts from superseded bucket layouts: a changed
     # input produces a NEW bucket id, and without cleanup the stale
-    # part would keep serving the old rows alongside the new ones
+    # part would keep serving the old rows alongside the new ones.
+    # Only files THIS compactor's lineage recorded are candidates —
+    # pre-existing files it never wrote are left untouched.
     expected = {f"part-{it['group_id']}.parquet" for it in items}
     removed = 0
-    for f in os.listdir(out_dir):
-        if f.endswith(".parquet") and f not in expected:
-            os.remove(os.path.join(out_dir, f))
+    for f in set(prior) - expected:
+        fp = os.path.join(out_dir, f)
+        if os.path.exists(fp):
+            os.remove(fp)
             removed += 1
     total["removed_stale_parts"] = removed
     total["out_dir"] = out_dir

@@ -243,3 +243,38 @@ def test_compact_rerun_after_input_change(ray_session, tmp_path):
     assert duckdb.sql(
         f"SELECT count(*) FROM '{out}/part-*.parquet' WHERE v < 10"
     ).fetchone()[0] == 0
+
+
+def test_compact_gc_spares_foreign_files(ray_session, tmp_path):
+    """Stale-part GC only removes files this compactor's lineage wrote;
+    pre-existing parquet in out_dir must survive (ADVICE r2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hyparquet_writer_ray.pipelines.write import compact_parquet_dataset
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(pa.table({"v": list(range(10))}), str(src / "a.parquet"))
+    out = tmp_path / "out"
+    out.mkdir()
+    foreign = out / "precious.parquet"
+    pq.write_table(pa.table({"x": [1, 2, 3]}), str(foreign))
+    stats = compact_parquet_dataset(str(src), str(out), target_part_bytes=1 << 30)
+    assert foreign.exists()
+    assert stats["removed_stale_parts"] == 0
+
+
+def test_compact_refuses_in_place(ray_session, tmp_path):
+    """out_dir containing the inputs must raise, not eat the inputs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from hyparquet_writer_ray.pipelines.write import compact_parquet_dataset
+
+    d = tmp_path / "data"
+    d.mkdir()
+    pq.write_table(pa.table({"v": [1, 2]}), str(d / "a.parquet"))
+    with _pytest.raises(ValueError, match="in place"):
+        compact_parquet_dataset(str(d), str(d), target_part_bytes=1 << 30)
