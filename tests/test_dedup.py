@@ -26,16 +26,43 @@ def _rand_docs(n: int, seed: int = 7, words: int = 80) -> list[str]:
 
 
 def test_exact_dedup_key_is_128_bits():
-    hi, lo = _text_hash128(["hello", None])
+    texts = ["hello", None, "", "hello", "héllo 世界", "\x00abc", "abc"]
+    for backend in ("polars", "md5"):
+        hi, lo = _text_hash128(texts, backend=backend)
+        assert hi[1] is None and lo[1] is None
+        # equal texts agree; the two halves are independent lanes — no
+        # truncation of the 128-bit key
+        assert (hi[0], lo[0]) == (hi[3], lo[3])
+        assert hi[0] != lo[0]
+        distinct = {(hi[i], lo[i]) for i, t in enumerate(texts) if t is not None}
+        assert len(distinct) == len({t for t in texts if t is not None})
+    # the md5 fallback stays bit-compatible with its definition so a
+    # backend pinned to md5 is reproducible everywhere
     import hashlib
 
+    hi, lo = _text_hash128(["hello"], backend="md5")
     d = hashlib.md5(b"hello").digest()
     assert hi[0] == int.from_bytes(d[:8], "big", signed=True)
     assert lo[0] == int.from_bytes(d[8:], "big", signed=True)
-    assert hi[1] is None and lo[1] is None
-    # the two halves together carry the full 128-bit digest — no
-    # truncation, no discarded bits.
-    assert (hi[0].to_bytes(8, "big", signed=True) + lo[0].to_bytes(8, "big", signed=True)) == d
+
+
+def test_text_hash128_col_matches_list_path_and_slices():
+    """The Arrow-buffer path must honor array offsets (sliced batches)
+    and chunked columns."""
+    import pyarrow.compute as pc
+
+    from hyparquet_writer_ray.functions.dedup import _text_hash128_col
+
+    texts = [f"doc {i} " + "x" * (i % 37) for i in range(100)] + [None, ""]
+    arr = pa.chunked_array([texts[:40], texts[40:]], pa.string())
+    hi, lo = _text_hash128_col(arr)
+    sliced = pa.table({"t": arr}).slice(17, 50)
+    hi_s, lo_s = _text_hash128_col(sliced.column("t"))
+    assert hi.slice(17, 50).to_pylist() == hi_s.to_pylist()
+    assert lo.slice(17, 50).to_pylist() == lo_s.to_pylist()
+    li_hi, li_lo = _text_hash128(texts)
+    assert hi.to_pylist() == li_hi and lo.to_pylist() == li_lo
+    assert pc.count(hi, mode="only_null").as_py() == 1
 
 
 def test_no_driver_side_broadcast_in_dedup_module():
