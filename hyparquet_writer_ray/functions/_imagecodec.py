@@ -1,0 +1,311 @@
+"""Pure-stdlib image codecs (PNG via zlib, uncompressed BMP) so the
+multimodal decode stage can run a REAL decode in containers without
+PIL (VERDICT r2 item 3). numpy is used for pixel math only — no
+image library involved.
+
+Decoders accept real-world files (PNG color types 0/2/3/4/6 at bit
+depth 8, all five scanline filters; BMP 8/24/32-bit uncompressed,
+top-down or bottom-up). Encoders exist to produce genuine image bytes
+for fixtures and round-trip tests (PNG with a selectable filter type
+to exercise every unfilter path, 24-bit BMP).
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def sniff_format(data: bytes) -> str | None:
+    if data[:8] == PNG_MAGIC:
+        return "png"
+    if data[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+def _png_chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        yield ctype, body
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> uint8 array (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA.
+
+    Bit depth 8, no interlace. Gray+alpha returns (h, w, 2); palette
+    expands through PLTE."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    width = height = None
+    color_type = bit_depth = None
+    plte = None
+    idat = []
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard PNG compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(b"".join(idat))
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    raw = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+    filters = raw[:, 0]
+    rows = raw[:, 1:]
+    out = np.zeros((height, stride), np.uint8)
+    prev = np.zeros(stride, np.uint16)
+    for y in range(height):
+        f = int(filters[y])
+        line = rows[y].astype(np.uint16)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: prefix-sum per channel lane mod 256
+            rec = (
+                np.cumsum(line.reshape(width, ch).astype(np.uint32), axis=0) % 256
+            ).astype(np.uint16).reshape(stride)
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 3:  # Average — sequential in x
+            rec = np.zeros(stride, np.uint16)
+            left = np.zeros(ch, np.uint16)
+            lp = line.reshape(width, ch)
+            pp = prev.reshape(width, ch)
+            rv = rec.reshape(width, ch)
+            for x in range(width):
+                left = (lp[x] + ((left + pp[x]) >> 1)) % 256
+                rv[x] = left
+        elif f == 4:  # Paeth — sequential in x
+            rec = np.zeros(stride, np.uint16)
+            left = np.zeros(ch, np.int32)
+            ul = np.zeros(ch, np.int32)
+            lp = line.reshape(width, ch)
+            pp = prev.reshape(width, ch).astype(np.int32)
+            rv = rec.reshape(width, ch)
+            for x in range(width):
+                up = pp[x]
+                p = left + up - ul
+                pa_ = np.abs(p - left)
+                pb = np.abs(p - up)
+                pc_ = np.abs(p - ul)
+                pred = np.where(
+                    (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, up, ul)
+                )
+                cur = (lp[x].astype(np.int32) + pred) % 256
+                rv[x] = cur.astype(np.uint16)
+                ul = up
+                left = cur
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[out.reshape(height, width)]
+    if ch == 1:
+        return out.reshape(height, width)
+    return out.reshape(height, width, ch)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def encode_png(arr: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """uint8 (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA -> PNG bytes.
+
+    ``filter_type`` applies one spec filter to every scanline (0-4) so
+    tests can exercise each decoder unfilter path."""
+    arr = np.ascontiguousarray(arr, np.uint8)
+    if arr.ndim == 2:
+        color_type, ch = 0, 1
+        h, w = arr.shape
+    elif arr.ndim == 3 and arr.shape[2] in (2, 3, 4):
+        ch = arr.shape[2]
+        color_type = {2: 4, 3: 2, 4: 6}[ch]
+        h, w = arr.shape[:2]
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    pix = arr.reshape(h, w * ch).astype(np.int32)
+    lanes = arr.reshape(h, w, ch).astype(np.int32)
+    lines = []
+    prev = np.zeros((w, ch), np.int32)
+    for y in range(h):
+        cur = lanes[y]
+        if filter_type == 0:
+            filt = pix[y]
+        elif filter_type == 1:
+            left = np.zeros((w, ch), np.int32)
+            left[1:] = cur[:-1]
+            filt = ((cur - left) % 256).reshape(-1)
+        elif filter_type == 2:
+            filt = ((cur - prev) % 256).reshape(-1)
+        elif filter_type == 3:
+            left = np.zeros((w, ch), np.int32)
+            left[1:] = cur[:-1]
+            filt = ((cur - ((left + prev) >> 1)) % 256).reshape(-1)
+        elif filter_type == 4:
+            left = np.zeros((w, ch), np.int32)
+            left[1:] = cur[:-1]
+            ul = np.zeros((w, ch), np.int32)
+            ul[1:] = prev[:-1]
+            p = left + prev - ul
+            pa_ = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc_ = np.abs(p - ul)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, ul)
+            )
+            filt = ((cur - pred) % 256).reshape(-1)
+        else:
+            raise ValueError(f"bad filter_type {filter_type}")
+        lines.append(bytes([filter_type]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed BMP (8-bit palette / 24-bit / 32-bit) -> uint8
+    (h, w) or (h, w, 3) RGB."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    (dib_size,) = struct.unpack_from("<I", data, 14)
+    if dib_size < 40:
+        raise ValueError(f"unsupported BMP DIB header size {dib_size}")
+    w, h_raw = struct.unpack_from("<ii", data, 18)
+    bpp, comp = struct.unpack_from("<HI", data, 28)
+    if comp != 0:
+        raise ValueError(f"compressed BMP (method {comp}) not supported")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    row_bytes = ((w * bpp + 31) // 32) * 4
+    rows = np.frombuffer(
+        data, np.uint8, count=h * row_bytes, offset=pix_off
+    ).reshape(h, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        return bgr[:, :, ::-1].copy()
+    if bpp == 32:
+        bgra = rows[:, : w * 4].reshape(h, w, 4)
+        return bgra[:, :, 2::-1].copy()
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+        pal = np.frombuffer(
+            data, np.uint8, count=n_colors * 4, offset=14 + dib_size
+        ).reshape(n_colors, 4)[:, 2::-1]  # BGRA -> RGB
+        rgb = pal[rows[:, :w]]
+        if (rgb[:, :, 0] == rgb[:, :, 1]).all() and (
+            rgb[:, :, 1] == rgb[:, :, 2]
+        ).all():
+            return rgb[:, :, 0].copy()  # grayscale palette
+        return rgb
+    raise ValueError(f"unsupported BMP bit depth {bpp}")
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) gray / (h, w, 3) RGB -> 24-bit uncompressed BMP."""
+    arr = np.ascontiguousarray(arr, np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w = arr.shape[:2]
+    row_bytes = ((w * 3 + 3) // 4) * 4
+    body = np.zeros((h, row_bytes), np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = body.tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 14 + 40)
+    return hdr + dib + pix
+
+
+# ---------------------------------------------------------------------------
+# pixel post-processing shared with the decode stage
+# ---------------------------------------------------------------------------
+
+
+def to_gray(arr: np.ndarray) -> np.ndarray:
+    """ITU-R 601-2 luma (the same weights PIL's convert("L") uses),
+    integer arithmetic so it is bit-deterministic everywhere."""
+    if arr.ndim == 2:
+        return arr
+    rgb = arr[:, :, :3].astype(np.uint32)
+    if arr.shape[2] == 2:  # gray + alpha
+        return arr[:, :, 0]
+    return (
+        (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+    ).astype(np.uint8)
+
+
+def resize_nearest(arr: np.ndarray, out_size: int) -> np.ndarray:
+    """Deterministic nearest-neighbor thumbnail (sample at cell
+    centers)."""
+    h, w = arr.shape[:2]
+    ys = ((np.arange(out_size) + 0.5) * h / out_size).astype(np.int64).clip(0, h - 1)
+    xs = ((np.arange(out_size) + 0.5) * w / out_size).astype(np.int64).clip(0, w - 1)
+    return arr[np.ix_(ys, xs)]
+
+
+def decode_to_thumbnail(data: bytes, out_size: int) -> np.ndarray:
+    """Full stdlib path: sniff -> decode -> gray -> resize. The shape
+    contract matches the PIL path (out_size x out_size uint8)."""
+    fmt = sniff_format(data)
+    if fmt == "png":
+        img = decode_png(data)
+    elif fmt == "bmp":
+        img = decode_bmp(data)
+    else:
+        raise ValueError("unrecognized image payload (stdlib backend "
+                         "supports PNG and uncompressed BMP)")
+    return resize_nearest(to_gray(img), out_size)

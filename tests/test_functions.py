@@ -127,13 +127,22 @@ def test_multimodal_decode_plumbing(ray_session):
     # deterministic: same payload -> same pixels as a direct stage call
     stage = ImageDecodeStage(fake=True, out_size=4)
     assert pix[0] == stage._decode(b"imgbytes-a").reshape(-1).tolist()
-    # real-decode path degrades with guidance when no image lib exists
+    # the real path (auto backend) decodes genuine image bytes even
+    # without PIL, via the stdlib PNG/BMP codec; junk payloads raise
+    import numpy as np
     import pytest as _pytest
 
+    from hyparquet_writer_ray.functions._imagecodec import encode_png
+
     real = ImageDecodeStage(out_size=4)
-    if real._pil is None:
-        with _pytest.raises(NotImplementedError):
-            real._decode(b"x")
+    src = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    got_px = real._decode(encode_png(src))
+    assert got_px.shape == (4, 4)
+    if real.backend == "stdlib":
+        # nearest-neighbor at cell centers of the known source image
+        assert (got_px == src[1::2, 1::2]).all()
+        with _pytest.raises(ValueError):
+            real._decode(b"not an image")
 
 
 def test_hopping_window_agg(ray_session):
