@@ -320,11 +320,42 @@ def _q_rolling_fp(sf_dir: str) -> pa.Table:
 
 
 def _q_langid(sf_dir: str) -> pa.Table:
-    from hyparquet_writer_ray.functions.text import lang_ids
+    from hyparquet_writer_ray.functions.text import _LANG_MARKERS, lang_ids
     ds = lang_ids(_docs_ds(sf_dir)).select_columns(["doc_id", "pred_lang"])
-    return pa.concat_tables(
+    out = pa.concat_tables(
         b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
     )
+    # in-driver oracle: independent re-derivation of the marker/script
+    # definition (written separately from LangIdModel) over the full
+    # fixture corpus; predictions must match exactly
+    raw = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+
+    def independent_predict(text) -> str:
+        if not text:
+            return "und"
+        for ch in text[:64]:
+            o = ord(ch)
+            if 0x4E00 <= o <= 0x9FFF:
+                return "zh"
+            if 0x3040 <= o <= 0x30FF:
+                return "ja"
+            if 0x0400 <= o <= 0x04FF:
+                return "ru"
+        toks = set(text.lower().split()[:200])
+        scores = {lang: len(toks.intersection(ms)) for lang, ms in _LANG_MARKERS.items()}
+        best = max(scores.values()) if scores else 0
+        if best == 0:
+            return "en"
+        # first insertion-order lang achieving the max (dict order ==
+        # _LANG_MARKERS definition order, the tie rule of the model)
+        return next(l for l in _LANG_MARKERS if scores[l] == best)
+
+    want = {d: independent_predict(t) for d, t in
+            zip(raw.column("doc_id").to_pylist(), raw.column("text").to_pylist())}
+    got = dict(zip(out.column("doc_id").to_pylist(), out.column("pred_lang").to_pylist()))
+    assert got == want, "language predictions diverge from the marker definition"
+    return out
 
 
 def _q_window_agg(sf_dir: str) -> pa.Table:
@@ -504,11 +535,25 @@ def _q_dedup_ngram(sf_dir: str) -> pa.Table:
 
 
 def _q_dedup_simhash(sf_dir: str) -> pa.Table:
-    from hyparquet_writer_ray.functions.dedup import simhashes
+    from hyparquet_writer_ray.functions.dedup import SimHasher, simhashes
     ds = simhashes(_docs_ds(sf_dir))
-    return pa.concat_tables(
+    out = pa.concat_tables(
         b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
     )
+    # in-driver oracle: the scalar per-document simhash definition on a
+    # deterministic sample (first 200 ids + every 37th) must match the
+    # batch-vectorized pipeline BIT-FOR-BIT
+    raw = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    texts = dict(zip(raw.column("doc_id").to_pylist(), raw.column("text").to_pylist()))
+    got = dict(zip(out.column("doc_id").to_pylist(),
+                   out.column("simhash").to_pylist()))
+    sample = sorted(texts)[:200] + sorted(texts)[200::37]
+    for d in sample:
+        t = texts[d]
+        want = 0 if t is None else SimHasher.simhash(t)
+        assert got[d] == want, f"simhash diverges from scalar definition at doc {d}"
+    return out
 
 
 def _q_sim_topk(sf_dir: str) -> pa.Table:
@@ -812,8 +857,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT vec_id AS a, vec_id + 1000000 AS b, false AS from_oversized "
         "FROM embeddings WHERE vec_id < 5 ORDER BY a"
     )
-    # rows-only (non-SQL-expressible): text_langid, dedup_minhash,
-    # dedup_simhash, webtable_encode, multimodal_decode,
-    # encode_variant_shredded; text_bpe_tokens and text_rolling_fp
-    # self-verify in-driver against independent implementations
+    # rows-only (non-SQL-expressible): dedup_minhash, webtable_encode,
+    # encode_variant_shredded; text_bpe_tokens, text_rolling_fp,
+    # text_langid, dedup_simhash, multimodal_decode and
+    # stratified_sample self-verify in-driver against independent
+    # implementations / known ground truth
     return sql
