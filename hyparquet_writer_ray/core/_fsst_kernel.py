@@ -19,47 +19,65 @@ _C_SRC = r"""
 #include <stdint.h>
 #include <string.h>
 
-/* candidate index: for each first byte, symbol codes sorted longest-first */
-typedef struct { uint8_t code; uint8_t len; } Cand;
+/* Greedy longest-match parse, identical to the Python paths, but with
+   O(1)-ish dispatch: symbols of length >= 2 are chained per FIRST TWO
+   BYTES in priority order (longest first, code ascending — at any
+   position only one 2-byte prefix group can match, so per-group order
+   equals the global greedy order), compared as a single u64 masked
+   load; length-1 symbols sit in a 256-entry direct table. The caller
+   guarantees 8 readable bytes past data+n (zero padding); the
+   `len <= rem` guard keeps padding from ever matching. */
+typedef struct { uint64_t val; uint64_t mask; uint8_t code; uint8_t len; } LCand;
 
-/* 255 slots per first byte: a table has at most 255 symbols total, so
-   no candidate list can ever overflow — the kernel parse is always the
-   same greedy longest-match the Python paths produce */
 size_t fsst_compress(const uint8_t* data, size_t n,
-                     const uint8_t* sym_bytes /* 255*8 */, const uint8_t* sym_len,
-                     int nsym, uint8_t* out) {
-    static _Thread_local Cand cands[256][255];
-    uint8_t ncand[256];
-    memset(ncand, 0, sizeof ncand);
-    for (int L = 8; L >= 1; L--) {           /* longest first */
-        for (int c = 0; c < nsym; c++) {
+                     const uint8_t* sym_bytes /* 255*8, zero padded */,
+                     const uint8_t* sym_len, int nsym, uint8_t* out) {
+    static _Thread_local int16_t head[65536];
+    LCand pool[255];
+    int16_t nxt[255];
+    uint8_t code1[256];
+    memset(head, 0xFF, sizeof head);
+    memset(code1, 0xFF, sizeof code1);
+    /* push-front in REVERSE priority order so each chain reads in
+       priority order (L=8..2, code ascending) */
+    for (int L = 2; L <= 8; L++) {
+        for (int c = nsym - 1; c >= 0; c--) {
             if (sym_len[c] != L) continue;
-            uint8_t fb = sym_bytes[c * 8];
-            cands[fb][ncand[fb]].code = (uint8_t)c;
-            cands[fb][ncand[fb]].len = (uint8_t)L;
-            ncand[fb]++;
+            uint64_t raw; memcpy(&raw, sym_bytes + c * 8, 8);
+            uint64_t mask = (L == 8) ? ~0ULL : ((1ULL << (8 * L)) - 1);
+            uint16_t f2 = (uint16_t)(raw & 0xFFFF);
+            pool[c].val = raw & mask; pool[c].mask = mask;
+            pool[c].code = (uint8_t)c; pool[c].len = (uint8_t)L;
+            nxt[c] = head[f2]; head[f2] = (int16_t)c;
         }
     }
+    for (int c = 0; c < nsym; c++)
+        if (sym_len[c] == 1 && code1[sym_bytes[c * 8]] == 0xFF)
+            code1[sym_bytes[c * 8]] = (uint8_t)c;
     size_t o = 0, p = 0;
     while (p < n) {
-        uint8_t fb = data[p];
         size_t rem = n - p;
-        int matched = 0;
-        Cand* cs = cands[fb];
-        int nc = ncand[fb];
-        for (int i = 0; i < nc; i++) {
-            uint8_t L = cs[i].len;
-            if (L <= rem && memcmp(data + p, sym_bytes + cs[i].code * 8, L) == 0) {
-                out[o++] = cs[i].code;
-                p += L;
-                matched = 1;
-                break;
+        uint64_t word; memcpy(&word, data + p, 8);
+        uint8_t b0 = (uint8_t)word;
+        if (rem >= 2) {
+            for (int16_t i = head[(uint16_t)(word & 0xFFFF)]; i >= 0; i = nxt[i]) {
+                const LCand* cd = &pool[i];
+                if (cd->len <= rem && (word & cd->mask) == cd->val) {
+                    out[o++] = cd->code;
+                    p += cd->len;
+                    goto matched;
+                }
             }
         }
-        if (!matched) {
+        if (code1[b0] != 0xFF) {
+            out[o++] = code1[b0];
+            p++;
+        } else {
             out[o++] = 255;          /* ESCAPE */
-            out[o++] = data[p++];
+            out[o++] = b0;
+            p++;
         }
+      matched: ;
     }
     return o;
 }
@@ -92,7 +110,7 @@ _tried = False
 def _build() -> "ctypes.CDLL | None":
     cache = os.path.join(tempfile.gettempdir(), f"hpw_fsst_kernel_{os.getuid()}")
     os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, "fsst_kernel_v2.so")
+    so = os.path.join(cache, "fsst_kernel_v3.so")
     if not os.path.exists(so):
         src = os.path.join(cache, "fsst_kernel.c")
         with open(src, "w") as f:
@@ -154,7 +172,8 @@ def compress(data: bytes, table) -> "bytes | None":
         return None
     sb, sl, nsym = _packed(table)
     out = ctypes.create_string_buffer(2 * len(data) + 8)
-    n = lib.fsst_compress(bytes(data), len(data), sb, sl, nsym, out)
+    # 8 zero bytes of slack let the kernel read a full u64 at the tail
+    n = lib.fsst_compress(bytes(data) + b"\x00" * 8, len(data), sb, sl, nsym, out)
     return out.raw[:n]
 
 
