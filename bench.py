@@ -108,14 +108,19 @@ def bench_webtable_encode(rows: int | None = None) -> tuple[float, dict]:
 
     # warm-up pass populates Ray's worker pool (a long-lived cluster is
     # always warm; the sandbox job is seconds long, so cold worker
-    # spin-up would otherwise dominate the measurement), then measure
+    # spin-up would otherwise dominate the measurement), then take the
+    # min of 2 measured runs — this VM shows 2-3x host-steal bursts
+    # that single-shot runs report as phantom regressions
     run("_warm")
-    dt, stats = run("")
+    dt1, stats = run("")
+    dt2, _ = run("")
+    dt = min(dt1, dt2)
     return dt, {
         "rows": stats["rows"],
         "input_bytes": _input_bytes(inp),
         "raw_bytes": stats["uncompressed_bytes"],
         "compressed_bytes": stats["compressed_bytes"],
+        "reps_sec": [round(dt1, 4), round(dt2, 4)],
     }
 
 

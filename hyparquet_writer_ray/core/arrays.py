@@ -41,6 +41,36 @@ def validity_mask(arr: pa.Array) -> np.ndarray | None:
     return bits[arr.offset : arr.offset + len(arr)].astype(bool)
 
 
+def drop_null_fast(arr: pa.Array) -> pa.Array:
+    """``drop_null`` without copying the data buffer for string/binary
+    arrays whose null slots are zero-length (the canonical Arrow
+    layout): only the offsets are rebuilt (one vector gather), the
+    value bytes are reused zero-copy. For a web-page table the data
+    buffer is the dominant payload, so Arrow's drop_null copy showed
+    up as ~20% of encode-task CPU. Falls back to ``drop_null`` for
+    other types or non-canonical layouts."""
+    if arr.null_count == 0:
+        return arr
+    t = arr.type
+    if not (pa.types.is_string(t) or pa.types.is_binary(t)
+            or pa.types.is_large_string(t) or pa.types.is_large_binary(t)):
+        return arr.drop_null()
+    big = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
+    odt = np.int64 if big else np.int32
+    n = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=odt, count=arr.offset + n + 1)
+    offs = offs[arr.offset:]
+    valid = validity_mask(arr)
+    if ((offs[1:] - offs[:-1])[~valid] != 0).any():
+        return arr.drop_null()  # non-canonical: null slots own bytes
+    new_offs = np.concatenate([offs[:-1][valid], offs[-1:]])
+    return pa.Array.from_buffers(
+        t, int(valid.sum()),
+        [None, pa.py_buffer(np.ascontiguousarray(new_offs, dtype=odt).tobytes()),
+         arr.buffers()[2]],
+    )
+
+
 def fixed_values(arr: pa.Array) -> np.ndarray:
     """Numpy view of the value buffer of a fixed-width arrow array
     (including slots that are null — caller masks separately)."""

@@ -89,7 +89,7 @@ def _prepare(col, leaf: LeafInfo) -> LeveledValues:
         nulls = 0
     else:
         def_levels = mask.astype(np.uint8) * max_def
-        values = arr.drop_null()
+        values = A.drop_null_fast(arr)
         nulls = arr.null_count
     return LeveledValues(values, def_levels, None, max_def, 0, n, nulls)
 

@@ -73,8 +73,10 @@ def content_part_id(table: pa.Table) -> str:
     parts; any interior value change changes the id (no stale skips —
     the earlier first/last-row approximation could silently keep stale
     output). Cost is one streaming pass at hash speed, small next to
-    the encode itself."""
-    h = hashlib.blake2b(digest_size=12)
+    the encode itself. sha256 (hardware SHA-NI: measured 1.29 GB/s vs
+    blake2b's 0.68 on this box) halves what was 26% of encode-task
+    CPU; the id stays 16 hex chars (64 bits), as before."""
+    h = hashlib.sha256()
     with pa.ipc.new_stream(pa.PythonFile(_HashSink(h), mode="w"), table.schema) as w:
         w.write_table(table)
     return h.hexdigest()[:16]
