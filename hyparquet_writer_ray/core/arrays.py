@@ -41,6 +41,17 @@ def validity_mask(arr: pa.Array) -> np.ndarray | None:
     return bits[arr.offset : arr.offset + len(arr)].astype(bool)
 
 
+def single_chunk(col) -> pa.Array:
+    """One contiguous Array from an Array or ChunkedArray.
+    ``ChunkedArray.combine_chunks`` COPIES even when there is exactly
+    one chunk (measured 39 ms on a 56 MB string column) — the 1-chunk
+    case, which is what map_batches hands us, is a zero-copy
+    ``chunk(0)``."""
+    if isinstance(col, pa.ChunkedArray):
+        return col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+    return col
+
+
 def drop_null_fast(arr: pa.Array) -> pa.Array:
     """``drop_null`` without copying the data buffer for string/binary
     arrays whose null slots are zero-length (the canonical Arrow

@@ -75,7 +75,7 @@ def _prepare(col, leaf: LeafInfo) -> LeveledValues:
     """Normalize input (flat arrow column or LeveledValues) to the slot model."""
     if isinstance(col, LeveledValues):
         return col
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = A.single_chunk(col)
     max_def = leaf.max_definition_level
     n = len(arr)
     if max_def == 0:

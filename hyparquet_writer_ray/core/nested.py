@@ -179,7 +179,9 @@ def _walk(s: _Slots, leaf: LeafInfo, depth: int, rep_depth: int) -> LeveledValue
 
 def compute_levels(col, leaf: LeafInfo) -> LeveledValues:
     """Dremel-encode one top-level column down to ``leaf``."""
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    from .arrays import single_chunk
+
+    arr = single_chunk(col)
     n = len(arr)
     s = _Slots(
         def_=np.zeros(n, dtype=np.uint8),

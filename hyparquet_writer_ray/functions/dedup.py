@@ -44,9 +44,10 @@ def _text_hash128_col(col, backend: str | None = None) -> tuple[pa.Array, pa.Arr
     polars-less worker silently fall back to md5 and split identical
     texts across keys. Keys are job-ephemeral (never persisted), so
     polars' no-cross-version-stability caveat is irrelevant here."""
+    from ..core.arrays import single_chunk
+
     backend = backend or _HASH_BACKEND
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
+    col = single_chunk(col)
     if backend == "polars":
         if _pl is None:  # pragma: no cover
             raise ImportError(

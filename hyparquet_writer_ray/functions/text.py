@@ -40,9 +40,9 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Integer quality signals: n_chars, n_tokens, max_token_len,
     n_stopwords — all Arrow/numpy kernels."""
-    text = batch.column(text_col).combine_chunks() if isinstance(batch.column(text_col), pa.ChunkedArray) else batch.column(text_col)
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
+    from ..core.arrays import single_chunk
+
+    text = single_chunk(batch.column(text_col))
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())
     toks = pc.split_pattern(text, " ")
     n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
