@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (30 of 40 queries);
+the DuckDB-equivalent SQL where expressible (31 of 41 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -534,6 +534,36 @@ def _q_dedup_ngram(sf_dir: str) -> pa.Table:
     return _collect(out, schema).sort_by([("a", "ascending"), ("b", "ascending")])
 
 
+def _q_dedup_components(sf_dir: str) -> pa.Table:
+    """Near-duplicate CLUSTER resolution: the exact n-gram Jaccard
+    pairs (same candidate set and threshold as dedup_ngram_jaccard)
+    become an undirected graph; connected_components assigns every
+    involved doc its component's min doc_id — the distributed
+    min-label-propagation equivalent of SQL recursive reachability."""
+    import ray.data
+
+    import pyarrow.dataset as pads
+    from hyparquet_writer_ray.functions.dedup import ngram_jaccard_pairs
+    from hyparquet_writer_ray.functions.graph import connected_components
+    n = 60
+    a, b = [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            a.append(i)
+            b.append(j)
+    cands = ray.data.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
+                                          "b": pa.array(b, pa.int64())}))
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < n,
+    )
+    pairs = ngram_jaccard_pairs(docs, cands, k=3, threshold=0.01)
+    comp = connected_components(pairs, num_buckets=8)
+    schema = pa.schema([("node", pa.int64()), ("component", pa.int64())])
+    return _collect(comp, schema).sort_by([("node", "ascending")])
+
+
 def _q_dedup_simhash(sf_dir: str) -> pa.Table:
     from hyparquet_writer_ray.functions.dedup import SimHasher, simhashes
     ds = simhashes(_docs_ds(sf_dir))
@@ -750,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_minhash"] = _q_dedup_minhash
     q["dedup_simhash"] = _q_dedup_simhash
     q["dedup_ngram_jaccard"] = _q_dedup_ngram
+    q["dedup_components"] = _q_dedup_components
     q["sim_ivf_topk"] = _q_sim_ivf
     q["sim_topk_cosine"] = _q_sim_topk
     q["sim_lsh_pairs"] = _q_sim_lsh_pairs
@@ -848,6 +879,25 @@ def oracle_sql() -> dict[str, str]:
         "AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / "
         "len(list_distinct(list_concat(a.g, b.g))) >= 0.01 "
         "ORDER BY a, b"
+    )
+    sql["dedup_components"] = (
+        # recursive reachability over the SAME edge definition as
+        # dedup_ngram_jaccard; component = min reachable doc_id
+        "WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform("
+        "range(1, len(string_split(text,' '))-1), i -> "
+        "string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
+        "|| ' ' || string_split(text,' ')[i+2])) AS g "
+        "FROM documents WHERE doc_id < 60), "
+        "p AS (SELECT a.doc_id AS a, b.doc_id AS b "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        "WHERE len(a.g) > 0 AND len(b.g) > 0 "
+        "AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(a.g, b.g))) >= 0.01), "
+        "e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p), "
+        "reach AS (SELECT u AS node, u AS r FROM e "
+        "UNION SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u) "
+        "SELECT node, CAST(min(r) AS BIGINT) AS component "
+        "FROM reach GROUP BY node ORDER BY node"
     )
     sql["sim_lsh_pairs"] = (
         # the query plants scaled copies of vec_id 0..4 under id+1e6

@@ -23,11 +23,13 @@ from .text import (
     token_counts,
     top_tokens,
 )
+from .graph import connected_components
 from .windows import hopping_window_agg, sessionize, tumbling_window_agg
 
 __all__ = [
-    "MinHasher", "SimHasher", "exact_dedup", "exact_dedup_rows",
-    "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhashes",
+    "MinHasher", "SimHasher", "connected_components", "exact_dedup",
+    "exact_dedup_rows", "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    "simhashes",
     "ImageDecodeStage", "decode_images",
     "HyperplaneBucketer", "ivf_topk", "lsh_bucket_pairs", "topk_cosine",
     "hll_distinct", "hll_estimate",

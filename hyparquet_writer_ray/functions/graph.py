@@ -1,0 +1,159 @@
+"""Distributed connected components over a candidate-pair list —
+near-duplicate CLUSTER resolution (pairs from MinHash/LSH/n-gram/
+embedding dedup -> one representative per duplicate cluster).
+
+Scale shape: iterative min-label propagation. Each round is one
+bucketed tag-union shuffle (edges + labels grouped on ``node %
+num_buckets`` — a CONSTANT group count) followed by a ``groupby.min``
+on an 8-byte key; the only state carried between rounds is the
+(node, label) table, which is O(nodes that appear in any pair), NOT
+O(corpus). Labels are monotonically non-increasing, so the exact
+fixpoint test is "sum(label) unchanged" — one cheap aggregate per
+round, no driver-side diff. Convergence takes O(graph diameter)
+rounds; near-dup clusters are dense/shallow in practice, and
+``max_rounds`` guards pathological chains (logged, then raises rather
+than returning silently-unconverged labels).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.arrays import single_chunk
+
+_TAG_SCHEMA = pa.schema([
+    ("bucket", pa.int64()),
+    ("n1", pa.int64()),  # edges: u      labels: node
+    ("n2", pa.int64()),  # edges: v      labels: label
+    ("tag", pa.int64()),  # 0 = edge row, 1 = label row
+])
+
+_CAND_SCHEMA = pa.schema([("node", pa.int64()), ("cand", pa.int64())])
+
+
+def connected_components(pairs, *, a_col: str = "a", b_col: str = "b",
+                         num_buckets: int = 64, max_rounds: int = 64):
+    """(node, component) for every node mentioned in ``pairs``;
+    ``component`` is the minimum node id of the node's connected
+    component — the canonical "keep min-id representative" rule of
+    exact_dedup extended to near-duplicate graphs."""
+    import ray.data
+
+    NB = max(int(num_buckets), 1)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.schema([("u", pa.int64()), ("v", pa.int64())]).empty_table()
+        a = single_chunk(batch.column(a_col)).cast(pa.int64())
+        b = single_chunk(batch.column(b_col)).cast(pa.int64())
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "v": pa.concat_arrays([b, a])})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
+    edges = edges.materialize()  # reused every round; bounded by |pairs|*2
+
+    _LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def _init_rename(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return _LABEL_SCHEMA.empty_table()
+        return pa.table({
+            "node": t.column("u"),
+            "label": pc.min_element_wise(t.column("u"), t.column("min(v)")),
+        })
+
+    def _final_rename(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.schema([("node", pa.int64()),
+                              ("component", pa.int64())]).empty_table()
+        return pa.table({"node": t.column("node"),
+                         "component": t.column("label")})
+
+    def _min_rename(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return _LABEL_SCHEMA.empty_table()
+        return pa.table({"node": t.column("node"),
+                         "label": t.column("min(cand)")})
+
+    # init fuses the first propagation round: label(u) = min(u, min v)
+    labels = edges.groupby("u").min("v").map_batches(
+        _init_rename, batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return _TAG_SCHEMA.empty_table()
+        u = single_chunk(batch.column("u"))
+        un = u.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(un % NB, pa.int64()),
+            "n1": u,
+            "n2": batch.column("v"),
+            "tag": pa.array(np.zeros(batch.num_rows, np.int64)),
+        })
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return _TAG_SCHEMA.empty_table()
+        node = single_chunk(batch.column("node"))
+        nn = node.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(nn % NB, pa.int64()),
+            "n1": node,
+            "n2": batch.column("label"),
+            "tag": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    def propagate(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return _CAND_SCHEMA.empty_table()
+        tag = group.column("tag").to_numpy(zero_copy_only=False)
+        n1 = group.column("n1").to_numpy(zero_copy_only=False)
+        n2 = group.column("n2").to_numpy(zero_copy_only=False)
+        lab = tag == 1
+        edge = tag == 0
+        keys = n1[lab]
+        vals = n2[lab]
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], vals[order]
+        out_node = [n1[lab]]
+        out_cand = [n2[lab]]  # labels pass through (monotone floor)
+        if edge.any() and len(keys):
+            pos = np.searchsorted(keys, n1[edge])
+            pos = np.minimum(pos, len(keys) - 1)
+            ok = keys[pos] == n1[edge]
+            out_node.append(n2[edge][ok])  # neighbor receives u's label
+            out_cand.append(vals[pos][ok])
+        return pa.table({
+            "node": pa.array(np.concatenate(out_node), pa.int64()),
+            "cand": pa.array(np.concatenate(out_cand), pa.int64()),
+        })
+
+    prev_sum = labels.sum("label")
+    if prev_sum is None:  # empty pair list -> no nodes
+        return labels.map_batches(
+            _final_rename, batch_format="pyarrow", zero_copy_batch=True,
+        )
+    for round_no in range(max_rounds):
+        tagged = edges.map_batches(
+            edge_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).union(labels.map_batches(
+            label_rows, batch_format="pyarrow", zero_copy_batch=True
+        ))
+        cands = tagged.groupby("bucket").map_groups(
+            propagate, batch_format="pyarrow"
+        )
+        labels = cands.groupby("node").min("cand").map_batches(
+            _min_rename, batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # exact fixpoint (labels only decrease)
+            return labels.map_batches(
+                _final_rename, batch_format="pyarrow", zero_copy_batch=True,
+            )
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        f"(graph diameter exceeds the bound; raise max_rounds)"
+    )
