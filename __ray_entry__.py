@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (31 of 41 queries);
+the DuckDB-equivalent SQL where expressible (32 of 42 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -564,6 +564,15 @@ def _q_dedup_components(sf_dir: str) -> pa.Table:
     return _collect(comp, schema).sort_by([("node", "ascending")])
 
 
+def _q_token_quantiles(sf_dir: str) -> pa.Table:
+    """Exact token-count percentiles over documents (one histogram
+    shuffle; quantile_disc semantics)."""
+    from hyparquet_writer_ray.functions.stats import exact_quantiles
+    from hyparquet_writer_ray.functions.text import token_counts
+    ds = token_counts(_docs_ds(sf_dir))
+    return exact_quantiles(ds, "n_tokens", qs=(0.25, 0.5, 0.9, 0.99))
+
+
 def _q_dedup_simhash(sf_dir: str) -> pa.Table:
     from hyparquet_writer_ray.functions.dedup import SimHasher, simhashes
     ds = simhashes(_docs_ds(sf_dir))
@@ -781,6 +790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_simhash"] = _q_dedup_simhash
     q["dedup_ngram_jaccard"] = _q_dedup_ngram
     q["dedup_components"] = _q_dedup_components
+    q["text_token_quantiles"] = _q_token_quantiles
     q["sim_ivf_topk"] = _q_sim_ivf
     q["sim_topk_cosine"] = _q_sim_topk
     q["sim_lsh_pairs"] = _q_sim_lsh_pairs
@@ -879,6 +889,13 @@ def oracle_sql() -> dict[str, str]:
         "AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / "
         "len(list_distinct(list_concat(a.g, b.g))) >= 0.01 "
         "ORDER BY a, b"
+    )
+    _tq = ("SELECT CAST({q} AS DOUBLE) AS q, "
+           "CAST(quantile_disc(len(string_split(text, ' ')), {q}) AS BIGINT) "
+           "AS value FROM documents")
+    sql["text_token_quantiles"] = (
+        " UNION ALL ".join(_tq.format(q=q) for q in (0.25, 0.5, 0.9, 0.99))
+        + " ORDER BY q"
     )
     sql["dedup_components"] = (
         # recursive reachability over the SAME edge definition as

@@ -24,6 +24,7 @@ from .text import (
     top_tokens,
 )
 from .graph import connected_components
+from .stats import exact_quantiles
 from .windows import hopping_window_agg, sessionize, tumbling_window_agg
 
 __all__ = [
@@ -32,7 +33,7 @@ __all__ = [
     "simhashes",
     "ImageDecodeStage", "decode_images",
     "HyperplaneBucketer", "ivf_topk", "lsh_bucket_pairs", "topk_cosine",
-    "hll_distinct", "hll_estimate",
+    "hll_distinct", "hll_estimate", "exact_quantiles",
     "LangIdModel", "bpe_token_counts", "fingerprints", "lang_ids",
     "quality_scores", "rolling_fingerprints", "stratified_sample",
     "token_counts", "top_tokens",

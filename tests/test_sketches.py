@@ -43,3 +43,27 @@ def test_hll_distinct_over_dataset(ray_session):
     # deterministic across runs
     out2 = hll_distinct(ray.data.from_arrow(t), "k", p=12)
     assert out["estimate"] == out2["estimate"]
+
+
+def test_exact_quantiles_quantile_disc_parity(ray_session):
+    """exact_quantiles must match DuckDB quantile_disc exactly:
+    element at floor((n-1)*q) of the sorted values, nulls ignored."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from hyparquet_writer_ray.functions.stats import exact_quantiles
+
+    vals = [7, 1, 1, 3, None, 9, 2, 2, 2, 100, 5, None, 4]
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    got = exact_quantiles(ds, "x", qs=(0.0, 0.25, 0.5, 0.9, 1.0))
+    want = {
+        q: duckdb.sql(
+            f"SELECT quantile_disc(x, {q}) FROM (SELECT unnest({[v for v in vals if v is not None]}) x)"
+        ).fetchone()[0]
+        for q in (0.0, 0.25, 0.5, 0.9, 1.0)
+    }
+    assert dict(zip(got.column("q").to_pylist(), got.column("value").to_pylist())) == want
+    empty = exact_quantiles(
+        ray.data.from_arrow(pa.table({"x": pa.array([], pa.int64())})), "x")
+    assert empty.num_rows == 0
