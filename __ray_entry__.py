@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (32 of 42 queries);
+the DuckDB-equivalent SQL where expressible (32 of 44 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -741,6 +741,110 @@ def _q_multimodal(sf_dir: str) -> pa.Table:
     return pa.table({"id": t.column("id"), "decoded": t.column("decoded"), "pixel_sum": sums})
 
 
+def _q_multimodal_audio(sf_dir: str) -> pa.Table:
+    """Audio column with REAL WAV decode (stdlib RIFF/PCM parse): one
+    deterministic sine-mix per doc_id, features recomputed in-driver
+    straight from the known samples and compared exactly."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.audio import (
+        audio_features, encode_wav, wav_features,
+    )
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    ids = docs.column("doc_id").to_pylist()[:1000]
+    RATE = 8000
+    payloads, truth = [], {}
+    for i in ids:
+        if i % 31 == 7:
+            payloads.append(None)
+            continue
+        rng = np.random.default_rng(0xB0A + i)
+        t = np.arange(RATE // 5)  # 0.2 s
+        freq = 100 + (i % 40) * 17
+        sig = 0.4 * np.sin(2 * np.pi * freq * t / RATE) + rng.normal(0, 0.02, len(t))
+        data = encode_wav(sig, rate=RATE)
+        payloads.append(data)
+        # ground truth from the DECODED samples (16-bit quantized),
+        # recomputed with the scalar definition
+        from hyparquet_writer_ray.functions.audio import decode_wav
+
+        truth[i] = wav_features(*decode_wav(data))
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+    }))
+    out = audio_features(ds, backend="stdlib", batch_size=128)
+    t = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    for row in t.to_pylist():
+        i = row["id"]
+        if i in truth:
+            assert row["decoded"]
+            for k, v in truth[i].items():
+                assert row[k] == v, (i, k, row[k], v)
+        else:
+            assert not row["decoded"] and row["rms"] is None
+    return t
+
+
+def _q_multimodal_frames(sf_dir: str) -> pa.Table:
+    """Video-ish column: APNG payloads (real animated-PNG container),
+    actor-pool frame sampling -> per-row thumbnail strips, checked
+    pixel-exact against the known source frames."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions._imagecodec import (
+        encode_apng, resize_nearest, to_gray,
+    )
+    from hyparquet_writer_ray.functions.multimodal import sample_frames
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    ids = docs.column("doc_id").to_pylist()[:400]
+    K, OUT = 3, 6
+    payloads, truth = [], {}
+    for i in ids:
+        if i % 29 == 11:
+            payloads.append(None)
+            continue
+        rng = np.random.default_rng(0xF5A + i)
+        n_fr = 1 + i % 7
+        frames = [rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+                  for _ in range(n_fr)]
+        payloads.append(encode_apng(frames, filter_type=i % 5))
+        idx = [min(int((j + 0.5) * n_fr / K), n_fr - 1) for j in range(K)]
+        truth[i] = (np.stack(
+            [resize_nearest(to_gray(frames[x]), OUT) for x in idx]
+        ).reshape(-1), n_fr)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+    }))
+    out = sample_frames(ds, n_frames=K, out_size=OUT, backend="stdlib",
+                        batch_size=64)
+    t = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    got_ids = t.column("id").to_pylist()
+    got_frames = t.column("frames").to_pylist()
+    got_tot = t.column("n_total_frames").to_pylist()
+    assert sorted(got_ids) == sorted(ids)
+    for i, fr, tot in zip(got_ids, got_frames, got_tot):
+        if i in truth:
+            want, n_fr = truth[i]
+            assert tot == n_fr and fr == want.tolist(), f"frame mismatch id={i}"
+        else:
+            assert fr is None
+    sums = pa.array(
+        [int(np.sum(f)) if f is not None else None for f in got_frames],
+        type=pa.int64(),
+    )
+    return pa.table({"id": t.column("id"), "decoded": t.column("decoded"),
+                     "n_total_frames": t.column("n_total_frames"),
+                     "frame_sum": sums})
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: Ray-encode lineitem into one parquet
     file through the actor-pool + assembler path, then return the decoded
@@ -791,6 +895,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_ngram_jaccard"] = _q_dedup_ngram
     q["dedup_components"] = _q_dedup_components
     q["text_token_quantiles"] = _q_token_quantiles
+    q["multimodal_audio"] = _q_multimodal_audio
+    q["multimodal_frames"] = _q_multimodal_frames
     q["sim_ivf_topk"] = _q_sim_ivf
     q["sim_topk_cosine"] = _q_sim_topk
     q["sim_lsh_pairs"] = _q_sim_lsh_pairs

@@ -9,7 +9,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhashes,
 )
-from .multimodal import ImageDecodeStage, decode_images
+from .multimodal import FrameSampleStage, ImageDecodeStage, decode_images, sample_frames
 from .similarity import HyperplaneBucketer, ivf_topk, lsh_bucket_pairs, topk_cosine
 from .sketches import hll_distinct, hll_estimate
 from .text import (
@@ -23,6 +23,7 @@ from .text import (
     token_counts,
     top_tokens,
 )
+from .audio import AudioFeatureStage, audio_features
 from .graph import connected_components
 from .stats import exact_quantiles
 from .windows import hopping_window_agg, sessionize, tumbling_window_agg
@@ -31,7 +32,8 @@ __all__ = [
     "MinHasher", "SimHasher", "connected_components", "exact_dedup",
     "exact_dedup_rows", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhashes",
-    "ImageDecodeStage", "decode_images",
+    "ImageDecodeStage", "FrameSampleStage", "decode_images", "sample_frames",
+    "AudioFeatureStage", "audio_features",
     "HyperplaneBucketer", "ivf_topk", "lsh_bucket_pairs", "topk_cosine",
     "hll_distinct", "hll_estimate", "exact_quantiles",
     "LangIdModel", "bpe_token_counts", "fingerprints", "lang_ids",

@@ -78,6 +78,18 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     raw = zlib.decompress(b"".join(idat))
     ch = _PNG_CHANNELS[color_type]
+    out = _unfilter_scanlines(raw, width, height, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[out.reshape(height, width)]
+    if ch == 1:
+        return out.reshape(height, width)
+    return out.reshape(height, width, ch)
+
+
+def _unfilter_scanlines(raw: bytes, width: int, height: int, ch: int) -> np.ndarray:
+    """Decompressed PNG scanline stream -> (height, width*ch) uint8."""
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG IDAT size mismatch")
@@ -130,13 +142,7 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter byte {f}")
         out[y] = rec.astype(np.uint8)
         prev = rec
-    if color_type == 3:
-        if plte is None:
-            raise ValueError("palette PNG missing PLTE")
-        return plte[out.reshape(height, width)]
-    if ch == 1:
-        return out.reshape(height, width)
-    return out.reshape(height, width, ch)
+    return out
 
 
 def _chunk(ctype: bytes, body: bytes) -> bytes:
@@ -205,6 +211,113 @@ def encode_png(arr: np.ndarray, *, filter_type: int = 0) -> bytes:
         + _chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
         + _chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------------
+# APNG (animated PNG) — real video-ish container for frame sampling
+# ---------------------------------------------------------------------------
+
+
+def encode_apng(frames, *, delay_ms: int = 100, filter_type: int = 0) -> bytes:
+    """List of same-shape uint8 frames -> APNG bytes (full-canvas
+    frames, frame 0 in IDAT, later frames in fdAT — the layout every
+    browser renders). Reuses the single-image encoder per frame and
+    lifts its IDAT stream."""
+    frames = [np.ascontiguousarray(f, np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("APNG needs at least one frame")
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("all APNG frames must share one shape")
+    singles = [encode_png(f, filter_type=filter_type) for f in frames]
+
+    def idat_of(png: bytes) -> bytes:
+        return b"".join(body for ct, body in _png_chunks(png) if ct == b"IDAT")
+
+    ihdr = next(body for ct, body in _png_chunks(singles[0]) if ct == b"IHDR")
+    w, h = struct.unpack(">II", ihdr[:8])
+    seq = 0
+    out = [PNG_MAGIC, _chunk(b"IHDR", ihdr),
+           _chunk(b"acTL", struct.pack(">II", len(frames), 0))]
+    for i, png in enumerate(singles):
+        fctl = struct.pack(">IIIIIHHBB", seq, w, h, 0, 0, delay_ms, 1000, 0, 0)
+        seq += 1
+        out.append(_chunk(b"fcTL", fctl))
+        data = idat_of(png)
+        if i == 0:
+            out.append(_chunk(b"IDAT", data))
+        else:
+            out.append(_chunk(b"fdAT", struct.pack(">I", seq) + data))
+            seq += 1
+    out.append(_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def apng_frame_count(data: bytes) -> int:
+    """Number of animation frames (1 for a plain PNG)."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    for ctype, body in _png_chunks(data):
+        if ctype == b"acTL":
+            return struct.unpack(">I", body[:4])[0]
+    return 1
+
+
+def decode_apng_frames(data: bytes, indices) -> list[np.ndarray]:
+    """Decode the requested frame indices of an APNG (or index 0 of a
+    plain PNG). Full-canvas frames only (offsets 0, frame size ==
+    canvas) — the layout ``encode_apng`` writes; anything else raises."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    width = height = color_type = None
+    plte = None
+    streams: list[list[bytes]] = []  # zlib stream chunks per frame
+    idat_is_frame = False
+    seen_idat = False
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, _i = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"fcTL":
+            _seq, fw, fh, fx, fy = struct.unpack(">IIIII", body[:20])
+            if (fw, fh, fx, fy) != (width, height, 0, 0):
+                raise ValueError("partial-canvas APNG frames not supported")
+            if not seen_idat:
+                idat_is_frame = True  # first fcTL precedes IDAT -> IDAT is frame 0
+            streams.append([])
+        elif ctype == b"IDAT":
+            seen_idat = True
+            if idat_is_frame:
+                streams[0].append(body)
+        elif ctype == b"fdAT":
+            if not streams:
+                raise ValueError("fdAT before any fcTL")
+            streams[-1].append(body[4:])  # strip sequence number
+    if not streams:  # plain PNG: exactly one frame (index 0)
+        if any(i != 0 for i in indices):
+            raise IndexError("plain PNG has 1 frame")
+        img = decode_png(data)
+        return [img for _ in indices]
+    ch = _PNG_CHANNELS[color_type]
+    out = []
+    for i in indices:
+        if not (0 <= i < len(streams)):
+            raise IndexError(f"frame {i} of {len(streams)}")
+        raw = zlib.decompress(b"".join(streams[i]))
+        px = _unfilter_scanlines(raw, width, height, ch)
+        if color_type == 3:
+            if plte is None:
+                raise ValueError("palette APNG missing PLTE")
+            out.append(plte[px.reshape(height, width)])
+        elif ch == 1:
+            out.append(px.reshape(height, width))
+        else:
+            out.append(px.reshape(height, width, ch))
+    return out
 
 
 # ---------------------------------------------------------------------------

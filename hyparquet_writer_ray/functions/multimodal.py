@@ -92,6 +92,86 @@ class ImageDecodeStage:
         })
 
 
+class FrameSampleStage:
+    """Actor stage: video-ish binary payload (APNG) -> ``n_frames``
+    evenly sampled grayscale thumbnails per row, one flat FixedSizeList
+    of n_frames*out_size*out_size uint8 pixels (temporal feature
+    extraction for video columns).
+
+    Sampling rule (deterministic): frame index ``floor((i+0.5) *
+    total / n_frames)`` — cell centers over the timeline, same rule as
+    the spatial resize. Backends: "stdlib" (real APNG decode via
+    ``_imagecodec``; plain PNG counts as a 1-frame video) or "fake"
+    (hash-derived pixels for arbitrary payloads)."""
+
+    def __init__(self, *, n_frames: int = 4, out_size: int = 8,
+                 backend: str = "stdlib",
+                 payload_col: str = "payload", id_col: str = "id") -> None:
+        self.n_frames = n_frames
+        self.out_size = out_size
+        self.backend = backend
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def _sample(self, payload: bytes) -> tuple[np.ndarray, int]:
+        k, o = self.n_frames, self.out_size
+        if self.backend == "fake":
+            digest = hashlib.sha256(payload).digest()
+            rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
+            return rng.integers(0, 256, (k, o, o), dtype=np.uint8), k
+        from ._imagecodec import (
+            apng_frame_count, decode_apng_frames, resize_nearest, to_gray,
+        )
+
+        total = apng_frame_count(payload)
+        idx = [min(int((i + 0.5) * total / k), total - 1) for i in range(k)]
+        frames = decode_apng_frames(payload, idx)
+        thumbs = np.stack([resize_nearest(to_gray(f), o) for f in frames])
+        return thumbs, total
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        payloads = batch.column(self.payload_col).to_pylist()
+        n = self.n_frames * self.out_size * self.out_size
+        flat = np.zeros((len(payloads), n), dtype=np.uint8)
+        ok = np.zeros(len(payloads), dtype=bool)
+        totals = np.zeros(len(payloads), dtype=np.int64)
+        for i, p in enumerate(payloads):
+            if p is not None:
+                thumbs, total = self._sample(p)
+                flat[i] = thumbs.reshape(-1)
+                totals[i] = total
+                ok[i] = True
+        ok_arr = pa.array(ok)
+        frames = pa.Array.from_buffers(
+            pa.list_(pa.uint8(), n), len(payloads),
+            [ok_arr.buffers()[1]], null_count=int((~ok).sum()),
+            children=[pa.array(flat.reshape(-1))],
+        )
+        return pa.table({
+            self.id_col: ids,
+            "frames": frames,
+            "n_total_frames": pa.array(totals),
+            "decoded": ok_arr,
+        })
+
+
+def sample_frames(ds, *, n_frames: int = 4, out_size: int = 8,
+                  backend: str = "stdlib", concurrency=2,
+                  batch_size: int = 32, **kw):
+    """Video payloads are the largest multimodal blobs: batch_size is
+    small so payload_bytes x concurrency stays bounded per worker."""
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs=dict(n_frames=n_frames, out_size=out_size,
+                                   backend=backend, **kw),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def decode_images(ds, *, fake: bool = False, backend: str = "auto",
                   out_size: int = 16,
                   concurrency=2, batch_size: int = 64, **kw):

@@ -119,3 +119,74 @@ def test_png_palette_decode():
     out = decode_png(data)
     assert out.shape == (2, 2, 3)
     assert (out == pal[idx]).all()
+
+
+def test_apng_roundtrip_and_frame_sampling():
+    from hyparquet_writer_ray.functions._imagecodec import (
+        apng_frame_count,
+        decode_apng_frames,
+        encode_apng,
+    )
+
+    frames = [
+        _rng(i).integers(0, 256, (6, 8, 3), dtype=np.uint8) for i in range(5)
+    ]
+    data = encode_apng(frames, filter_type=2)
+    assert apng_frame_count(data) == 5
+    got = decode_apng_frames(data, [0, 2, 4])
+    for g, want in zip(got, [frames[0], frames[2], frames[4]]):
+        assert (g == want).all()
+    # gray frames too
+    gdata = encode_apng([f[:, :, 0] for f in frames])
+    assert (decode_apng_frames(gdata, [3])[0] == frames[3][:, :, 0]).all()
+    # a plain PNG is a 1-frame video
+    single = encode_png(frames[0])
+    assert apng_frame_count(single) == 1
+    assert (decode_apng_frames(single, [0, 0])[1] == frames[0]).all()
+    with pytest.raises(IndexError):
+        decode_apng_frames(single, [1])
+    with pytest.raises(IndexError):
+        decode_apng_frames(data, [5])
+
+
+def test_wav_roundtrip_and_features():
+    from hyparquet_writer_ray.functions.audio import (
+        decode_wav,
+        encode_wav,
+        wav_features,
+    )
+
+    t = np.arange(1600) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    data = encode_wav(sig, rate=16000)
+    rate, back = decode_wav(data)
+    assert rate == 16000
+    assert len(back) == 1600
+    assert np.abs(back - sig).max() < 1e-3  # 16-bit quantization only
+    f = wav_features(rate, back)
+    assert abs(f["duration_s"] - 0.1) < 1e-9
+    assert abs(f["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(f["peak"] - 0.5) < 1e-3
+    # 440 Hz -> 2*440 crossings/sec -> zcr ~ 880/16000
+    assert abs(f["zcr"] - 880 / 16000) < 0.01
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio")
+
+
+def test_wav_stereo_and_8bit():
+    import struct
+
+    from hyparquet_writer_ray.functions.audio import decode_wav, encode_wav
+
+    # stereo: interleave two channels manually on top of the mono encoder
+    left = np.full(100, 0.5)
+    right = np.full(100, -0.5)
+    inter = np.empty(200)
+    inter[0::2] = left
+    inter[1::2] = right
+    mono = encode_wav(inter, rate=8000)
+    # patch n_channels=2 in the fmt chunk (offset 22) and rate fields
+    b = bytearray(mono)
+    struct.pack_into("<H", b, 22, 2)
+    rate, x = decode_wav(bytes(b))
+    assert np.abs(x).max() < 1e-2  # L+R average to ~0
