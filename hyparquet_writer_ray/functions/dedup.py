@@ -14,6 +14,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ..core.arrays import single_chunk
+
 _MERSENNE = (1 << 61) - 1
 
 try:  # vectorized 2-lane xxhash via polars (Rust); md5 loop fallback
@@ -44,8 +46,6 @@ def _text_hash128_col(col, backend: str | None = None) -> tuple[pa.Array, pa.Arr
     polars-less worker silently fall back to md5 and split identical
     texts across keys. Keys are job-ephemeral (never persisted), so
     polars' no-cross-version-stability caveat is irrelevant here."""
-    from ..core.arrays import single_chunk
-
     backend = backend or _HASH_BACKEND
     col = single_chunk(col)
     if backend == "polars":
@@ -301,11 +301,11 @@ def _bucketed_pair_attach(pairs, payload_ds, *, payload_col: str,
     def mentions(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
             return _MENTION_SCHEMA.empty_table()
-        a = batch.column("a").combine_chunks()
-        b = batch.column("b").combine_chunks()
+        a = single_chunk(batch.column("a"))
+        b = single_chunk(batch.column("b"))
         n = batch.num_rows
         if "from_oversized" in batch.column_names:
-            fo = batch.column("from_oversized").combine_chunks()
+            fo = single_chunk(batch.column("from_oversized"))
         else:
             fo = pa.array([False] * n, pa.bool_())
         doc = pa.concat_arrays([a, b])
@@ -442,8 +442,7 @@ class MinHasher:
         nd = len(col)
         toks = pc.utf8_split_whitespace(col)
         flat = toks.flatten()
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
+        flat = single_chunk(flat)
         n_raw = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
@@ -495,8 +494,7 @@ class MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
         col = batch.column(self.text_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
+        col = single_chunk(col)
         sigs = self._batch_signatures(col)
         # one binary value per row (num_perm little-endian u64) — binary
         # survives parquet round-trips AND is a legal non-key column in
@@ -519,8 +517,7 @@ class MinHasher:
 def _sig_matrix(col, num_perm: int) -> np.ndarray:
     """Zero-copy-ish (one buffer view) decode of the binary sig column
     back to an (n, num_perm) uint64 matrix."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
+    col = single_chunk(col)
     n = len(col)
     if n == 0:
         return np.zeros((0, num_perm), dtype=np.uint64)
@@ -764,13 +761,11 @@ class SimHasher:
         from ..core.arrays import byte_array_values
 
         col = batch.column(self.text_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
+        col = single_chunk(col)
         nd = len(col)
         toks = pc.utf8_split_whitespace(col)
         flat = toks.flatten()
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
+        flat = single_chunk(flat)
         n_raw = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
@@ -831,8 +826,7 @@ class NGramSetBuilder:
         nd = len(col)
         toks = pc.split_pattern(col, " ")  # SQL parity: keeps empty tokens
         flat = toks.flatten()
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
+        flat = single_chunk(flat)
         n_tok = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
@@ -872,8 +866,7 @@ class NGramSetBuilder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.text_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
+        col = single_chunk(col)
         gh, n_grams = self._doc_gram_sets(col)
         flat = np.ascontiguousarray(gh, dtype="<u8").tobytes()
         byte_off = np.concatenate([[0], np.cumsum(n_grams)]) * 8

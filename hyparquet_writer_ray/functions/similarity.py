@@ -13,11 +13,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..core.arrays import single_chunk
+
 
 def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col)
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
+    arr = single_chunk(arr)
     flat = np.asarray(arr.flatten(), dtype=np.float64)
     return flat.reshape(batch.num_rows, -1)
 

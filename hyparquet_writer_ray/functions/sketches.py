@@ -12,6 +12,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..core.arrays import single_chunk
+
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     with np.errstate(over="ignore"):
@@ -24,7 +26,7 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 def _hash_column(col: pa.Array) -> np.ndarray:
     """64-bit hashes of a column's non-null values (ints hashed by
     value; strings/binary by their segmented polynomial hash)."""
-    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    col = single_chunk(col)
     col = col.drop_null()
     t = col.type
     if pa.types.is_integer(t):

@@ -11,6 +11,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..core.arrays import single_chunk
+
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "it", "that")
 
 # tiny per-language stopword lists for the n-gram/stopword-heuristic
@@ -40,8 +42,6 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Integer quality signals: n_chars, n_tokens, max_token_len,
     n_stopwords — all Arrow/numpy kernels."""
-    from ..core.arrays import single_chunk
-
     text = single_chunk(batch.column(text_col))
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())
     toks = pc.split_pattern(text, " ")
@@ -108,11 +108,10 @@ def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Tab
     """Polynomial rolling hash of the utf-8 bytes, fully vectorized via a
     power-ladder over the batch's flat byte buffer (no per-byte Python)."""
     col = batch.column(text_col)
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
+    col = single_chunk(col)
     valid = col.drop_null()
     n = len(col)
-    buf = valid.combine_chunks() if isinstance(valid, pa.ChunkedArray) else valid
+    buf = single_chunk(valid)
     # offsets/data from the arrow buffers
     from ..core.arrays import byte_array_values
 
@@ -228,11 +227,9 @@ def top_tokens(ds, k: int = 25, text_col: str = "text"):
 
     def partial(batch: pa.Table) -> pa.Table:
         col = batch.column(text_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
+        col = single_chunk(col)
         flat = pc.list_flatten(pc.split_pattern(col, " "))
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
+        flat = single_chunk(flat)
         # np.unique on the python-free dictionary trick: arrow
         # dictionary_encode groups identical strings in C
         denc = pc.dictionary_encode(flat)
@@ -283,7 +280,7 @@ def stratified_sample(ds, *, key_col: str = "lang", id_col: str = "doc_id",
             # once per DISTINCT stratum, the per-row masks are numpy
             # compares over the int codes (no per-row Python — VERDICT r2
             # item 5)
-            dic = batch.column(key_col).combine_chunks().dictionary_encode()
+            dic = single_chunk(batch.column(key_col)).dictionary_encode()
             codes = pa.compute.fill_null(dic.indices, -1).to_numpy(
                 zero_copy_only=False
             ).astype(np.int64)

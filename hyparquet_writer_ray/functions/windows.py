@@ -10,6 +10,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..core.arrays import single_chunk
+
 
 def tumbling_window_agg(
     ds,
@@ -33,8 +35,7 @@ def tumbling_window_agg(
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column(ts_col)
-        if isinstance(ts, pa.ChunkedArray):
-            ts = ts.combine_chunks()
+        ts = single_chunk(ts)
         us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
         w = (us // width_us) * width_seconds  # window start, epoch seconds
         uniq, inv = np.unique(w, return_inverse=True)
@@ -45,8 +46,7 @@ def tumbling_window_agg(
         }
         if sum_col is not None:
             v = batch.column(sum_col)
-            if isinstance(v, pa.ChunkedArray):
-                v = v.combine_chunks()
+            v = single_chunk(v)
             vals = v.cast(pa.int64()).to_numpy(zero_copy_only=False)
             sums = np.zeros(len(uniq), dtype=np.int64)
             np.add.at(sums, inv, vals)
@@ -95,8 +95,7 @@ def hopping_window_agg(
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column(ts_col)
-        if isinstance(ts, pa.ChunkedArray):
-            ts = ts.combine_chunks()
+        ts = single_chunk(ts)
         us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
         base = us // slide_us  # slide-aligned bucket index
         # windows starting at (base - j) * slide for j in 0..m-1
@@ -110,8 +109,7 @@ def hopping_window_agg(
         }
         if sum_col is not None:
             v = batch.column(sum_col)
-            if isinstance(v, pa.ChunkedArray):
-                v = v.combine_chunks()
+            v = single_chunk(v)
             vals = np.tile(v.cast(pa.int64()).to_numpy(zero_copy_only=False), m)
             sums = np.zeros(len(uniq), dtype=np.int64)
             np.add.at(sums, inv, vals)
@@ -162,8 +160,7 @@ def sessionize(
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         col = batch.column(key_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
+        col = single_chunk(col)
         t = col.type
         if pa.types.is_integer(t):
             k = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -193,14 +190,12 @@ def sessionize(
                 "s_end": pa.array([], pa.int64()),
             })
         kcol = group.column(key_col)
-        if isinstance(kcol, pa.ChunkedArray):
-            kcol = kcol.combine_chunks()
+        kcol = single_chunk(kcol)
         # collision-free integer key codes of ANY key type, in C
         denc = pa.compute.dictionary_encode(kcol)
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         ts = group.column(ts_col)
-        if isinstance(ts, pa.ChunkedArray):
-            ts = ts.combine_chunks()
+        ts = single_chunk(ts)
         us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
         n = len(codes)
         order = np.lexsort((us, codes))
