@@ -52,6 +52,15 @@ def connected_components(pairs, *, a_col: str = "a", b_col: str = "b",
 
     edges = pairs.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
     edges = edges.materialize()  # reused every round; bounded by |pairs|*2
+    # the pair list usually arrives with the WIDE block layout of the
+    # candidate-generation pipeline (hundreds of near-empty blocks);
+    # every iteration stage would inherit that task count. Collapse to
+    # a block count sized to the edge data (~100k edges per block,
+    # floor NB so big graphs keep shuffle parallelism).
+    n_edges = edges.count()
+    target_blocks = int(min(max(NB, 1), max(1, n_edges // 100_000 + 1) * NB))
+    if edges.num_blocks() > 2 * target_blocks:
+        edges = edges.repartition(target_blocks).materialize()
 
     _LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
@@ -94,15 +103,26 @@ def connected_components(pairs, *, a_col: str = "a", b_col: str = "b",
         })
 
     def label_rows(batch: pa.Table) -> pa.Table:
+        """Each (node, label) row contributes its passthrough (tag 1)
+        PLUS a pointer-jumping shortcut edge label->node (tag 0): the
+        node then receives label(label(node)) in the same round, so
+        convergence drops from O(diameter) to O(log diameter) rounds —
+        the difference between 4 and 30+ shuffles on a chain-shaped
+        duplicate cluster."""
         if batch.num_columns == 0 or batch.num_rows == 0:
             return _TAG_SCHEMA.empty_table()
         node = single_chunk(batch.column("node"))
+        label = single_chunk(batch.column("label"))
         nn = node.to_numpy(zero_copy_only=False)
+        ll = label.to_numpy(zero_copy_only=False)
         return pa.table({
-            "bucket": pa.array(nn % NB, pa.int64()),
-            "n1": node,
-            "n2": batch.column("label"),
-            "tag": pa.array(np.ones(batch.num_rows, np.int64)),
+            "bucket": pa.array(np.concatenate([nn % NB, ll % NB]), pa.int64()),
+            "n1": pa.concat_arrays([node, label]),
+            "n2": pa.concat_arrays([label, node]),
+            "tag": pa.array(
+                np.concatenate([np.ones(len(nn), np.int64),
+                                np.zeros(len(nn), np.int64)])
+            ),
         })
 
     def propagate(group: pa.Table) -> pa.Table:
@@ -146,7 +166,7 @@ def connected_components(pairs, *, a_col: str = "a", b_col: str = "b",
         )
         labels = cands.groupby("node").min("cand").map_batches(
             _min_rename, batch_format="pyarrow", zero_copy_batch=True,
-        ).materialize()
+        ).repartition(target_blocks).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:  # exact fixpoint (labels only decrease)
             return labels.map_batches(
