@@ -9,10 +9,15 @@ on an 8-byte key; the only state carried between rounds is the
 (node, label) table, which is O(nodes that appear in any pair), NOT
 O(corpus). Labels are monotonically non-increasing, so the exact
 fixpoint test is "sum(label) unchanged" — one cheap aggregate per
-round, no driver-side diff. Convergence takes O(graph diameter)
-rounds; near-dup clusters are dense/shallow in practice, and
-``max_rounds`` guards pathological chains (logged, then raises rather
-than returning silently-unconverged labels).
+round, no driver-side diff. Each label row also emits a
+pointer-jumping shortcut edge (label -> node), so convergence takes
+O(log diameter) rounds rather than O(diameter); ``max_rounds`` still
+guards pathology (raises rather than returning silently-unconverged
+labels). The iterative state is repartitioned to a block count sized
+to the edge data — without that cap, each round inherits the wide
+block layout of the candidate-generation pipeline and fixed per-task
+overhead dominates (measured 583 s -> 15.6 s on a 42-node graph whose
+pairs arrived in ~200 blocks).
 """
 from __future__ import annotations
 
