@@ -24,12 +24,12 @@ from .text import (
     top_tokens,
 )
 from .audio import AudioFeatureStage, audio_features
-from .graph import connected_components
+from .graph import connected_components, drop_near_duplicates
 from .stats import exact_quantiles
 from .windows import hopping_window_agg, sessionize, tumbling_window_agg
 
 __all__ = [
-    "MinHasher", "SimHasher", "connected_components", "exact_dedup",
+    "MinHasher", "SimHasher", "connected_components", "drop_near_duplicates", "exact_dedup",
     "exact_dedup_rows", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhashes",
     "ImageDecodeStage", "FrameSampleStage", "decode_images", "sample_frames",

@@ -182,3 +182,92 @@ def connected_components(pairs, *, a_col: str = "a", b_col: str = "b",
         f"connected_components did not converge in {max_rounds} rounds "
         f"(graph diameter exceeds the bound; raise max_rounds)"
     )
+
+
+def drop_near_duplicates(ds, pairs, *, id_col: str = "doc_id",
+                         a_col: str = "a", b_col: str = "b",
+                         num_buckets: int = 64, max_rounds: int = 64):
+    """The full near-dup dedup decision: keep every row of ``ds``
+    whose id is NOT a non-representative member of a duplicate
+    cluster (i.e. keep cluster minima and all unpaired rows).
+
+    Scale shape: the component table from ``connected_components``
+    reduces to a DROP list (component != node); the anti-join against
+    the corpus is the same constant-bucket tag-union shuffle used
+    everywhere else — marker rows (null-padded to the doc schema)
+    ride along with the doc rows on ``id % num_buckets`` and each
+    bucket filters vectorized via searchsorted. No broadcast of the
+    drop list (it is O(duplicate docs) — up to half the corpus at web
+    scale)."""
+    NB = max(int(num_buckets), 1)
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col,
+                                num_buckets=num_buckets, max_rounds=max_rounds)
+
+    _MARK = "__hpw_drop_marker"
+    doc_schema = ds.schema()
+    pa_schema = getattr(doc_schema, "base_schema", doc_schema)
+
+    def drop_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.schema([("__node", pa.int64())]).empty_table()
+        keep = pc.not_equal(batch.column("node"), batch.column("component"))
+        return pa.table({"__node": batch.filter(keep).column("node")})
+
+    drops = comp.map_batches(drop_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return batch
+        ids = single_chunk(batch.column(id_col)).cast(pa.int64())
+        return batch.append_column(
+            "__bucket",
+            pa.array(ids.to_numpy(zero_copy_only=False) % NB, pa.int64()),
+        ).append_column(_MARK, pa.array(np.zeros(batch.num_rows, bool)))
+
+    docs_tagged = ds.map_batches(doc_rows, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def marker_rows(batch: pa.Table) -> pa.Table:
+        # null-padded to the exact doc schema so the union's blocks
+        # concatenate cleanly inside the bucket groupby
+        cols: dict = {}
+        nodes = single_chunk(batch.column("__node")) if "__node" in batch.column_names else pa.array([], pa.int64())
+        n = len(nodes)
+        for field in pa_schema:
+            if field.name == id_col:
+                cols[field.name] = nodes.cast(field.type)
+            else:
+                cols[field.name] = pa.nulls(n, field.type)
+        cols["__bucket"] = pa.array(
+            nodes.cast(pa.int64()).to_numpy(zero_copy_only=False) % NB
+            if n else np.zeros(0, np.int64),
+            pa.int64(),
+        )
+        cols[_MARK] = pa.array(np.ones(n, bool))
+        return pa.table(cols)
+
+    marks = drops.map_batches(marker_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def filter_bucket(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return group
+        mark = group.column(_MARK).to_numpy(zero_copy_only=False).astype(bool)
+        ids = pc.fill_null(
+            group.column(id_col).cast(pa.int64()), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        dropset = np.sort(ids[mark])
+        doc_idx = np.nonzero(~mark)[0]
+        if len(dropset):
+            pos = np.searchsorted(dropset, ids[doc_idx])
+            pos = np.minimum(pos, len(dropset) - 1)
+            doc_idx = doc_idx[dropset[pos] != ids[doc_idx]]
+        return group.take(pa.array(np.sort(doc_idx))).drop_columns(
+            ["__bucket", _MARK]
+        )
+
+    union = docs_tagged.union(marks)
+    return union.groupby("__bucket").map_groups(
+        filter_bucket, batch_format="pyarrow"
+    )

@@ -76,3 +76,31 @@ def test_components_empty(ray_session):
 def test_components_nonconvergence_raises(ray_session):
     with pytest.raises(RuntimeError, match="converge"):
         _run(ray_session, [(i, i + 1) for i in range(30)], max_rounds=2)
+
+
+def test_drop_near_duplicates(ray_session):
+    """Keep cluster minima + unpaired rows; all doc columns survive."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.graph import drop_near_duplicates
+
+    docs = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": [f"t{i}" for i in range(10)],
+        "score": [float(i) for i in range(10)],
+    })
+    # clusters {1,2,3}, {7,8}; singletons 0,4,5,6,9
+    prs = [(1, 2), (2, 3), (7, 8)]
+    pairs = pa.table({"a": pa.array([a for a, _ in prs], pa.int64()),
+                      "b": pa.array([b for _, b in prs], pa.int64())})
+    out = drop_near_duplicates(
+        ray.data.from_arrow(docs), ray.data.from_arrow(pairs),
+        id_col="doc_id", num_buckets=4,
+    )
+    got = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("doc_id")
+    assert got.column("doc_id").to_pylist() == [0, 1, 4, 5, 6, 7, 9]
+    assert got.column("text").to_pylist() == ["t0", "t1", "t4", "t5", "t6", "t7", "t9"]
+    assert got.column("score").to_pylist() == [0.0, 1.0, 4.0, 5.0, 6.0, 7.0, 9.0]
+    assert got.schema.equals(docs.schema)
