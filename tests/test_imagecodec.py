@@ -190,3 +190,59 @@ def test_wav_stereo_and_8bit():
     struct.pack_into("<H", b, 22, 2)
     rate, x = decode_wav(bytes(b))
     assert np.abs(x).max() < 1e-2  # L+R average to ~0
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: any uint8 image round-trips through both codecs
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _images(draw):
+    h = draw(st.integers(1, 24))
+    w = draw(st.integers(1, 24))
+    ch = draw(st.sampled_from([None, 3, 4]))
+    shape = (h, w) if ch is None else (h, w, ch)
+    seed = draw(st.integers(0, 2**32 - 1))
+    return np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(img=_images(), filter_type=st.integers(0, 4))
+def test_fuzz_png_roundtrip(img, filter_type):
+    out = decode_png(encode_png(img, filter_type=filter_type))
+    assert out.shape == img.shape
+    assert (out == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(img=_images())
+def test_fuzz_bmp_roundtrip(img):
+    if img.ndim == 3 and img.shape[2] == 4:
+        img = img[:, :, :3]
+    out = decode_bmp(encode_bmp(img))
+    want = img if img.ndim == 3 else np.repeat(img[:, :, None], 3, axis=2)
+    assert (out == want).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_fuzz_apng_frames(data):
+    from hyparquet_writer_ray.functions._imagecodec import (
+        decode_apng_frames, encode_apng,
+    )
+
+    n = data.draw(st.integers(1, 6))
+    h = data.draw(st.integers(1, 12))
+    w = data.draw(st.integers(1, 12))
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+    ft = data.draw(st.integers(0, 4))
+    payload = encode_apng(frames, filter_type=ft)
+    idx = data.draw(st.lists(st.integers(0, n - 1), min_size=1, max_size=4))
+    got = decode_apng_frames(payload, idx)
+    for g, i in zip(got, idx):
+        assert (g == frames[i]).all()
