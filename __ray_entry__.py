@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (32 of 44 queries);
+the DuckDB-equivalent SQL where expressible (34 of 46 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -564,6 +564,41 @@ def _q_dedup_components(sf_dir: str) -> pa.Table:
     return _collect(comp, schema).sort_by([("node", "ascending")])
 
 
+def _q_curate_neardup(sf_dir: str) -> pa.Table:
+    """Second end-to-end composition: exact n-gram Jaccard pairs ->
+    connected components -> drop non-representatives -> quality filter
+    -> per-language stats, against a single recursive-CTE SQL oracle."""
+    import ray.data
+
+    import pyarrow.dataset as pads
+    from hyparquet_writer_ray.functions.dedup import ngram_jaccard_pairs
+    from hyparquet_writer_ray.pipelines.curate import (
+        curate_near_duplicates, lang_stats,
+    )
+    n = 60
+    a, b = [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            a.append(i)
+            b.append(j)
+    cands = ray.data.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
+                                          "b": pa.array(b, pa.int64())}))
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+        filter=pads.field("doc_id") < n,
+    )
+    pairs = ngram_jaccard_pairs(
+        docs.select_columns(["doc_id", "text"]), cands, k=3, threshold=0.01
+    )
+    curated = curate_near_duplicates(docs, pairs)
+    out = lang_stats(curated)
+    t = pa.concat_tables(
+        bt for bt in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    return t.sort_by("lang")
+
+
 def _q_token_quantiles(sf_dir: str) -> pa.Table:
     """Exact token-count percentiles over documents (one histogram
     shuffle; quantile_disc semantics)."""
@@ -895,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_ngram_jaccard"] = _q_dedup_ngram
     q["dedup_components"] = _q_dedup_components
     q["text_token_quantiles"] = _q_token_quantiles
+    q["curate_neardup_pipeline"] = _q_curate_neardup
     q["multimodal_audio"] = _q_multimodal_audio
     q["multimodal_frames"] = _q_multimodal_frames
     q["sim_ivf_topk"] = _q_sim_ivf
@@ -1002,6 +1038,32 @@ def oracle_sql() -> dict[str, str]:
     sql["text_token_quantiles"] = (
         " UNION ALL ".join(_tq.format(q=q) for q in (0.25, 0.5, 0.9, 0.99))
         + " ORDER BY q"
+    )
+    sql["curate_neardup_pipeline"] = (
+        # full composition oracle: pairs -> reachability components ->
+        # drop non-representatives -> quality filter -> lang stats
+        "WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform("
+        "range(1, len(string_split(text,' '))-1), i -> "
+        "string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
+        "|| ' ' || string_split(text,' ')[i+2])) AS g "
+        "FROM documents WHERE doc_id < 60), "
+        "p AS (SELECT a.doc_id AS a, b.doc_id AS b "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        "WHERE len(a.g) > 0 AND len(b.g) > 0 "
+        "AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(a.g, b.g))) >= 0.01), "
+        "e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p), "
+        "reach AS (SELECT u AS node, u AS r FROM e "
+        "UNION SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u), "
+        "comp AS (SELECT node, min(r) AS c FROM reach GROUP BY node), "
+        "dropped AS (SELECT node FROM comp WHERE node != c), "
+        "kept AS (SELECT * FROM documents WHERE doc_id < 60 "
+        "AND doc_id NOT IN (SELECT node FROM dropped)), "
+        "f AS (SELECT lang, len(string_split(text, ' ')) AS nt FROM kept "
+        "WHERE len(string_split(text, ' ')) >= 10 AND "
+        "list_max(list_transform(string_split(text, ' '), x -> length(x))) <= 40) "
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(nt) AS BIGINT) AS n_tokens FROM f GROUP BY 1 ORDER BY lang"
     )
     sql["dedup_components"] = (
         # recursive reachability over the SAME edge definition as

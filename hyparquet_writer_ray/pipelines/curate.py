@@ -65,6 +65,39 @@ def curate_documents(
     return curated
 
 
+def curate_near_duplicates(
+    ds,
+    pairs,
+    *,
+    min_tokens: int = 10,
+    max_token_len: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Near-duplicate curation: given a candidate-pair list (from
+    MinHash-LSH / n-gram Jaccard / embedding LSH), resolve duplicate
+    CLUSTERS (connected components, keep the min-id representative),
+    anti-join the corpus against the drop list, then apply the same
+    vectorized quality filter as ``curate_documents``. Every stage is
+    a constant-bucket shuffle; nothing is broadcast."""
+    from ..functions.graph import drop_near_duplicates
+
+    survivors = drop_near_duplicates(ds, pairs, id_col=id_col)
+
+    def qfilter(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return batch
+        scored = quality_score_batch(batch, text_col)
+        keep = pc.and_(
+            pc.greater_equal(scored.column("n_tokens"), min_tokens),
+            pc.less_equal(scored.column("max_token_len"), max_token_len),
+        )
+        return scored.filter(pc.fill_null(keep, False))
+
+    return survivors.map_batches(qfilter, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+
 def lang_stats(curated) -> "object":
     """Per-language (count, token sum) over a curated Dataset — the
     partial collapses each batch before the tiny lang-keyed shuffle."""
