@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (34 of 46 queries);
+the DuckDB-equivalent SQL where expressible (33 of 45 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
