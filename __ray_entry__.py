@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (33 of 45 queries);
+the DuckDB-equivalent SQL where expressible (34 of 46 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -696,6 +696,40 @@ def _q_sim_lsh_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_dedup_embedding(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-duplicate DEDUP end-to-end (the 5th dedup
+    mode): planted 3-chain duplicate clusters (vec_id 0..4 re-added
+    scaled 2x under +1e6 and 3x under +2e6 — cosine 1.0) -> EXACT
+    blocked all-pairs cosine (exact_cosine_pairs) -> connected
+    components -> drop non-representatives. Natural gaussian pairs
+    top out near cos 0.51, far below the 0.9 threshold, so the SQL
+    oracle (cross join + list_cosine_similarity + recursive-CTE
+    reachability) is float-margin-safe."""
+    import ray.data
+    from hyparquet_writer_ray.functions.graph import drop_near_duplicates
+    from hyparquet_writer_ray.functions.similarity import exact_cosine_pairs
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    head = emb.slice(0, 5)
+    vtype = emb.column("embedding").type
+
+    def _planted(offset: int, scale: float) -> pa.Table:
+        return pa.table({
+            "vec_id": pa.compute.add(head.column("vec_id"), offset),
+            "embedding": pa.array(
+                [[scale * x for x in v]
+                 for v in head.column("embedding").to_pylist()], type=vtype),
+        })
+
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
+        .union(ray.data.from_arrow(_planted(1_000_000, 2.0))) \
+        .union(ray.data.from_arrow(_planted(2_000_000, 3.0)))
+    pairs = exact_cosine_pairs(ds, threshold=0.9, rows_per_block=4096)
+    kept = drop_near_duplicates(ds, pairs, id_col="vec_id")
+    t = _collect(kept, pa.schema([("vec_id", pa.int64())]))
+    return t.select(["vec_id"]).sort_by("vec_id")
+
+
 def _q_webtable(sf_dir: str) -> pa.Table:
     """Flagship Common-Crawl-style encode: synthesize -> part-file encode
     with lineage -> decode -> per-lang aggregate (deterministic)."""
@@ -936,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sim_ivf_topk"] = _q_sim_ivf
     q["sim_topk_cosine"] = _q_sim_topk
     q["sim_lsh_pairs"] = _q_sim_lsh_pairs
+    q["dedup_embedding"] = _q_dedup_embedding
     q["webtable_encode"] = _q_webtable
     q["multimodal_decode"] = _q_multimodal
     return q
@@ -1083,6 +1118,27 @@ def oracle_sql() -> dict[str, str]:
         "UNION SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u) "
         "SELECT node, CAST(min(r) AS BIGINT) AS component "
         "FROM reach GROUP BY node ORDER BY node"
+    )
+    sql["dedup_embedding"] = (
+        # exact all-pairs cosine >= 0.9 -> reachability components ->
+        # drop non-representatives; planted 3-chains (0..4 scaled 2x/3x
+        # under +1e6/+2e6) are the only pairs above threshold (natural
+        # max cosine ~0.51)
+        "WITH RECURSIVE emb AS (SELECT vec_id, embedding FROM embeddings "
+        "UNION ALL SELECT vec_id + 1000000, "
+        "list_transform(embedding, x -> x * 2) FROM embeddings WHERE vec_id < 5 "
+        "UNION ALL SELECT vec_id + 2000000, "
+        "list_transform(embedding, x -> x * 3) FROM embeddings WHERE vec_id < 5), "
+        "p AS (SELECT l.vec_id AS a, r.vec_id AS b FROM emb l JOIN emb r "
+        "ON l.vec_id < r.vec_id "
+        "AND list_cosine_similarity(l.embedding, r.embedding) >= 0.9), "
+        "e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p), "
+        "reach AS (SELECT u AS node, u AS r FROM e "
+        "UNION SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u), "
+        "comp AS (SELECT node, min(r) AS c FROM reach GROUP BY node), "
+        "dropped AS (SELECT node FROM comp WHERE node != c) "
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id FROM emb "
+        "WHERE vec_id NOT IN (SELECT node FROM dropped) ORDER BY vec_id"
     )
     sql["sim_lsh_pairs"] = (
         # the query plants scaled copies of vec_id 0..4 under id+1e6

@@ -152,6 +152,188 @@ def lsh_bucket_pairs(ds, *, dim: int, threshold: float = 0.9, n_planes: int = 10
 
 
 # ---------------------------------------------------------------------------
+# Exact all-pairs cosine — blocked cross product (the embedding-cosine
+# near-duplicate DEDUP path with exact semantics; lsh_bucket_pairs is the
+# sub-quadratic approximate path)
+# ---------------------------------------------------------------------------
+
+
+class _BlockPairScorer:
+    """Stateful stage for block-pair tasks: loads at most two vector
+    blocks per item (tiny per-actor LRU so the diagonal sweep reuses
+    the hot block), runs ONE float64 matmul, emits id pairs with
+    cosine >= threshold. Per-task memory is bounded by two blocks
+    regardless of corpus size."""
+
+    _CACHE_MAX = 4
+
+    def __init__(self, block_dir: str, threshold: float, id_col: str) -> None:
+        self.block_dir = block_dir
+        self.threshold = float(threshold)
+        self.id_col = id_col
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _load(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._cache.pop(b, None)
+        if hit is not None:
+            self._cache[b] = hit  # refresh LRU position
+            return hit
+        import os
+
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(os.path.join(self.block_dir, f"block-{b}.parquet"))
+        ids = np.asarray(t.column(self.id_col), dtype=np.int64)
+        m = np.asarray(
+            single_chunk(t.column("__nvec")).flatten(), dtype=np.float64
+        ).reshape(len(ids), -1)
+        if len(self._cache) >= self._CACHE_MAX:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[b] = (ids, m)
+        return ids, m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_cos = [], [], []
+        for bi, bj in zip(batch.column("bi").to_pylist(),
+                          batch.column("bj").to_pylist()):
+            ids_i, mi = self._load(bi)
+            ids_j, mj = self._load(bj)
+            if not len(ids_i) or not len(ids_j):
+                continue
+            sims = mi @ mj.T
+            mask = sims >= self.threshold
+            if bi == bj:
+                mask &= ids_i[:, None] < ids_j[None, :]  # strict upper pairs
+            ii, jj = np.nonzero(mask)
+            if not len(ii):
+                continue
+            ai, bi_ = ids_i[ii], ids_j[jj]
+            out_a.append(np.minimum(ai, bi_))
+            out_b.append(np.maximum(ai, bi_))
+            out_cos.append(sims[ii, jj])
+        if not out_a:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.table({
+            "a": pa.array(np.concatenate(out_a), pa.int64()),
+            "b": pa.array(np.concatenate(out_b), pa.int64()),
+            "cos": pa.array(np.concatenate(out_cos), pa.float64()),
+        })
+
+
+def exact_cosine_pairs(ds, *, threshold: float = 0.9,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       rows_per_block: int = 16384,
+                       block_dir: str | None = None,
+                       concurrency=2):
+    """EXACT embedding-cosine near-duplicate pairs: every (a, b) with
+    cosine(a, b) >= threshold, a < b. The exact dedup-mode companion to
+    the approximate ``lsh_bucket_pairs``.
+
+    Scale shape — exact all-pairs is inherently O(n^2) *similarity
+    work*; what must NOT be O(n^2) (or even O(n)) is any single task or
+    the driver:
+
+    1. one streaming pass L2-normalizes vectors and assigns each row a
+       block by a mixed hash of its id (``splitmix64(id) % B``, B sized
+       to ``rows_per_block``); one parquet file per block is
+       checkpointed via a constant-B groupby (resume marker ``_DONE``
+       — the normalize pass is skipped on rerun, same contract as the
+       MinHash signature checkpoint).
+    2. the B*(B+1)/2 block pairs fan out as independent tasks
+       (``ray.data.from_items``); each task loads exactly two blocks
+       (per-actor LRU), does one float64 matmul, emits only
+       above-threshold id pairs. Per-task memory: 2 blocks; driver
+       memory: O(1); output: the true pair set, streamed.
+
+    On a multi-node cluster pass ``block_dir`` on SHARED storage
+    (s3/nfs) — every scorer actor must see the checkpoint namespace.
+    """
+    import ray.data
+
+    from .sketches import _splitmix64
+
+    if block_dir is None:
+        import tempfile
+
+        block_dir = tempfile.mkdtemp(prefix="cospairs_blocks_")
+
+    import glob as _glob
+    import os
+
+    os.makedirs(block_dir, exist_ok=True)
+    marker = os.path.join(block_dir, "_DONE")
+    if not os.path.exists(marker):
+        n = ds.count()
+        B = max(1, int(np.ceil(n / max(int(rows_per_block), 1))))
+
+        def normalize(batch: pa.Table) -> pa.Table:
+            ids = single_chunk(batch.column(id_col)).cast(pa.int64())
+            m = _embedding_matrix(batch, vec_col)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            mn = m / norms[:, None]
+            dim = mn.shape[1]
+            flat = pa.array(mn.reshape(-1), pa.float64())
+            return pa.table({
+                id_col: ids,
+                "__nvec": pa.FixedSizeListArray.from_arrays(flat, dim),
+                "__block": pa.array(
+                    (_splitmix64(ids.to_numpy(zero_copy_only=False)
+                                 .astype(np.uint64)) % np.uint64(B)
+                     ).astype(np.int64)),
+            })
+
+        import shutil
+
+        if _glob.glob(os.path.join(block_dir, "block-*.parquet")):
+            shutil.rmtree(block_dir)  # partial write from a crashed run
+            os.makedirs(block_dir, exist_ok=True)
+
+        def write_block(group: pa.Table) -> pa.Table:
+            import pyarrow.parquet as _pq
+
+            if group.num_columns == 0 or group.num_rows == 0:
+                return pa.table({"block": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            b = group.column("__block")[0].as_py()
+            _pq.write_table(group.drop_columns(["__block"]),
+                            os.path.join(block_dir, f"block-{b}.parquet"))
+            return pa.table({"block": pa.array([b], pa.int64()),
+                             "n": pa.array([group.num_rows], pa.int64())})
+
+        manifest = (
+            ds.map_batches(normalize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("__block")
+            .map_groups(write_block, batch_format="pyarrow")
+        )
+        blocks = sorted(
+            b for bt in manifest.iter_batches(batch_size=None,
+                                              batch_format="pyarrow")
+            for b in bt.column("block").to_pylist()
+        )
+        with open(marker, "w") as f:
+            f.write(",".join(str(b) for b in blocks))
+    else:
+        blocks = [int(x) for x in open(marker).read().split(",") if x]
+
+    items = [{"bi": bi, "bj": bj}
+             for i, bi in enumerate(blocks) for bj in blocks[i:]]
+    if not items:  # empty input
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64())}))
+    return ray.data.from_items(items).map_batches(
+        _BlockPairScorer,
+        fn_constructor_kwargs=dict(block_dir=block_dir, threshold=threshold,
+                                   id_col=id_col),
+        batch_format="pyarrow", batch_size=4, concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) approximate top-k — the scale path for ANN
 # ---------------------------------------------------------------------------
 

@@ -112,3 +112,72 @@ def test_ivf_topk_recall_on_clustered_data(ray_session):
     assert recall >= 0.9, recall
     # every hit lives in the query's true cluster id range [150, 200)
     assert all(150 <= v < 200 for v in got)
+
+
+def _true_pairs(mat: np.ndarray, ids: list[int], threshold: float):
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mn = mat / norms[:, None]
+    sims = mn @ mn.T
+    out = set()
+    arr = np.asarray(ids)
+    for i in range(len(arr)):
+        for j in range(i + 1, len(arr)):
+            if sims[i, j] >= threshold:
+                out.add((min(arr[i], arr[j]), max(arr[i], arr[j])))
+    return out
+
+
+def test_exact_cosine_pairs_matches_bruteforce(ray_session, tmp_path):
+    """Blocked exact all-pairs == in-test O(n^2) brute force, with
+    enough rows to exercise MULTIPLE blocks (diagonal and off-diagonal
+    block-pair tasks)."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.similarity import exact_cosine_pairs
+
+    mat = _random_embeddings(90, 16, seed=3)
+    # plant a 3-chain duplicate cluster and one extra pair
+    planted = np.vstack([mat, mat[:3] * 2.0, mat[:3] * 3.0])
+    ids = list(range(90)) + list(range(200, 203)) + list(range(300, 303))
+    t = _as_table(planted, ids)
+    # float32 storage: recompute truth from the ROUND-TRIPPED values
+    stored = np.array([list(v) for v in t.column("embedding").to_pylist()],
+                      dtype=np.float64)
+    ds = ray.data.from_arrow(t)
+    out = exact_cosine_pairs(ds, threshold=0.8, rows_per_block=16,
+                             block_dir=str(tmp_path / "blocks"))
+    got = _pairs(out)
+    got_set = set(zip(got.column("a").to_pylist(), got.column("b").to_pylist()))
+    assert got_set == _true_pairs(stored, ids, 0.8)
+    # planted clusters fully connected: (0,200),(0,300),(200,300) present
+    assert {(0, 200), (0, 300), (200, 300)} <= got_set
+    # cos column sane: all >= threshold, planted pairs ~1.0
+    assert all(c >= 0.8 for c in got.column("cos").to_pylist())
+
+
+def test_exact_cosine_pairs_resumes_from_checkpoint(ray_session, tmp_path):
+    """A _DONE-marked block dir is reused: the second call must not
+    re-run the normalize pass (we poison the input to prove it)."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.similarity import exact_cosine_pairs
+
+    mat = _random_embeddings(40, 8, seed=7)
+    planted = np.vstack([mat, mat[:2] * 2.0])
+    ids = list(range(40)) + [100, 101]
+    ds = ray.data.from_arrow(_as_table(planted, ids))
+    bdir = str(tmp_path / "blocks")
+    first = _pairs(exact_cosine_pairs(ds, threshold=0.9, rows_per_block=8,
+                                      block_dir=bdir))
+
+    def _boom(batch):
+        raise RuntimeError("normalize must not re-run on resume")
+
+    poisoned = ds.map_batches(_boom, batch_format="pyarrow")
+    second = _pairs(exact_cosine_pairs(poisoned, threshold=0.9,
+                                       rows_per_block=8, block_dir=bdir))
+    key = lambda t: sorted(zip(t.column("a").to_pylist(),
+                               t.column("b").to_pylist()))
+    assert key(first) == key(second)
+    assert {(0, 100), (1, 101)} <= set(key(first))
