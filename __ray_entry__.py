@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (34 of 46 queries);
+the DuckDB-equivalent SQL where expressible (38 of 50 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -159,13 +159,17 @@ def _q_encode_bloom(sf_dir: str) -> pa.Table:
 
 def _q_variant_shredded(sf_dir: str) -> pa.Table:
     """Semi-structured events.props -> VARIANT with shredding; returns
-    event_id + decoded variant JSON (rows-only check: binary format)."""
+    event_id + decoded variant JSON. In-driver oracle: every decoded
+    variant must round-trip EXACTLY to the source JSON object
+    (canonical sort_keys dump equality — non-SQL-expressible, but not
+    rows-only)."""
     import json
 
     from hyparquet_writer_ray import WriteOptions, write_table
     from hyparquet_writer_ray.core import variant as V
     t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"])
-    objs = [None if p is None else json.loads(p) for p in t.column("props").to_pylist()]
+    src = t.column("props").to_pylist()
+    objs = [None if p is None else json.loads(p) for p in src]
     col = V.variant_column(objs)
     vt = pa.table({"event_id": t.column("event_id"), "v": col})
     out = _outpath(sf_dir, "events_variant.parquet")
@@ -177,6 +181,9 @@ def _q_variant_shredded(sf_dir: str) -> pa.Table:
         )
         for r in rows
     ]
+    for i, (p, d) in enumerate(zip(src, decoded)):
+        want = None if p is None else json.dumps(json.loads(p), sort_keys=True)
+        assert d == want, f"variant round-trip diverges from source at row {i}"
     return pa.table({
         "event_id": pq.read_table(out, columns=["event_id"]).column("event_id"),
         "props_decoded": pa.array(decoded),
@@ -696,6 +703,114 @@ def _q_sim_lsh_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_broadcast_join(sf_dir: str) -> pa.Table:
+    """Dimension enrichment via broadcast hash join (ray.put once, one
+    index_in lookup per batch — NO shuffle of the big side): customer
+    INNER-joined to nation (restricted to n_nationkey < 20 so the
+    inner-drop path is exercised) then LEFT to region, then a partial
+    per-batch aggregate before the tiny region-keyed shuffle. Balances
+    aggregated in exact integer cents (float sums are
+    addition-order-sensitive; the oracle hash is not)."""
+    import ray.data
+    from hyparquet_writer_ray.functions.joins import broadcast_join
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    nat = nat.filter(pa.compute.less(nat.column("n_nationkey"), 20))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    ds = broadcast_join(ds, nat, on="c_nationkey", right_on="n_nationkey",
+                        right_cols=["n_name", "n_regionkey"], how="inner")
+    ds = broadcast_join(ds, reg, on="n_regionkey", right_on="r_regionkey",
+                        right_cols=["r_name"], how="left")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pa.compute.cast(pa.compute.round(
+            pa.compute.multiply(batch.column("c_acctbal"), 100.0)), pa.int64())
+        t = pa.table({"r_name": batch.column("r_name"), "cents": cents})
+        agg = t.group_by("r_name").aggregate([("r_name", "count"), ("cents", "sum")])
+        return pa.table({"r_name": agg.column("r_name"),
+                         "n_cust": agg.column("r_name_count"),
+                         "acctbal_cents": agg.column("cents_sum")})
+
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("r_name").sum(["n_cust", "acctbal_cents"])
+    t = _collect(out, pa.schema([("r_name", pa.string()),
+                                 ("sum(n_cust)", pa.int64()),
+                                 ("sum(acctbal_cents)", pa.int64())]))
+    return pa.table({
+        "r_name": t.column("r_name"),
+        "n_cust": t.column("sum(n_cust)"),
+        "acctbal_cents": t.column("sum(acctbal_cents)"),
+    }).sort_by("r_name")
+
+
+def _q_redact(sf_dir: str) -> pa.Table:
+    """Regex redaction (PII-scrub shape): Arrow and DuckDB both run
+    RE2, so the oracle is pattern-for-pattern exact. Columns are
+    pruned at the read."""
+    import ray.data
+    from hyparquet_writer_ray.functions.text import redact
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = redact(ds, [("\\b(key|value|hash)\\b", "<T>"), ("[0-9]+", "#")])
+    t = _collect(out, pa.schema([("doc_id", pa.int64()),
+                                 ("text", pa.string()),
+                                 ("redacted", pa.string())]))
+    return t.select(["doc_id", "redacted"]).sort_by("doc_id")
+
+
+def _q_repetition(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition signals (duplicate-token profile) —
+    exact string semantics via per-batch dictionary encoding."""
+    import ray.data
+    from hyparquet_writer_ray.functions.text import repetition_stats
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = repetition_stats(ds)
+    t = _collect(out, pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("n_tokens", pa.int64()), ("n_distinct_tokens", pa.int64()),
+        ("top_token_count", pa.int64())]))
+    return t.select(["doc_id", "n_tokens", "n_distinct_tokens",
+                     "top_token_count"]).sort_by("doc_id")
+
+
+def _q_asof_join(sf_dir: str) -> pa.Table:
+    """Backward as-of join: each event attaches the latest order (by
+    o_orderdate <= ts) of the same user, orders restricted to even
+    custkeys so the LEFT-OUTER null path is exercised. The right side
+    is pre-reduced to unique (key, ts) — the asof tie winner is
+    unspecified otherwise (same rule the DuckDB oracle applies)."""
+    import ray.data
+    from hyparquet_writer_ray.functions.joins import asof_join
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"])
+
+    def even_keys(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(k % 2 == 0))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["o_custkey", "o_orderdate", "o_orderkey"])
+
+    orders = (
+        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_custkey", "o_orderdate", "o_orderkey"])
+        .map_batches(even_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_custkey", "o_orderdate"]).max("o_orderkey")
+        .map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    joined = asof_join(events, orders, by="user_id", on="ts",
+                       right_by="o_custkey", right_on="o_orderdate",
+                       right_cols=["o_orderkey"], num_buckets=16)
+    t = _collect(joined, pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("o_orderkey", pa.int64())]))
+    return t.select(["event_id", "o_orderkey"]).sort_by("event_id")
+
+
 def _q_dedup_embedding(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-duplicate DEDUP end-to-end (the 5th dedup
     mode): planted 3-chain duplicate clusters (vec_id 0..4 re-added
@@ -971,6 +1086,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sim_topk_cosine"] = _q_sim_topk
     q["sim_lsh_pairs"] = _q_sim_lsh_pairs
     q["dedup_embedding"] = _q_dedup_embedding
+    q["asof_join"] = _q_asof_join
+    q["text_redact"] = _q_redact
+    q["text_repetition"] = _q_repetition
+    q["join_broadcast_enrich"] = _q_broadcast_join
     q["webtable_encode"] = _q_webtable
     q["multimodal_decode"] = _q_multimodal
     return q
@@ -1119,6 +1238,39 @@ def oracle_sql() -> dict[str, str]:
         "SELECT node, CAST(min(r) AS BIGINT) AS component "
         "FROM reach GROUP BY node ORDER BY node"
     )
+    sql["join_broadcast_enrich"] = (
+        "SELECT r_name, CAST(count(*) AS BIGINT) AS n_cust, "
+        "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+        "AS acctbal_cents FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey AND n_nationkey < 20 "
+        "LEFT JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY 1 ORDER BY r_name"
+    )
+    sql["text_redact"] = (
+        "SELECT doc_id, regexp_replace(regexp_replace(text, "
+        "'\\b(key|value|hash)\\b', '<T>', 'g'), '[0-9]+', '#', 'g') "
+        "AS redacted FROM documents ORDER BY doc_id"
+    )
+    sql["text_repetition"] = (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+        "AS n_tokens, "
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) "
+        "AS n_distinct_tokens, "
+        "CAST(list_max(list_transform(list_distinct(string_split(text, ' ')), "
+        "t -> len(list_filter(string_split(text, ' '), x -> x = t)))) "
+        "AS BIGINT) AS top_token_count FROM documents ORDER BY doc_id"
+    )
+    sql["asof_join"] = (
+        # right side reduced to unique (key, ts) so the asof winner is
+        # well-defined; even custkeys only -> odd users exercise the
+        # LEFT OUTER null path
+        "WITH r AS (SELECT o_custkey, o_orderdate, "
+        "CAST(max(o_orderkey) AS BIGINT) AS o_orderkey FROM orders "
+        "WHERE o_custkey % 2 = 0 GROUP BY 1, 2) "
+        "SELECT e.event_id, r.o_orderkey FROM events e "
+        "ASOF LEFT JOIN r ON e.user_id = r.o_custkey "
+        "AND e.ts >= r.o_orderdate ORDER BY e.event_id"
+    )
     sql["dedup_embedding"] = (
         # exact all-pairs cosine >= 0.9 -> reachability components ->
         # drop non-representatives; planted 3-chains (0..4 scaled 2x/3x
@@ -1148,9 +1300,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT vec_id AS a, vec_id + 1000000 AS b, false AS from_oversized "
         "FROM embeddings WHERE vec_id < 5 ORDER BY a"
     )
-    # rows-only (non-SQL-expressible): dedup_minhash, webtable_encode,
-    # encode_variant_shredded; text_bpe_tokens, text_rolling_fp,
-    # text_langid, dedup_simhash, multimodal_decode and
+    # non-SQL-expressible: dedup_minhash, webtable_encode (deterministic
+    # duckdb agg over its own output); text_bpe_tokens, text_rolling_fp,
+    # text_langid, dedup_simhash, multimodal_decode/_audio/_frames,
+    # encode_variant_shredded (exact source-JSON round-trip) and
     # stratified_sample self-verify in-driver against independent
     # implementations / known ground truth
     return sql

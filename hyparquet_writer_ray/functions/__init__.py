@@ -10,7 +10,14 @@ from .dedup import (
     simhashes,
 )
 from .multimodal import FrameSampleStage, ImageDecodeStage, decode_images, sample_frames
-from .similarity import HyperplaneBucketer, ivf_topk, lsh_bucket_pairs, topk_cosine
+from .joins import asof_join, broadcast_join
+from .similarity import (
+    HyperplaneBucketer,
+    exact_cosine_pairs,
+    ivf_topk,
+    lsh_bucket_pairs,
+    topk_cosine,
+)
 from .sketches import hll_distinct, hll_estimate
 from .text import (
     LangIdModel,
@@ -18,6 +25,8 @@ from .text import (
     fingerprints,
     lang_ids,
     quality_scores,
+    redact,
+    repetition_stats,
     rolling_fingerprints,
     stratified_sample,
     token_counts,
@@ -34,10 +43,13 @@ __all__ = [
     "simhashes",
     "ImageDecodeStage", "FrameSampleStage", "decode_images", "sample_frames",
     "AudioFeatureStage", "audio_features",
-    "HyperplaneBucketer", "ivf_topk", "lsh_bucket_pairs", "topk_cosine",
+    "HyperplaneBucketer", "exact_cosine_pairs", "ivf_topk",
+    "lsh_bucket_pairs", "topk_cosine",
+    "asof_join", "broadcast_join",
     "hll_distinct", "hll_estimate", "exact_quantiles",
     "LangIdModel", "bpe_token_counts", "fingerprints", "lang_ids",
-    "quality_scores", "rolling_fingerprints", "stratified_sample",
+    "quality_scores", "redact", "repetition_stats",
+    "rolling_fingerprints", "stratified_sample",
     "token_counts", "top_tokens",
     "hopping_window_agg", "sessionize", "tumbling_window_agg",
 ]

@@ -1,0 +1,238 @@
+"""Temporal joins the Dataset API can't express directly.
+
+``asof_join``: for each left row, attach the single right row with the
+greatest right timestamp <= the left timestamp among rows sharing the
+join key (DuckDB ``ASOF LEFT JOIN`` semantics — backward direction,
+equality allowed, LEFT OUTER: unmatched left rows keep nulls).
+
+Scale shape: ONE shuffle. Both sides are tagged and bucketed on
+``hash(key) % num_buckets`` (a CONSTANT group count — never one Python
+call per key), null-padded to a shared schema and unioned; each bucket
+joins ALL its keys vectorized: dictionary-encode the keys once
+(collision-free int codes in C), lexsort by (key_code, ts, side) with
+right rows ordered before left rows at equal timestamps, then a single
+segment-reset running-maximum pass finds every left row's predecessor
+right row — no per-row Python, no per-key Python, O(bucket log bucket).
+The right side is NEVER broadcast: at web scale both sides stream
+through the same bucketed shuffle.
+
+The reference writer has no join operators (SURVEY.md §2.6); this is
+an engine extension for the training-data pipeline tier (e.g. "attach
+the latest crawl-snapshot metadata at or before each page's WARC
+timestamp").
+
+Determinism: if several right rows share one (key, ts), which one wins
+is unspecified — pre-reduce the right side to unique (key, ts) first
+(the query-level oracle does ``GROUP BY key, ts``).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.arrays import single_chunk
+
+
+def _bucket_of(col: pa.Array, nb: int) -> np.ndarray:
+    """Constant-count shuffle bucket for int / string / binary keys."""
+    t = col.type
+    if pa.types.is_integer(t):
+        k = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return (k % nb).astype(np.int64)
+    if (pa.types.is_string(t) or pa.types.is_binary(t)
+            or pa.types.is_large_string(t) or pa.types.is_large_binary(t)):
+        from ..core.arrays import byte_array_values
+        from .dedup import _segmented_poly_hash
+
+        lens, data = byte_array_values(col)
+        return (_segmented_poly_hash(lens, data) % np.uint64(nb)).astype(np.int64)
+    raise TypeError(f"asof_join: unsupported key type {t}")
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    by: str,
+    on: str,
+    right_by: str | None = None,
+    right_on: str | None = None,
+    right_cols: list[str] | None = None,
+    num_buckets: int = 64,
+):
+    """Backward as-of LEFT join: every left row + the right row with the
+    greatest ``right_on`` <= ``on`` for the same key (nulls if none).
+
+    ``right_cols`` are the right-side payload columns to attach; they
+    must not collide with left column names. Left rows with a null key
+    or timestamp never match (DuckDB semantics) but are still emitted.
+    """
+    right_by = right_by or by
+    right_on = right_on or on
+    NB = max(int(num_buckets), 1)
+
+    left_schema = left.schema()
+    left_pa = getattr(left_schema, "base_schema", left_schema)
+    right_schema = right.schema()
+    right_pa = getattr(right_schema, "base_schema", right_schema)
+    if right_cols is None:
+        right_cols = [n for n in right_pa.names if n not in (right_by, right_on)]
+    clash = set(right_cols) & set(left_pa.names)
+    if clash:
+        raise ValueError(f"asof_join: right_cols collide with left columns: {clash}")
+    rfields = [right_pa.field(c) for c in right_cols]
+
+    # shared union schema: left cols + right payload + key/ts/side/bucket
+    out_fields = list(left_pa) + rfields
+
+    def left_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = single_chunk(batch.column(by))
+        cols: dict = {f.name: batch.column(f.name) for f in left_pa}
+        for f in rfields:
+            cols[f.name] = pa.nulls(n, f.type)
+        cols["__key"] = key
+        cols["__ts"] = single_chunk(batch.column(on)).cast(pa.int64())
+        cols["__side"] = pa.array(np.ones(n, np.int64))
+        cols["__bucket"] = pa.array(_bucket_of(key, NB))
+        return pa.table(cols)
+
+    key_type = left_pa.field(by).type
+
+    def right_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = single_chunk(batch.column(right_by)).cast(key_type)
+        cols = {f.name: pa.nulls(n, f.type) for f in left_pa}
+        for f in rfields:
+            cols[f.name] = batch.column(f.name)
+        cols["__key"] = key
+        cols["__ts"] = single_chunk(batch.column(right_on)).cast(pa.int64())
+        cols["__side"] = pa.array(np.zeros(n, np.int64))
+        cols["__bucket"] = pa.array(_bucket_of(key, NB))
+        return pa.table(cols)
+
+    out_schema = pa.schema(out_fields)
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return out_schema.empty_table()
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        # collision-free int codes for ANY key type; null keys -> code -1
+        denc = pc.dictionary_encode(single_chunk(group.column("__key")))
+        codes = pc.fill_null(denc.indices.cast(pa.int64()), -1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ts = pc.fill_null(group.column("__ts"), np.iinfo(np.int64).min)
+        ts = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        null_row = (codes < 0) | (
+            pc.is_null(group.column("__ts")).to_numpy(zero_copy_only=False)
+        )
+        n = len(codes)
+        # right rows (side 0) before left rows at equal (key, ts): ">="
+        order = np.lexsort((side, ts, codes))
+        side_s = side[order]
+        code_s = codes[order]
+        null_s = null_row[order]
+        # last-right-row-so-far per key segment: segment-reset running max
+        # via the monotone-offset trick (code_s is sorted ascending, so
+        # each segment's shifted range sits strictly above the previous
+        # segment's — np.maximum.accumulate can never leak backwards)
+        rpos = np.where((side_s == 0) & ~null_s, np.arange(n), -1)
+        base = (code_s - code_s.min()).astype(np.int64) * np.int64(n + 2)
+        run = np.maximum.accumulate(rpos + 1 + base)
+        rec = run - base - 1
+        lmask = side_s == 1
+        lidx = np.nonzero(lmask)[0]
+        m = rec[lidx]
+        m[null_s[lidx]] = -1  # null key/ts on the left: no match
+        left_take = pa.array(order[lidx], pa.int64())
+        matched = np.where(m >= 0, order[m], 0)
+        right_take = pa.array(matched, pa.int64(), mask=(m < 0))
+        cols = {}
+        for f in left_pa:
+            cols[f.name] = group.column(f.name).take(left_take)
+        for f in rfields:
+            cols[f.name] = group.column(f.name).take(right_take)
+        return pa.table(cols, schema=out_schema)
+
+    tagged = left.map_batches(
+        left_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(right.map_batches(
+        right_rows, batch_format="pyarrow", zero_copy_batch=True
+    ))
+    return tagged.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pyarrow"
+    )
+
+
+class _BroadcastJoiner:
+    """Stateful stage: fetch the broadcast right side ONCE per actor
+    (``ray.get`` of a ``ray.put`` ref — never re-shipped per batch) and
+    pre-combine its chunks; every batch joins via one vectorized
+    ``index_in`` lookup + ``take``."""
+
+    def __init__(self, right_ref, on: str, right_on: str,
+                 right_cols: list[str], how: str) -> None:
+        import ray
+
+        right: pa.Table = ray.get(right_ref).combine_chunks()
+        self.keys = single_chunk(right.column(right_on))
+        n_uniq = len(pc.unique(self.keys))
+        if n_uniq != len(self.keys):
+            raise ValueError(
+                f"broadcast_join: right side has duplicate keys on "
+                f"{right_on!r} ({len(self.keys) - n_uniq} dupes) — the "
+                f"match would be ambiguous; pre-reduce the right side")
+        self.right = right
+        self.on = on
+        self.right_cols = right_cols
+        self.how = how
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch.column(self.on), value_set=self.keys)
+        out = batch
+        for c in self.right_cols:
+            col = self.right.column(c).take(idx)  # null idx -> null value
+            if c in out.column_names:
+                out = out.drop_columns([c])
+            out = out.append_column(c, col)
+        if self.how == "inner":
+            out = out.filter(pc.is_valid(idx))
+        return out
+
+
+def broadcast_join(ds, right: pa.Table, *, on: str, right_on: str | None = None,
+                   right_cols: list[str] | None = None, how: str = "left",
+                   concurrency=(1, 4)):
+    """Equi-join a Dataset against a SMALL driver-side table without a
+    shuffle: the right side is ``ray.put`` once and each actor fetches
+    it once in ``__init__`` — the canonical broadcast-hash-join shape
+    for dimension tables (at 100 TB, the alternative is an all-to-all
+    exchange of the big side). ``how`` is ``"left"`` (unmatched rows
+    keep nulls) or ``"inner"`` (unmatched rows dropped). The right side
+    must be unique on ``right_on``; duplicates raise.
+
+    For big-x-big joins use the bucketed tag-union shuffle joins
+    (``asof_join`` here, ``_bucketed_pair_attach`` in dedup).
+
+    ``concurrency`` defaults to an AUTOSCALING ``(min, max)`` pool:
+    a fixed actor count pre-reserves CPUs even when idle, and two
+    chained broadcast_join stages with fixed pools can reserve every
+    CPU of a small cluster and starve the upstream read into a
+    permanent backpressure stall (observed at num_cpus=4)."""
+    import ray
+
+    if how not in ("left", "inner"):
+        raise ValueError(f"broadcast_join: how={how!r}")
+    right_on = right_on or on
+    if right_cols is None:
+        right_cols = [n for n in right.column_names if n != right_on]
+    right_ref = ray.put(right.select([right_on, *right_cols]))
+    return ds.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_kwargs=dict(right_ref=right_ref, on=on,
+                                   right_on=right_on,
+                                   right_cols=right_cols, how=how),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+    )

@@ -298,3 +298,84 @@ def stratified_sample(ds, *, key_col: str = "lang", id_col: str = "doc_id",
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def redact_batch(batch: pa.Table, rules, text_col: str = "text",
+                 out_col: str = "redacted") -> pa.Table:
+    """PII-style pattern redaction: apply ``rules`` (pattern,
+    replacement) pairs in order via Arrow's RE2 regex kernel — the SAME
+    regex engine DuckDB's regexp_replace(..., 'g') uses, so a SQL
+    oracle is pattern-for-pattern exact. All-occurrence replacement,
+    null passthrough, no per-row Python."""
+    col = batch.column(text_col)
+    for pattern, replacement in rules:
+        col = pc.replace_substring_regex(
+            col, pattern=pattern, replacement=replacement)
+    out = batch
+    if out_col in out.column_names:
+        out = out.drop_columns([out_col])
+    return out.append_column(out_col, col)
+
+
+def redact(ds, rules, *, text_col: str = "text", out_col: str = "redacted"):
+    """Dataset-level regex redaction (see redact_batch). Shuffle-free,
+    streaming, resume-safe."""
+    rules = list(rules)
+    return ds.map_batches(
+        lambda b: redact_batch(b, rules, text_col, out_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per document: ``n_tokens``,
+    ``n_distinct_tokens`` and ``top_token_count`` (highest multiplicity
+    of any single token). Exact string semantics — tokens are
+    dictionary-encoded per batch (C kernel, collision-free codes), then
+    ONE lexsort + run-length pass computes every row's distinct count
+    and max multiplicity; no per-row and no per-token Python."""
+    col = single_chunk(batch.column(text_col))
+    toks = pc.split_pattern(col, " ")
+    n_tok = pc.cast(pc.list_value_length(toks), pa.int64())  # null rows stay null
+    counts = pc.fill_null(n_tok, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(col)
+    flat = single_chunk(pc.list_flatten(toks))
+    codes = pc.dictionary_encode(flat).indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    n_distinct = np.zeros(n, np.int64)
+    top_count = np.zeros(n, np.int64)
+    if len(codes):
+        order = np.lexsort((codes, row_of))
+        r_s, c_s = row_of[order], codes[order]
+        new_run = np.ones(len(order), bool)
+        new_run[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+        run_starts = np.nonzero(new_run)[0]
+        run_rows = r_s[run_starts]
+        n_distinct = np.bincount(run_rows, minlength=n)
+        run_lens = np.diff(np.append(run_starts, len(order)))
+        row_change = np.ones(len(run_starts), bool)
+        row_change[1:] = run_rows[1:] != run_rows[:-1]
+        seg_starts = np.nonzero(row_change)[0]
+        top_count[run_rows[seg_starts]] = np.maximum.reduceat(run_lens, seg_starts)
+    null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+    out = batch
+    for name, arr in [
+        ("n_tokens", n_tok),
+        ("n_distinct_tokens", pa.array(n_distinct.astype(np.int64), pa.int64(),
+                                       mask=null_mask)),
+        ("top_token_count", pa.array(top_count, pa.int64(), mask=null_mask)),
+    ]:
+        if name in out.column_names:
+            out = out.drop_columns([name])
+        out = out.append_column(name, arr)
+    return out
+
+
+def repetition_stats(ds, *, text_col: str = "text"):
+    """Dataset-level repetition scoring (see repetition_stats_batch):
+    the filter signal for boilerplate/spam-heavy web documents."""
+    return ds.map_batches(
+        lambda b: repetition_stats_batch(b, text_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

@@ -281,3 +281,50 @@ def test_stratified_sample_deterministic(ray_session):
     kd = pa.concat_tables(b for b in only_de.iter_batches(
         batch_size=None, batch_format="pyarrow"))
     assert set(kd.column("lang").to_pylist()) == {"de"}
+
+
+def test_redact_matches_python_re():
+    """Arrow RE2 redaction == Python re.sub on the same rules (and the
+    stacked-rule order matters: second rule sees first rule's output)."""
+    import re
+
+    import pyarrow as pa
+
+    from hyparquet_writer_ray.functions.text import redact_batch
+
+    texts = ["call 555 0199 now", "key value pairs hash", "the keyhash", None,
+             "", "key key 42key"]
+    rules = [(r"\b(key|value|hash)\b", "<T>"), (r"[0-9]+", "#")]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = redact_batch(t, rules).column("redacted").to_pylist()
+    for txt, g in zip(texts, got):
+        if txt is None:
+            assert g is None
+            continue
+        want = txt
+        for p, r in rules:
+            want = re.sub(p, r, want)
+        assert g == want, (txt, g, want)
+
+
+def test_repetition_stats_vs_python_sets():
+    import pyarrow as pa
+
+    from hyparquet_writer_ray.functions.text import repetition_stats_batch
+
+    texts = ["a b a a c", "x", None, "", "w w w w", "a b c d"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = repetition_stats_batch(t)
+    for i, txt in enumerate(texts):
+        nt = out.column("n_tokens")[i].as_py()
+        nd = out.column("n_distinct_tokens")[i].as_py()
+        tc = out.column("top_token_count")[i].as_py()
+        if txt is None:
+            assert nt is None and nd is None and tc is None
+        else:
+            toks = txt.split(" ")
+            assert nt == len(toks)
+            assert nd == len(set(toks))
+            assert tc == max(toks.count(x) for x in set(toks))

@@ -1,0 +1,151 @@
+"""asof_join tests: randomized equivalence vs DuckDB ASOF LEFT JOIN,
+null-key/null-ts handling, string keys, and empty right side."""
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from hyparquet_writer_ray.functions.joins import asof_join
+
+
+def _collect(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return pa.concat_tables(batches)
+
+
+def _duck_asof(left: pa.Table, right: pa.Table, payload: str) -> pa.Table:
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    return con.execute(
+        f"SELECT l.*, r.{payload} FROM l ASOF LEFT JOIN r "
+        f"ON l.k = r.k AND l.ts >= r.ts ORDER BY l.lid"
+    ).arrow()
+
+
+def test_asof_join_matches_duckdb_random(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(17)
+    nl, nr = 400, 150
+    left = pa.table({
+        "lid": pa.array(np.arange(nl), pa.int64()),
+        "k": pa.array(rng.integers(0, 20, nl), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10_000, nl), pa.int64()),
+    })
+    # unique (k, ts) on the right (asof tie-winner is unspecified)
+    rk = rng.integers(0, 25, nr)          # some keys never on the left
+    rt = rng.integers(0, 10_000, nr)
+    _, uniq = np.unique(rk * 100_000 + rt, return_index=True)
+    right = pa.table({
+        "k": pa.array(rk[uniq], pa.int64()),
+        "ts": pa.array(rt[uniq], pa.int64()),
+        "payload": pa.array(np.arange(len(uniq)) * 7, pa.int64()),
+    })
+    got = _collect(asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        by="k", on="ts", right_cols=["payload"], num_buckets=7,
+    )).sort_by("lid").combine_chunks()
+    want = _duck_asof(left, right, "payload").combine_chunks()
+    assert got.cast(want.schema).equals(want)
+    # non-vacuous: some rows matched AND some didn't
+    nulls = got.column("payload").null_count
+    assert 0 < nulls < got.num_rows
+
+
+def test_asof_join_equal_timestamp_matches(ray_session):
+    """Backward direction includes equality: left ts == right ts hits."""
+    import ray.data
+
+    left = pa.table({"lid": pa.array([0, 1], pa.int64()),
+                     "k": pa.array([5, 5], pa.int64()),
+                     "ts": pa.array([100, 99], pa.int64())})
+    right = pa.table({"k": pa.array([5], pa.int64()),
+                      "ts": pa.array([100], pa.int64()),
+                      "payload": pa.array([42], pa.int64())})
+    got = _collect(asof_join(ray.data.from_arrow(left),
+                             ray.data.from_arrow(right),
+                             by="k", on="ts")).sort_by("lid")
+    assert got.column("payload").to_pylist() == [42, None]
+
+
+def test_asof_join_null_keys_and_ts(ray_session):
+    """Null key or null ts on the left never matches but is emitted."""
+    import ray.data
+
+    left = pa.table({"lid": pa.array([0, 1, 2], pa.int64()),
+                     "k": pa.array([1, None, 1], pa.int64()),
+                     "ts": pa.array([50, 50, None], pa.int64())})
+    right = pa.table({"k": pa.array([1], pa.int64()),
+                      "ts": pa.array([10], pa.int64()),
+                      "payload": pa.array([9], pa.int64())})
+    got = _collect(asof_join(ray.data.from_arrow(left),
+                             ray.data.from_arrow(right),
+                             by="k", on="ts")).sort_by("lid")
+    assert got.column("payload").to_pylist() == [9, None, None]
+    assert got.num_rows == 3
+
+
+def test_asof_join_string_keys(ray_session):
+    import ray.data
+
+    left = pa.table({"lid": pa.array([0, 1, 2], pa.int64()),
+                     "k": pa.array(["a", "b", "zz"]),
+                     "ts": pa.array([5, 5, 5], pa.int64())})
+    right = pa.table({"k": pa.array(["a", "b", "b"]),
+                      "ts": pa.array([1, 2, 4], pa.int64()),
+                      "payload": pa.array([10, 20, 40], pa.int64())})
+    got = _collect(asof_join(ray.data.from_arrow(left),
+                             ray.data.from_arrow(right),
+                             by="k", on="ts", num_buckets=3)).sort_by("lid")
+    assert got.column("payload").to_pylist() == [10, 40, None]
+
+
+def test_asof_join_empty_right(ray_session):
+    import ray.data
+
+    left = pa.table({"lid": pa.array([0, 1], pa.int64()),
+                     "k": pa.array([1, 2], pa.int64()),
+                     "ts": pa.array([5, 6], pa.int64())})
+    right = pa.table({"k": pa.array([], pa.int64()),
+                      "ts": pa.array([], pa.int64()),
+                      "payload": pa.array([], pa.int64())})
+    got = _collect(asof_join(ray.data.from_arrow(left),
+                             ray.data.from_arrow(right),
+                             by="k", on="ts")).sort_by("lid")
+    assert got.num_rows == 2
+    assert got.column("payload").null_count == 2
+
+
+def test_broadcast_join_left_and_inner(ray_session):
+    import ray.data
+
+    left = pa.table({"lid": pa.array([0, 1, 2, 3], pa.int64()),
+                     "k": pa.array([10, 20, 99, 10], pa.int64())})
+    right = pa.table({"k": pa.array([10, 20], pa.int64()),
+                      "name": pa.array(["ten", "twenty"])})
+    from hyparquet_writer_ray.functions.joins import broadcast_join
+
+    lj = _collect(broadcast_join(ray.data.from_arrow(left), right,
+                                 on="k")).sort_by("lid")
+    assert lj.column("name").to_pylist() == ["ten", "twenty", None, "ten"]
+    ij = _collect(broadcast_join(ray.data.from_arrow(left), right,
+                                 on="k", how="inner")).sort_by("lid")
+    assert ij.column("lid").to_pylist() == [0, 1, 3]
+
+
+def test_broadcast_join_rejects_duplicate_right_keys(ray_session):
+    import pytest
+    import ray.data
+    from ray.exceptions import RayError
+
+    from hyparquet_writer_ray.functions.joins import broadcast_join
+
+    left = pa.table({"k": pa.array([1], pa.int64())})
+    right = pa.table({"k": pa.array([1, 1], pa.int64()),
+                      "v": pa.array([2, 3], pa.int64())})
+    # the ValueError raised in the actor __init__ surfaces as a Ray
+    # actor-death error through the Dataset executor
+    with pytest.raises((ValueError, RayError)):
+        _collect(broadcast_join(ray.data.from_arrow(left), right, on="k"))
