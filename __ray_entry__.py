@@ -598,7 +598,7 @@ def _q_curate_neardup(sf_dir: str) -> pa.Table:
     pairs = ngram_jaccard_pairs(
         docs.select_columns(["doc_id", "text"]), cands, k=3, threshold=0.01
     )
-    curated = curate_near_duplicates(docs, pairs)
+    curated = curate_near_duplicates(docs, pairs, num_buckets=8)
     out = lang_stats(curated)
     t = pa.concat_tables(
         bt for bt in out.iter_batches(batch_size=None, batch_format="pyarrow")
@@ -840,7 +840,7 @@ def _q_dedup_embedding(sf_dir: str) -> pa.Table:
         .union(ray.data.from_arrow(_planted(1_000_000, 2.0))) \
         .union(ray.data.from_arrow(_planted(2_000_000, 3.0)))
     pairs = exact_cosine_pairs(ds, threshold=0.9, rows_per_block=4096)
-    kept = drop_near_duplicates(ds, pairs, id_col="vec_id")
+    kept = drop_near_duplicates(ds, pairs, id_col="vec_id", num_buckets=8)
     t = _collect(kept, pa.schema([("vec_id", pa.int64())]))
     return t.select(["vec_id"]).sort_by("vec_id")
 

@@ -63,6 +63,12 @@ def connected_components(pairs, *, a_col: str = "a", b_col: str = "b",
     # a block count sized to the edge data (~100k edges per block,
     # floor NB so big graphs keep shuffle parallelism).
     n_edges = edges.count()
+    # adapt the SHUFFLE bucket count to the graph too: every iteration
+    # round pays one task per bucket per stage, so a web-scale default
+    # (64) on a small pair graph is pure fixed overhead multiplied by
+    # O(log d) rounds (measured 110 s -> ~5 s on a 42-edge graph at
+    # num_buckets=64 -> 1); big graphs keep the caller's parallelism
+    NB = int(min(NB, max(1, n_edges // 50_000 + 1)))
     target_blocks = int(min(max(NB, 1), max(1, n_edges // 100_000 + 1) * NB))
     if edges.num_blocks() > 2 * target_blocks:
         edges = edges.repartition(target_blocks).materialize()

@@ -73,16 +73,22 @@ def curate_near_duplicates(
     max_token_len: int = 40,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_buckets: int = 64,
 ):
     """Near-duplicate curation: given a candidate-pair list (from
     MinHash-LSH / n-gram Jaccard / embedding LSH), resolve duplicate
     CLUSTERS (connected components, keep the min-id representative),
     anti-join the corpus against the drop list, then apply the same
     vectorized quality filter as ``curate_documents``. Every stage is
-    a constant-bucket shuffle; nothing is broadcast."""
+    a constant-bucket shuffle; nothing is broadcast. ``num_buckets``
+    sizes the anti-join shuffle: default 64 for web-scale corpora;
+    each bucket costs one task per stage, so size it down for small
+    filtered subsets (the iterative component rounds self-adapt to the
+    pair-graph size)."""
     from ..functions.graph import drop_near_duplicates
 
-    survivors = drop_near_duplicates(ds, pairs, id_col=id_col)
+    survivors = drop_near_duplicates(ds, pairs, id_col=id_col,
+                                     num_buckets=num_buckets)
 
     def qfilter(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
