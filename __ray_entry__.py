@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (38 of 50 queries);
+the DuckDB-equivalent SQL where expressible (39 of 51 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -745,6 +745,20 @@ def _q_broadcast_join(sf_dir: str) -> pa.Table:
     }).sort_by("r_name")
 
 
+def _q_group_topk(sf_dir: str) -> pa.Table:
+    """Per-group top-k without a global sort: map-side partial top-k
+    per key, one constant-bucket shuffle, vectorized final."""
+    from hyparquet_writer_ray.functions.stats import group_topk
+    from hyparquet_writer_ray.functions.text import token_counts
+    ds = token_counts(_docs_ds(sf_dir))
+    out = group_topk(ds, key_col="lang", value_col="n_tokens",
+                     id_col="doc_id", k=3, num_buckets=8)
+    t = _collect(out)
+    return t.select(["lang", "doc_id", "n_tokens"]).sort_by(
+        [("lang", "ascending"), ("n_tokens", "descending"),
+         ("doc_id", "ascending")])
+
+
 def _q_redact(sf_dir: str) -> pa.Table:
     """Regex redaction (PII-scrub shape): Arrow and DuckDB both run
     RE2, so the oracle is pattern-for-pattern exact. Columns are
@@ -1090,6 +1104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["text_redact"] = _q_redact
     q["text_repetition"] = _q_repetition
     q["join_broadcast_enrich"] = _q_broadcast_join
+    q["group_topk_docs"] = _q_group_topk
     q["webtable_encode"] = _q_webtable
     q["multimodal_decode"] = _q_multimodal
     return q
@@ -1237,6 +1252,15 @@ def oracle_sql() -> dict[str, str]:
         "UNION SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u) "
         "SELECT node, CAST(min(r) AS BIGINT) AS component "
         "FROM reach GROUP BY node ORDER BY node"
+    )
+    sql["group_topk_docs"] = (
+        "SELECT lang, doc_id, n_tokens FROM ("
+        "SELECT lang, doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        "row_number() OVER (PARTITION BY lang "
+        "ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rn "
+        "FROM documents) WHERE rn <= 3 "
+        "ORDER BY lang, n_tokens DESC, doc_id"
     )
     sql["join_broadcast_enrich"] = (
         "SELECT r_name, CAST(count(*) AS BIGINT) AS n_cust, "

@@ -34,7 +34,7 @@ from .text import (
 )
 from .audio import AudioFeatureStage, audio_features
 from .graph import connected_components, drop_near_duplicates
-from .stats import exact_quantiles
+from .stats import exact_quantiles, group_topk
 from .windows import hopping_window_agg, sessionize, tumbling_window_agg
 
 __all__ = [
@@ -46,7 +46,7 @@ __all__ = [
     "HyperplaneBucketer", "exact_cosine_pairs", "ivf_topk",
     "lsh_bucket_pairs", "topk_cosine",
     "asof_join", "broadcast_join",
-    "hll_distinct", "hll_estimate", "exact_quantiles",
+    "hll_distinct", "hll_estimate", "exact_quantiles", "group_topk",
     "LangIdModel", "bpe_token_counts", "fingerprints", "lang_ids",
     "quality_scores", "redact", "repetition_stats",
     "rolling_fingerprints", "stratified_sample",

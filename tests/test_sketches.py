@@ -67,3 +67,37 @@ def test_exact_quantiles_quantile_disc_parity(ray_session):
     empty = exact_quantiles(
         ray.data.from_arrow(pa.table({"x": pa.array([], pa.int64())})), "x")
     assert empty.num_rows == 0
+
+
+def test_group_topk_matches_duckdb_window(ray_session):
+    """group_topk == row_number() OVER (PARTITION BY ... ORDER BY value
+    DESC, id) <= k on randomized data with heavy value ties."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hyparquet_writer_ray.functions.stats import group_topk
+
+    rng = np.random.default_rng(23)
+    n = 600
+    t = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "key": pa.array(rng.integers(0, 12, n).astype("int64")),
+        "val": pa.array(rng.integers(0, 9, n).astype("int64")),  # many ties
+    })
+    out = group_topk(ray.data.from_arrow(t), key_col="key", value_col="val",
+                     id_col="id", k=4, num_buckets=5)
+    got = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).select(["key", "id", "val"]).sort_by(
+        [("key", "ascending"), ("val", "descending"), ("id", "ascending")]
+    ).combine_chunks()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT key, id, CAST(val AS DOUBLE) AS val FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY key ORDER BY val DESC, id)"
+        " AS rn FROM t) WHERE rn <= 4 ORDER BY key, val DESC, id"
+    ).arrow().combine_chunks()
+    assert got.cast(want.schema).equals(want)
