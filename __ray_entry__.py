@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (39 of 51 queries);
+the DuckDB-equivalent SQL where expressible (40 of 52 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -745,6 +745,42 @@ def _q_broadcast_join(sf_dir: str) -> pa.Table:
     }).sort_by("r_name")
 
 
+def _q_interval_join(sf_dir: str) -> pa.Table:
+    """Range join composition: sessionize events, keep sessions with
+    >= 2 events, then interval-join every event back to its covering
+    session (LEFT OUTER — events of small sessions exercise the null
+    path). Session intervals are per-key non-overlapping by
+    construction, the interval_join contract."""
+    import ray.data
+    from hyparquet_writer_ray.functions.joins import interval_join
+    from hyparquet_writer_ray.functions.windows import sessionize
+    events = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_id", "user_id", "ts"])
+
+    def add_sec(batch: pa.Table) -> pa.Table:
+        sec = pa.compute.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return batch.append_column("sec", sec)
+
+    left = events.map_batches(add_sec, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    sess = sessionize(events, key_col="user_id", ts_col="ts",
+                      gap_seconds=1800, sort=False, num_buckets=16)
+
+    def big_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pa.compute.greater_equal(batch.column("n_events"), 2))
+
+    big = sess.map_batches(big_only, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    joined = interval_join(left, big, by="user_id", on="sec",
+                           right_cols=["session_id"], num_buckets=16)
+    t = _collect(joined, pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("sec", pa.int64()),
+        ("session_id", pa.int64())]))
+    return t.select(["event_id", "session_id"]).sort_by("event_id")
+
+
 def _q_group_topk(sf_dir: str) -> pa.Table:
     """Per-group top-k without a global sort: map-side partial top-k
     per key, one constant-bucket shuffle, vectorized final."""
@@ -1105,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["text_repetition"] = _q_repetition
     q["join_broadcast_enrich"] = _q_broadcast_join
     q["group_topk_docs"] = _q_group_topk
+    q["interval_join_sessions"] = _q_interval_join
     q["webtable_encode"] = _q_webtable
     q["multimodal_decode"] = _q_multimodal
     return q
@@ -1252,6 +1289,26 @@ def oracle_sql() -> dict[str, str]:
         "UNION SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u) "
         "SELECT node, CAST(min(r) AS BIGINT) AS component "
         "FROM reach GROUP BY node ORDER BY node"
+    )
+    sql["interval_join_sessions"] = (
+        # same session derivation as the sessionize oracle, reduced to
+        # intervals, filtered to n_events >= 3, then a BETWEEN range
+        # join back to the events (LEFT OUTER)
+        "WITH ev AS (SELECT event_id, user_id, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), "
+        "marked AS (SELECT user_id, sec, CASE WHEN sec - "
+        "lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800 THEN 1 "
+        "ELSE 0 END AS brk FROM ev), "
+        "sess AS (SELECT user_id, sec, CAST(SUM(brk) OVER (PARTITION BY "
+        "user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS BIGINT) AS "
+        "session_id FROM marked), "
+        "s AS (SELECT user_id, session_id, count(*) AS n_events, "
+        "min(sec) AS s_start, max(sec) AS s_end FROM sess GROUP BY 1, 2), "
+        "big AS (SELECT * FROM s WHERE n_events >= 2) "
+        "SELECT ev.event_id, big.session_id FROM ev LEFT JOIN big "
+        "ON ev.user_id = big.user_id "
+        "AND ev.sec BETWEEN big.s_start AND big.s_end "
+        "ORDER BY ev.event_id"
     )
     sql["group_topk_docs"] = (
         "SELECT lang, doc_id, n_tokens FROM ("

@@ -236,3 +236,54 @@ def broadcast_join(ds, right: pa.Table, *, on: str, right_on: str | None = None,
                                    right_cols=right_cols, how=how),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
     )
+
+
+def interval_join(left, right, *, by: str, on: str,
+                  right_by: str | None = None,
+                  start_col: str = "s_start", end_col: str = "s_end",
+                  right_cols: list[str] | None = None,
+                  num_buckets: int = 64):
+    """Range join against NON-OVERLAPPING per-key intervals: every left
+    row + the right interval with ``start <= on <= end`` for the same
+    key (LEFT OUTER — uncovered rows keep nulls). The classic
+    event->session / row->snapshot-window attachment.
+
+    Scale shape: one backward ``asof_join`` on the interval START (the
+    single bucketed shuffle) followed by a streaming map that nulls the
+    payload where ``on > end`` — for non-overlapping intervals the
+    latest-started interval at or before ``on`` is the ONLY candidate,
+    so this is exact. Overlapping intervals are out of contract (the
+    match would be ambiguous anyway); sessionize output satisfies it
+    by construction."""
+    right_by = right_by or by
+    if right_cols is None:
+        right_schema = right.schema()
+        right_pa = getattr(right_schema, "base_schema", right_schema)
+        right_cols = [n for n in right_pa.names
+                      if n not in (right_by, start_col, end_col)]
+    attach = list(dict.fromkeys([*right_cols, end_col]))
+    joined = asof_join(left, right, by=by, on=on, right_by=right_by,
+                       right_on=start_col, right_cols=attach,
+                       num_buckets=num_buckets)
+
+    def cover(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return batch.drop_columns([end_col]) if end_col in batch.column_names else batch
+        ok = pc.and_kleene(
+            pc.is_valid(batch.column(end_col)),
+            pc.less_equal(single_chunk(batch.column(on)).cast(pa.int64()),
+                          single_chunk(batch.column(end_col)).cast(pa.int64())),
+        )
+        ok = pc.fill_null(ok, False)
+        out = batch
+        for c in right_cols:
+            out = out.set_column(out.column_names.index(c), c,
+                                 pc.if_else(ok, out.column(c),
+                                            pa.nulls(out.num_rows,
+                                                     out.column(c).type)))
+        if end_col not in right_cols:
+            out = out.drop_columns([end_col])
+        return out
+
+    return joined.map_batches(cover, batch_format="pyarrow",
+                              zero_copy_batch=True)

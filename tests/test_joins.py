@@ -149,3 +149,43 @@ def test_broadcast_join_rejects_duplicate_right_keys(ray_session):
     # actor-death error through the Dataset executor
     with pytest.raises((ValueError, RayError)):
         _collect(broadcast_join(ray.data.from_arrow(left), right, on="k"))
+
+
+def test_interval_join_matches_duckdb_between(ray_session):
+    """interval_join == SQL LEFT JOIN ... ON key match AND on BETWEEN
+    start AND end, for non-overlapping per-key intervals (randomized)."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.joins import interval_join
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for k in range(6):
+        t = 0
+        for s in range(rng.integers(1, 5)):
+            start = t + int(rng.integers(1, 50))
+            end = start + int(rng.integers(0, 30))
+            t = end + 1
+            rows.append((k, start, end, k * 100 + s))
+    right = pa.table({"k": pa.array([r[0] for r in rows], pa.int64()),
+                      "s_start": pa.array([r[1] for r in rows], pa.int64()),
+                      "s_end": pa.array([r[2] for r in rows], pa.int64()),
+                      "sid": pa.array([r[3] for r in rows], pa.int64())})
+    nl = 300
+    left = pa.table({"lid": pa.array(np.arange(nl), pa.int64()),
+                     "k": pa.array(rng.integers(0, 8, nl), pa.int64()),
+                     "on": pa.array(rng.integers(0, 200, nl), pa.int64())})
+    got = _collect(interval_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        by="k", on="on", right_cols=["sid"], num_buckets=4,
+    )).sort_by("lid").combine_chunks()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute(
+        'SELECT l.*, r.sid FROM l LEFT JOIN r ON l.k = r.k '
+        'AND l."on" BETWEEN r.s_start AND r.s_end ORDER BY l.lid'
+    ).arrow().combine_chunks()
+    assert got.cast(want.schema).equals(want)
+    nulls = got.column("sid").null_count
+    assert 0 < nulls < got.num_rows  # both paths exercised
