@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (40 of 52 queries);
+the DuckDB-equivalent SQL where expressible (41 of 53 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -745,6 +745,23 @@ def _q_broadcast_join(sf_dir: str) -> pa.Table:
     }).sort_by("r_name")
 
 
+def _q_distinctive_terms(sf_dir: str) -> pa.Table:
+    """TF-IDF-style per-doc top terms: per-batch tf -> vocabulary df
+    shuffle -> big-x-big hash_join on the token -> doc-bucketed top-k.
+    Integer-only ranking (tf DESC, df ASC, token ASC) keeps the oracle
+    order bit-exact."""
+    from hyparquet_writer_ray.functions.text import distinctive_terms
+    import ray.data
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = distinctive_terms(ds, k=3, num_buckets=16)
+    t = _collect(out, pa.schema([("doc_id", pa.int64()),
+                                 ("token", pa.string()),
+                                 ("tf", pa.int64()), ("df", pa.int64())]))
+    return t.sort_by([("doc_id", "ascending"), ("tf", "descending"),
+                      ("df", "ascending"), ("token", "ascending")])
+
+
 def _q_interval_join(sf_dir: str) -> pa.Table:
     """Range join composition: sessionize events, keep sessions with
     >= 2 events, then interval-join every event back to its covering
@@ -1142,6 +1159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["join_broadcast_enrich"] = _q_broadcast_join
     q["group_topk_docs"] = _q_group_topk
     q["interval_join_sessions"] = _q_interval_join
+    q["text_distinctive_terms"] = _q_distinctive_terms
     q["webtable_encode"] = _q_webtable
     q["multimodal_decode"] = _q_multimodal
     return q
@@ -1289,6 +1307,20 @@ def oracle_sql() -> dict[str, str]:
         "UNION SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u) "
         "SELECT node, CAST(min(r) AS BIGINT) AS component "
         "FROM reach GROUP BY node ORDER BY node"
+    )
+    sql["text_distinctive_terms"] = (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS "
+        "token FROM documents), "
+        "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY 1, 2), "
+        "df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf "
+        "GROUP BY 1), "
+        "r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, "
+        "row_number() OVER (PARTITION BY tf.doc_id "
+        "ORDER BY tf.tf DESC, df.df, tf.token) AS rn "
+        "FROM tf JOIN df USING (token)) "
+        "SELECT doc_id, token, tf, df FROM r WHERE rn <= 3 "
+        "ORDER BY doc_id, tf DESC, df, token"
     )
     sql["interval_join_sessions"] = (
         # same session derivation as the sessionize oracle, reduced to

@@ -10,7 +10,7 @@ from .dedup import (
     simhashes,
 )
 from .multimodal import FrameSampleStage, ImageDecodeStage, decode_images, sample_frames
-from .joins import asof_join, broadcast_join, interval_join
+from .joins import asof_join, broadcast_join, hash_join, interval_join
 from .similarity import (
     HyperplaneBucketer,
     exact_cosine_pairs,
@@ -25,6 +25,7 @@ from .text import (
     fingerprints,
     lang_ids,
     quality_scores,
+    distinctive_terms,
     redact,
     repetition_stats,
     rolling_fingerprints,
@@ -45,10 +46,10 @@ __all__ = [
     "AudioFeatureStage", "audio_features",
     "HyperplaneBucketer", "exact_cosine_pairs", "ivf_topk",
     "lsh_bucket_pairs", "topk_cosine",
-    "asof_join", "broadcast_join", "interval_join",
+    "asof_join", "broadcast_join", "hash_join", "interval_join",
     "hll_distinct", "hll_estimate", "exact_quantiles", "group_topk",
     "LangIdModel", "bpe_token_counts", "fingerprints", "lang_ids",
-    "quality_scores", "redact", "repetition_stats",
+    "quality_scores", "distinctive_terms", "redact", "repetition_stats",
     "rolling_fingerprints", "stratified_sample",
     "token_counts", "top_tokens",
     "hopping_window_agg", "sessionize", "tumbling_window_agg",

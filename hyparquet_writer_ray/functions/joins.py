@@ -287,3 +287,115 @@ def interval_join(left, right, *, by: str, on: str,
 
     return joined.map_batches(cover, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def hash_join(left, right, *, on: str, right_on: str | None = None,
+              right_cols: list[str] | None = None, how: str = "left",
+              num_buckets: int = 64):
+    """Big-x-big equi-join without broadcasting either side: both sides
+    shuffle ONCE on ``hash(key) % num_buckets`` (constant group count)
+    and each bucket joins vectorized (dictionary-encode + sort +
+    searchsorted — no per-key Python). The right side must be unique on
+    ``right_on`` (one-to-many join, the dimension/lookup shape);
+    duplicate right keys in a bucket raise rather than silently pick.
+
+    ``how``: ``"left"`` keeps unmatched left rows (null payload),
+    ``"inner"`` drops them. For a right side small enough to ship to
+    every actor, prefer ``broadcast_join`` (zero shuffles); this
+    operator is for right sides that are themselves cluster-scale
+    (e.g. a document-frequency table over a web corpus vocabulary).
+
+    Unlike Ray's experimental ``Dataset.join``, empty partitions and
+    heterogeneous block schemas are handled (null-padded tag-union,
+    the same machinery as asof_join)."""
+    import numpy as np
+
+    right_on = right_on or on
+    if how not in ("left", "inner"):
+        raise ValueError(f"hash_join: how={how!r}")
+    NB = max(int(num_buckets), 1)
+
+    left_schema = left.schema()
+    left_pa = getattr(left_schema, "base_schema", left_schema)
+    right_schema = right.schema()
+    right_pa = getattr(right_schema, "base_schema", right_schema)
+    if right_cols is None:
+        right_cols = [n for n in right_pa.names if n != right_on]
+    clash = set(right_cols) & set(left_pa.names)
+    if clash:
+        raise ValueError(f"hash_join: right_cols collide with left columns: {clash}")
+    rfields = [right_pa.field(c) for c in right_cols]
+    out_schema = pa.schema(list(left_pa) + rfields)
+    key_type = left_pa.field(on).type
+
+    def left_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = single_chunk(batch.column(on))
+        cols: dict = {f.name: batch.column(f.name) for f in left_pa}
+        for f in rfields:
+            cols[f.name] = pa.nulls(n, f.type)
+        cols["__key"] = key
+        cols["__side"] = pa.array(np.ones(n, np.int64))
+        cols["__bucket"] = pa.array(_bucket_of(key, NB))
+        return pa.table(cols)
+
+    def right_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = single_chunk(batch.column(right_on)).cast(key_type)
+        cols = {f.name: pa.nulls(n, f.type) for f in left_pa}
+        for f in rfields:
+            cols[f.name] = batch.column(f.name)
+        cols["__key"] = key
+        cols["__side"] = pa.array(np.zeros(n, np.int64))
+        cols["__bucket"] = pa.array(_bucket_of(key, NB))
+        return pa.table(cols)
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return out_schema.empty_table()
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        denc = pc.dictionary_encode(single_chunk(group.column("__key")))
+        codes = pc.fill_null(denc.indices.cast(pa.int64()), -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lidx = np.nonzero(side == 1)[0]
+        ridx = np.nonzero((side == 0) & (codes >= 0))[0]
+        rcodes = codes[ridx]
+        order = np.argsort(rcodes, kind="stable")
+        rcodes_s = rcodes[order]
+        if len(rcodes_s) > 1 and (rcodes_s[1:] == rcodes_s[:-1]).any():
+            raise ValueError(
+                "hash_join: right side has duplicate keys — the match "
+                "would be ambiguous; pre-reduce the right side")
+        lcodes = codes[lidx]
+        if len(rcodes_s):
+            pos = np.searchsorted(rcodes_s, lcodes)
+            pos = np.minimum(pos, len(rcodes_s) - 1)
+            ok = (rcodes_s[pos] == lcodes) & (lcodes >= 0)
+        else:
+            pos = np.zeros(len(lcodes), np.int64)
+            ok = np.zeros(len(lcodes), bool)
+        if how == "inner":
+            lidx = lidx[ok]
+            pos = pos[ok]
+            ok = np.ones(len(lidx), bool)
+        if len(order):
+            matched = np.where(ok, ridx[order][pos], 0)
+        else:
+            matched = np.zeros(len(lidx), np.int64)
+        left_take = pa.array(lidx, pa.int64())
+        right_take = pa.array(matched, pa.int64(), mask=~ok)
+        cols = {}
+        for f in left_pa:
+            cols[f.name] = group.column(f.name).take(left_take)
+        for f in rfields:
+            cols[f.name] = group.column(f.name).take(right_take)
+        return pa.table(cols, schema=out_schema)
+
+    tagged = left.map_batches(
+        left_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(right.map_batches(
+        right_rows, batch_format="pyarrow", zero_copy_batch=True
+    ))
+    return tagged.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pyarrow"
+    )

@@ -379,3 +379,109 @@ def repetition_stats(ds, *, text_col: str = "text"):
         lambda b: repetition_stats_batch(b, text_col),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def distinctive_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3, num_buckets: int = 64):
+    """TF-IDF-style per-document top terms with EXACT integer ordering:
+    the k terms with highest term frequency, document frequency
+    ascending as the distinctiveness tie-break, token ascending last
+    (float idf would make the oracle order precision-sensitive; this
+    ranking is bit-exact in SQL).
+
+    Scale shape — a three-stage composition of the engine's own
+    operators, nothing driver-side:
+      1. per-batch tf: one dictionary-encode + lexsort/run-length pass
+         emits (doc, token, tf) rows (docs never span batches);
+      2. df: per-batch partial counts (each (doc, token) row counts 1)
+         -> one vocabulary-sized ``groupby(token).sum`` shuffle — the
+         same contract as ``top_tokens``;
+      3. tf x df: ``hash_join`` on the token (both sides cluster-scale
+         at a web corpus — broadcast would not survive 10^12 docs),
+         then a doc-bucketed top-k (Arrow multi-key sort per bucket,
+         one task per bucket)."""
+    import ray.data  # noqa: F401  (Dataset ops below)
+
+    from .joins import _bucket_of, hash_join
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "token": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64())})
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return empty
+        col = single_chunk(batch.column(text_col))
+        toks = pc.split_pattern(col, " ")
+        counts = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = single_chunk(pc.list_flatten(toks))
+        if len(flat) == 0:
+            return empty
+        denc = pc.dictionary_encode(flat)
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = single_chunk(batch.column(id_col)).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        row_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+        order = np.lexsort((codes, row_of))
+        r_s, c_s = row_of[order], codes[order]
+        new = np.ones(len(order), bool)
+        new[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.nonzero(new)[0]
+        tf = np.diff(np.append(starts, len(order)))
+        return pa.table({
+            id_col: pa.array(ids[r_s[starts]], pa.int64()),
+            "token": denc.dictionary.take(pa.array(c_s[starts])),
+            "tf": pa.array(tf.astype(np.int64), pa.int64()),
+        })
+
+    tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "dfp": pa.array([], pa.int64())})
+        denc = pc.dictionary_encode(single_chunk(batch.column("token")))
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(denc.dictionary))
+        return pa.table({"token": denc.dictionary,
+                         "dfp": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def df_rename(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        return pa.table({"token": batch.column("token"),
+                         "df": batch.column("sum(dfp)")})
+
+    df_ds = tf_ds.map_batches(df_partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("token").sum("dfp") \
+        .map_batches(df_rename, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(tf_ds, df_ds, on="token", right_cols=["df"],
+                       how="left", num_buckets=num_buckets)
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return batch
+        return batch.append_column(
+            "__dbucket",
+            pa.array(_bucket_of(single_chunk(batch.column(id_col)),
+                                max(int(num_buckets), 1))))
+
+    def doc_topk(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return group
+        s = group.sort_by([(id_col, "ascending"), ("tf", "descending"),
+                           ("df", "ascending"), ("token", "ascending")])
+        ids = s.column(id_col).to_numpy(zero_copy_only=False)
+        new = np.ones(len(ids), bool)
+        new[1:] = ids[1:] != ids[:-1]
+        starts = np.nonzero(new)[0]
+        rank = np.arange(len(ids)) - np.repeat(
+            starts, np.diff(np.append(starts, len(ids))))
+        return s.filter(pa.array(rank < k)).drop_columns(["__dbucket"])
+
+    return joined.map_batches(add_doc_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("__dbucket").map_groups(doc_topk, batch_format="pyarrow")

@@ -189,3 +189,52 @@ def test_interval_join_matches_duckdb_between(ray_session):
     assert got.cast(want.schema).equals(want)
     nulls = got.column("sid").null_count
     assert 0 < nulls < got.num_rows  # both paths exercised
+
+
+def test_hash_join_matches_duckdb(ray_session):
+    """Bucketed big-x-big hash_join == SQL LEFT/INNER JOIN on randomized
+    data (right unique on key; some keys absent from each side)."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.joins import hash_join
+
+    rng = np.random.default_rng(9)
+    left = pa.table({"lid": pa.array(np.arange(500), pa.int64()),
+                     "k": pa.array(rng.integers(0, 40, 500), pa.int64())})
+    rk = np.unique(rng.integers(0, 55, 35))
+    right = pa.table({"k": pa.array(rk, pa.int64()),
+                      "v": pa.array(rk * 3, pa.int64()),
+                      "s": pa.array([f"x{int(x)}" for x in rk])})
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for how, sqlhow in (("left", "LEFT JOIN"), ("inner", "JOIN")):
+        got = _collect(hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on="k", right_cols=["v", "s"], how=how, num_buckets=5,
+        )).sort_by("lid").combine_chunks()
+        want = con.execute(
+            f"SELECT l.*, r.v, r.s FROM l {sqlhow} r ON l.k = r.k "
+            f"ORDER BY l.lid").arrow().combine_chunks()
+        assert got.cast(want.schema).equals(want), how
+
+
+def test_hash_join_string_keys_and_dup_raise(ray_session):
+    import pytest
+    import ray.data
+    from ray.exceptions import RayError
+
+    from hyparquet_writer_ray.functions.joins import hash_join
+
+    left = pa.table({"lid": pa.array([0, 1, 2], pa.int64()),
+                     "k": pa.array(["a", "b", "zz"])})
+    right = pa.table({"k": pa.array(["a", "zz"]),
+                      "v": pa.array([1, 2], pa.int64())})
+    got = _collect(hash_join(ray.data.from_arrow(left),
+                             ray.data.from_arrow(right),
+                             on="k", num_buckets=3)).sort_by("lid")
+    assert got.column("v").to_pylist() == [1, None, 2]
+    dup = pa.table({"k": pa.array(["a", "a"]), "v": pa.array([1, 2], pa.int64())})
+    with pytest.raises((ValueError, RayError)):
+        _collect(hash_join(ray.data.from_arrow(left),
+                           ray.data.from_arrow(dup), on="k"))
