@@ -1,9 +1,15 @@
-"""Temporal joins the Dataset API can't express directly.
+"""Join operators the Dataset API can't express directly — one per
+join shape a 100 TB pipeline needs:
 
-``asof_join``: for each left row, attach the single right row with the
-greatest right timestamp <= the left timestamp among rows sharing the
-join key (DuckDB ``ASOF LEFT JOIN`` semantics — backward direction,
-equality allowed, LEFT OUTER: unmatched left rows keep nulls).
+- ``asof_join``: backward temporal join (DuckDB ``ASOF LEFT JOIN``
+  semantics — greatest right timestamp <= left timestamp per key,
+  equality allowed, LEFT OUTER).
+- ``interval_join``: range join against non-overlapping per-key
+  intervals (event -> covering session/window).
+- ``hash_join``: big-x-big equi-join, both sides shuffled once,
+  right unique on key (the cluster-scale dimension join).
+- ``broadcast_join``: small-side equi-join, zero shuffles (``ray.put``
+  once, fetched once per actor).
 
 Scale shape: ONE shuffle. Both sides are tagged and bucketed on
 ``hash(key) % num_buckets`` (a CONSTANT group count — never one Python
