@@ -487,19 +487,39 @@ def _q_dedup_exact(sf_dir: str) -> pa.Table:
 
 
 def _q_dedup_minhash(sf_dir: str) -> pa.Table:
-    """Rows-only gate made meaningful in-driver: every returned pair's
-    minhash ESTIMATE is checked against the TRUE word-3-shingle Jaccard
-    computed by an independent set implementation (64 permutations give
-    ~1/sqrt(64)=0.125 standard error; we allow 0.35)."""
+    """Rows-only gate made meaningful in-driver, both directions:
+    PRECISION — every returned pair's minhash ESTIMATE is checked
+    against the TRUE word-3-shingle Jaccard computed by an independent
+    set implementation (64 permutations give ~1/sqrt(64)=0.125 standard
+    error; we allow 0.35); RECALL — planted byte-identical copies of
+    docs 0..4 (under doc_id+1e6; identical text => identical signature
+    => identical band buckets, so recovery is deterministic, not
+    probabilistic) must all come back as pairs."""
+    import ray.data
     from hyparquet_writer_ray.functions.dedup import minhash_lsh_pairs
-    ds = minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.5)
+    raw = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    head = raw.slice(0, 5)
+    planted = pa.table({
+        "doc_id": pa.compute.add(head.column("doc_id"), 1_000_000),
+        "text": head.column("text"),
+    })
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"]).union(
+        ray.data.from_arrow(planted))
+    ds = minhash_lsh_pairs(docs, threshold=0.5)
     schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard_est", pa.float64()),
                         ("from_oversized", pa.bool_())])
     t = _collect(ds, schema).sort_by([("a", "ascending"), ("b", "ascending")])
 
-    raw = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                        columns=["doc_id", "text"])
     texts = dict(zip(raw.column("doc_id").to_pylist(), raw.column("text").to_pylist()))
+    for i, txt in zip(planted.column("doc_id").to_pylist(),
+                      planted.column("text").to_pylist()):
+        texts[i] = txt
+    got_pairs = set(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+    for i in head.column("doc_id").to_pylist():
+        assert (i, i + 1_000_000) in got_pairs, \
+            f"planted exact duplicate ({i}, {i + 1_000_000}) not recovered"
 
     def true_jaccard(x, y) -> float:
         def sh(s):
