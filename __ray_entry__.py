@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (41 of 53 queries);
+the DuckDB-equivalent SQL where expressible (42 of 54 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -635,6 +635,23 @@ def _q_token_quantiles(sf_dir: str) -> pa.Table:
     return exact_quantiles(ds, "n_tokens", qs=(0.25, 0.5, 0.9, 0.99))
 
 
+def _q_grouped_quantiles(sf_dir: str) -> pa.Table:
+    """Per-language exact token-count quantiles: keyed value-histogram
+    combiner, one constant-bucket shuffle of (key, value, count) rows."""
+    from hyparquet_writer_ray.functions.stats import grouped_quantiles
+    from hyparquet_writer_ray.functions.text import token_counts
+    ds = token_counts(_docs_ds(sf_dir))
+    out = grouped_quantiles(ds, key_col="lang", col="n_tokens",
+                            qs=(0.25, 0.5, 0.9), num_buckets=8)
+    t = _collect(out, pa.schema([("lang", pa.large_string()),
+                                 ("q", pa.float64()),
+                                 ("value", pa.int64())]))
+    return pa.table({
+        "lang": t.column("lang").cast(pa.string()),
+        "q": t.column("q"), "value": t.column("value"),
+    }).sort_by([("lang", "ascending"), ("q", "ascending")])
+
+
 def _q_dedup_simhash(sf_dir: str) -> pa.Table:
     from hyparquet_writer_ray.functions.dedup import SimHasher, simhashes
     ds = simhashes(_docs_ds(sf_dir))
@@ -1180,6 +1197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["group_topk_docs"] = _q_group_topk
     q["interval_join_sessions"] = _q_interval_join
     q["text_distinctive_terms"] = _q_distinctive_terms
+    q["text_quantiles_by_lang"] = _q_grouped_quantiles
     q["webtable_encode"] = _q_webtable
     q["multimodal_decode"] = _q_multimodal
     return q
@@ -1327,6 +1345,13 @@ def oracle_sql() -> dict[str, str]:
         "UNION SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u) "
         "SELECT node, CAST(min(r) AS BIGINT) AS component "
         "FROM reach GROUP BY node ORDER BY node"
+    )
+    _gq = ("SELECT lang, CAST({q} AS DOUBLE) AS q, "
+           "CAST(quantile_disc(len(string_split(text, ' ')), {q}) AS BIGINT)"
+           " AS value FROM documents GROUP BY lang")
+    sql["text_quantiles_by_lang"] = (
+        " UNION ALL ".join(_gq.format(q=q) for q in (0.25, 0.5, 0.9))
+        + " ORDER BY lang, q"
     )
     sql["text_distinctive_terms"] = (
         "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS "

@@ -35,7 +35,7 @@ from .text import (
 )
 from .audio import AudioFeatureStage, audio_features
 from .graph import connected_components, drop_near_duplicates
-from .stats import exact_quantiles, group_topk
+from .stats import exact_quantiles, group_topk, grouped_quantiles
 from .windows import hopping_window_agg, sessionize, tumbling_window_agg
 
 __all__ = [
@@ -47,7 +47,7 @@ __all__ = [
     "HyperplaneBucketer", "exact_cosine_pairs", "ivf_topk",
     "lsh_bucket_pairs", "topk_cosine",
     "asof_join", "broadcast_join", "hash_join", "interval_join",
-    "hll_distinct", "hll_estimate", "exact_quantiles", "group_topk",
+    "hll_distinct", "hll_estimate", "exact_quantiles", "group_topk", "grouped_quantiles",
     "LangIdModel", "bpe_token_counts", "fingerprints", "lang_ids",
     "quality_scores", "distinctive_terms", "redact", "repetition_stats",
     "rolling_fingerprints", "stratified_sample",

@@ -53,7 +53,10 @@ def exact_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99)) -> pa.Table:
     total = int(cum[-1])
     out_q, out_v = [], []
     for q in qs:
-        idx = int(np.floor((total - 1) * float(q)))  # quantile_disc rule
+        # quantile_disc rule pinned against DuckDB: the element at rank
+        # ceil(q*n)-1 (floor((n-1)*q) coincides only when q*n is
+        # integral — it is one off at e.g. n=4, q=0.9)
+        idx = max(int(np.ceil(float(q) * total)) - 1, 0)
         k = int(np.searchsorted(cum, idx + 1))
         out_q.append(float(q))
         out_v.append(int(v[k]))
@@ -130,3 +133,104 @@ def group_topk(ds, *, key_col: str, value_col: str, id_col: str,
 
     reduced = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return reduced.groupby("__bucket").map_groups(final, batch_format="pyarrow")
+
+
+def grouped_quantiles(ds, *, key_col: str, col: str, qs=(0.5, 0.9, 0.99),
+                      num_buckets: int = 64):
+    """EXACT per-key discrete quantiles (``quantile_disc`` semantics,
+    nulls ignored): (key, q, value) for every distinct key.
+
+    Scale shape: each batch collapses to (key, value, count) partials
+    via one lexsort/run-length pass (the keyed twin of
+    ``exact_quantiles``), then ONE shuffle on ``hash(key) % NB`` — a
+    constant group count — and each bucket finishes ALL its keys
+    vectorized (one cumsum + searchsorted per quantile over the
+    bucket's sorted histogram). Bytes shuffled are O(distinct
+    (key, value) pairs), never O(rows); no per-key Python anywhere."""
+    import pyarrow.compute as pc
+
+    from .joins import _bucket_of
+
+    NB = max(int(num_buckets), 1)
+    qs = [float(q) for q in qs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"__k": pa.array([], pa.large_string()),
+                          "v": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return batch.select([]) if False else empty
+        keys = single_chunk(batch.column(key_col))
+        valid = pc.and_kleene(pc.is_valid(keys),
+                              pc.is_valid(batch.column(col)))
+        t = batch.filter(pc.fill_null(valid, False))
+        if t.num_rows == 0:
+            return empty
+        keys = single_chunk(t.column(key_col))
+        denc = pc.dictionary_encode(keys)
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = single_chunk(t.column(col)).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((vals, codes))
+        c_s, v_s = codes[order], vals[order]
+        new = np.ones(len(order), bool)
+        new[1:] = (c_s[1:] != c_s[:-1]) | (v_s[1:] != v_s[:-1])
+        starts = np.nonzero(new)[0]
+        cnt = np.diff(np.append(starts, len(order)))
+        return pa.table({
+            "__k": denc.dictionary.take(pa.array(c_s[starts])).cast(pa.large_string()),
+            "v": pa.array(v_s[starts], pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return batch
+        return batch.append_column(
+            "__bucket",
+            pa.array(_bucket_of(single_chunk(batch.column("__k")), NB)))
+
+    def finish(group: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], pa.large_string()),
+                          "q": pa.array([], pa.float64()),
+                          "value": pa.array([], pa.int64())})
+        if group.num_columns == 0 or group.num_rows == 0:
+            return empty
+        denc = pc.dictionary_encode(single_chunk(group.column("__k")))
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, codes))
+        c_s, v_s, n_s = codes[order], v[order], n[order]
+        # merge duplicate (key, value) partials from different batches
+        new = np.ones(len(order), bool)
+        new[1:] = (c_s[1:] != c_s[:-1]) | (v_s[1:] != v_s[:-1])
+        starts = np.nonzero(new)[0]
+        c_u = c_s[starts]
+        v_u = v_s[starts]
+        n_u = np.add.reduceat(n_s, starts)
+        key_new = np.ones(len(starts), bool)
+        key_new[1:] = c_u[1:] != c_u[:-1]
+        kstarts = np.nonzero(key_new)[0]
+        kends = np.append(kstarts[1:], len(starts))
+        out_k, out_q, out_v = [], [], []
+        # per-key loop runs once per DISTINCT KEY IN THE BUCKET over tiny
+        # histogram slices — the O(rows) work happened in the partials
+        for s, e in zip(kstarts, kends):
+            cum = np.cumsum(n_u[s:e])
+            total = int(cum[-1])
+            for q in qs:
+                idx = max(int(np.ceil(q * total)) - 1, 0)  # quantile_disc
+                out_k.append(int(c_u[s]))
+                out_q.append(q)
+                out_v.append(int(v_u[s:e][np.searchsorted(cum, idx + 1)]))
+        return pa.table({
+            key_col: denc.dictionary.take(pa.array(out_k, pa.int64())).cast(pa.large_string()),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.int64()),
+        })
+
+    hist = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return hist.map_batches(add_bucket, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("__bucket").map_groups(finish, batch_format="pyarrow")

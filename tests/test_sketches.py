@@ -101,3 +101,59 @@ def test_group_topk_matches_duckdb_window(ray_session):
         " AS rn FROM t) WHERE rn <= 4 ORDER BY key, val DESC, id"
     ).arrow().combine_chunks()
     assert got.cast(want.schema).equals(want)
+
+
+def test_grouped_quantiles_matches_duckdb(ray_session):
+    """grouped_quantiles == quantile_disc GROUP BY key on randomized
+    data with awkward row counts (q*n non-integral exercises the
+    ceil(q*n)-1 rank rule)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hyparquet_writer_ray.functions.stats import grouped_quantiles
+
+    for seed, n in ((3, 5000), (7, 997), (11, 61)):
+        rng = np.random.default_rng(seed)
+        t = pa.table({"k": pa.array(rng.choice(["en", "de", "fr", "xx"], n)),
+                      "v": pa.array(rng.integers(0, 300, n).astype("int64"))})
+        out = grouped_quantiles(ray.data.from_arrow(t), key_col="k", col="v",
+                                qs=(0.25, 0.5, 0.9), num_buckets=3)
+        got = pa.concat_tables(
+            b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+        ).sort_by([("k", "ascending"), ("q", "ascending")]).combine_chunks()
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute(
+            "SELECT k, CAST(0.25 AS DOUBLE) AS q, CAST(quantile_disc(v, 0.25)"
+            " AS BIGINT) AS value FROM t GROUP BY k UNION ALL "
+            "SELECT k, 0.5, CAST(quantile_disc(v, 0.5) AS BIGINT) FROM t "
+            "GROUP BY k UNION ALL SELECT k, 0.9, CAST(quantile_disc(v, 0.9) "
+            "AS BIGINT) FROM t GROUP BY k ORDER BY k, q"
+        ).arrow().combine_chunks()
+        assert got.cast(want.schema).equals(want), (seed, n)
+
+
+def test_exact_quantiles_awkward_n(ray_session):
+    """Global quantile rank rule at q*n non-integral (caught a latent
+    floor((n-1)q) divergence from DuckDB's ceil(q*n)-1)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hyparquet_writer_ray.functions.stats import exact_quantiles
+
+    rng = np.random.default_rng(7)
+    t = pa.table({"v": pa.array(rng.integers(0, 50, 997).astype("int64"))})
+    got = exact_quantiles(ray.data.from_arrow(t), "v", qs=(0.3, 0.9, 0.99))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT CAST(0.3 AS DOUBLE) AS q, CAST(quantile_disc(v, 0.3) AS "
+        "BIGINT) AS value FROM t UNION ALL SELECT 0.9, "
+        "CAST(quantile_disc(v, 0.9) AS BIGINT) FROM t UNION ALL SELECT "
+        "0.99, CAST(quantile_disc(v, 0.99) AS BIGINT) FROM t ORDER BY q"
+    ).arrow().combine_chunks()
+    assert got.combine_chunks().equals(want.cast(got.schema))
