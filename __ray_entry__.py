@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (42 of 54 queries);
+the DuckDB-equivalent SQL where expressible (43 of 55 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -849,6 +849,29 @@ def _q_group_topk(sf_dir: str) -> pa.Table:
          ("doc_id", "ascending")])
 
 
+def _q_roundtrip_partitioned(sf_dir: str) -> pa.Table:
+    """Hive-partitioned sink roundtrip: documents written to
+    lang=<v>/part-*.parquet (partition column dropped from files,
+    content-hash lineage + resume), read back through ray.data's hive
+    discovery, compared row-exact against the source table."""
+    import shutil
+
+    import ray.data
+    from hyparquet_writer_ray.pipelines.write import write_parquet_partitioned
+    out = _outpath(sf_dir, "documents_hive_parts")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    write_parquet_partitioned(ds, out, "lang")
+    back = _collect(ray.data.read_parquet(out))
+    return pa.table({
+        "doc_id": back.column("doc_id"),
+        "text": back.column("text"),
+        "lang": back.column("lang").cast(pa.string()),
+        "source": back.column("source"),
+        "n_chars": back.column("n_chars"),
+    }).sort_by("doc_id")
+
+
 def _q_redact(sf_dir: str) -> pa.Table:
     """Regex redaction (PII-scrub shape): Arrow and DuckDB both run
     RE2, so the oracle is pattern-for-pattern exact. Columns are
@@ -1198,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["interval_join_sessions"] = _q_interval_join
     q["text_distinctive_terms"] = _q_distinctive_terms
     q["text_quantiles_by_lang"] = _q_grouped_quantiles
+    q["roundtrip_documents_partitioned"] = _q_roundtrip_partitioned
     q["webtable_encode"] = _q_webtable
     q["multimodal_decode"] = _q_multimodal
     return q
@@ -1345,6 +1369,10 @@ def oracle_sql() -> dict[str, str]:
         "UNION SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u) "
         "SELECT node, CAST(min(r) AS BIGINT) AS component "
         "FROM reach GROUP BY node ORDER BY node"
+    )
+    sql["roundtrip_documents_partitioned"] = (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents "
+        "ORDER BY doc_id"
     )
     _gq = ("SELECT lang, CAST({q} AS DOUBLE) AS q, "
            "CAST(quantile_disc(len(string_split(text, ' ')), {q}) AS BIGINT)"

@@ -275,6 +275,194 @@ class PartFileWriter:
         })
 
 
+def _hive_value(v) -> str:
+    """Hive directory token for a partition value (URL-quoted, the
+    encoding pyarrow's hive partitioning decodes; nulls use the Hive
+    default-partition sentinel)."""
+    from urllib.parse import quote
+
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return quote(str(v), safe="")
+
+
+def _encode_partitioned_fn(batch: pa.Table, **kwargs):
+    yield from PartitionedPartWriter(**kwargs)(batch)
+
+
+class PartitionedPartWriter:
+    """map_batches stage: splits each batch by a partition column and
+    writes one complete parquet part per (batch, partition value) under
+    hive-style ``<col>=<value>/`` directories — the "one directory per
+    key range" resumable-output shape. The partition column is dropped
+    from the file (hive standard; readers re-materialize it from the
+    path). One vectorized dictionary-encode per batch; the Python loop
+    runs once per DISTINCT VALUE IN THE BATCH, not per row."""
+
+    def __init__(self, opts: WriteOptions, arrow_schema: pa.Schema,
+                 out_dir: str, partition_col: str,
+                 max_group_rows: int = DEFAULT_GROUP_ROWS,
+                 max_group_bytes: int = DEFAULT_GROUP_BYTES,
+                 skip_part_ids: Optional[frozenset[str]] = None) -> None:
+        import pyarrow as _pa
+
+        self.opts = opts
+        self.partition_col = partition_col
+        data_schema = _pa.schema(
+            [f for f in arrow_schema if f.name != partition_col])
+        self.schema_ir = schema_from_arrow(data_schema)
+        self.leaves = leaf_columns(self.schema_ir)
+        self.out_dir = out_dir
+        self.max_group_rows = max_group_rows
+        self.max_group_bytes = max_group_bytes
+        self.skip = skip_part_ids or frozenset()
+
+    def __call__(self, batch: pa.Table):
+        import pyarrow.compute as pc
+
+        batch = normalize_table(batch)
+        if batch.num_rows == 0:
+            return
+        col = batch.column(self.partition_col)
+        if col.num_chunks != 1:
+            col = col.combine_chunks()
+        else:
+            col = col.chunk(0)
+        denc = pc.dictionary_encode(col)
+        codes = pc.fill_null(denc.indices.cast(pa.int64()), -1)
+        values = list(enumerate(denc.dictionary.to_pylist()))
+        if pc.any(pc.equal(codes, -1)).as_py():
+            values.append((-1, None))
+        for code, val in values:
+            mask = pc.equal(codes, code)
+            sub = batch.filter(mask).drop_columns([self.partition_col])
+            if sub.num_rows == 0:
+                continue
+            subdir = f"{self.partition_col}={_hive_value(val)}"
+            os.makedirs(os.path.join(self.out_dir, subdir), exist_ok=True)
+            groups = list(split_row_groups(sub, self.max_group_rows,
+                                           self.max_group_bytes))
+            gids = [content_part_id(g) for g in groups]
+            part_id = hashlib.blake2b(
+                (subdir + "|" + "".join(gids)).encode(), digest_size=12
+            ).hexdigest()[:16]
+            fname = os.path.join(subdir, f"part-{part_id}.parquet")
+            fpath = os.path.join(self.out_dir, fname)
+            if part_id in self.skip and os.path.exists(fpath):
+                yield pa.table({
+                    "part_id": [part_id], "file": [fname],
+                    "rows": pa.array([sub.num_rows], type=pa.int64()),
+                    "compressed_bytes": pa.array(
+                        [os.path.getsize(fpath)], type=pa.int64()),
+                    "uncompressed_bytes": pa.array([0], type=pa.int64()),
+                    "skipped": [True],
+                    "manifest": pa.array([None], type=pa.large_binary()),
+                })
+                continue
+            tmp = fpath + ".inprogress"
+            raw = comp = 0
+            recs = []
+            with open(tmp, "wb") as sink:
+                asm = FileAssembler(sink, self.schema_ir, self.opts)
+                for gid, group in zip(gids, groups):
+                    blob, meta = encode_row_group(
+                        group, self.schema_ir, self.leaves, self.opts)
+                    asm.append_group(blob, meta)
+                    raw += meta.total_byte_size
+                    comp += len(blob)
+                    recs.append(record_from_meta(gid, meta, len(blob),
+                                                 file=fname))
+                asm.finish()
+            os.replace(tmp, fpath)
+            LineageLog(self.out_dir).write_part_record(part_id, recs)
+            yield pa.table({
+                "part_id": [part_id], "file": [fname],
+                "rows": pa.array([sub.num_rows], type=pa.int64()),
+                "compressed_bytes": pa.array([comp], type=pa.int64()),
+                "uncompressed_bytes": pa.array([raw], type=pa.int64()),
+                "skipped": [False],
+                "manifest": pa.array([pickle.dumps(recs)],
+                                     type=pa.large_binary()),
+            })
+
+
+def write_parquet_partitioned(
+    ds,
+    out_dir: str,
+    partition_col: str,
+    opts: Optional[WriteOptions] = None,
+    *,
+    concurrency=None,
+    max_group_rows: int = DEFAULT_GROUP_ROWS,
+    max_group_bytes: int = DEFAULT_GROUP_BYTES,
+    resume: bool = True,
+    use_actors: bool = False,
+    part_rows: Optional[int] = None,
+) -> dict:
+    """Hive-partitioned parquet output (``<col>=<value>/part-*.parquet``)
+    with the same lineage manifest + content-hash resume as
+    ``write_parquet_dataset`` — keyed directories let a consumer (or a
+    resumed run) address one key range without listing the others.
+
+    NO shuffle: each task writes the partition values IT sees (several
+    tasks may write to the same ``lang=en/`` directory — parts are
+    content-addressed so they never collide). If one file per partition
+    value is required, repartition/sort by the column first; for a
+    bounded value set this streaming shape is the 100 TB default.
+    ``ray.data.read_parquet(out_dir)`` re-materializes the column from
+    the hive paths; null values land under
+    ``__HIVE_DEFAULT_PARTITION__/`` and read back as that sentinel
+    string unless the reader configures a hive null fallback."""
+    opts = opts or WriteOptions()
+    os.makedirs(out_dir, exist_ok=True)
+    arrow_schema = _normalized_arrow_schema(ds)
+    if partition_col not in arrow_schema.names:
+        raise ValueError(f"partition_col {partition_col!r} not in schema")
+    lineage = LineageLog(out_dir)
+    skip: frozenset[str] = frozenset()
+    if resume:
+        done = lineage.completed_parts()
+        skip = frozenset(
+            os.path.basename(rec.file)[5:-8]
+            for rec in done.values() if rec.file
+        )
+    part_kwargs = dict(
+        opts=opts, arrow_schema=arrow_schema, out_dir=out_dir,
+        partition_col=partition_col, max_group_rows=max_group_rows,
+        max_group_bytes=max_group_bytes, skip_part_ids=skip,
+    )
+    if use_actors:
+        manifest_ds = ds.map_batches(
+            PartitionedPartWriter, fn_constructor_kwargs=part_kwargs,
+            batch_format="pyarrow", batch_size=part_rows,
+            zero_copy_batch=True,
+            concurrency=_default_concurrency(concurrency),
+        )
+    else:
+        manifest_ds = ds.map_batches(
+            partial(_encode_partitioned_fn, **part_kwargs),
+            batch_format="pyarrow", batch_size=part_rows,
+            zero_copy_batch=True,
+        )
+    total = {"parts": 0, "rows": 0, "compressed_bytes": 0,
+             "uncompressed_bytes": 0, "skipped_parts": 0}
+    for batch in manifest_ds.iter_batches(batch_size=None,
+                                          batch_format="pyarrow"):
+        for row in range(batch.num_rows):
+            total["parts"] += 1
+            total["rows"] += batch.column("rows")[row].as_py()
+            total["compressed_bytes"] += batch.column("compressed_bytes")[row].as_py()
+            total["uncompressed_bytes"] += batch.column("uncompressed_bytes")[row].as_py()
+            if batch.column("skipped")[row].as_py():
+                total["skipped_parts"] += 1
+                continue
+            for rec in pickle.loads(batch.column("manifest")[row].as_py()):
+                lineage.append(rec)
+    lineage.close()
+    total["out_dir"] = out_dir
+    return total
+
+
 def _encode_files_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
                      max_group_bytes, skip_names, columns):
     """Shard-to-shard task: reads its assigned input files directly with

@@ -278,3 +278,50 @@ def test_compact_refuses_in_place(ray_session, tmp_path):
     pq.write_table(pa.table({"v": [1, 2]}), str(d / "a.parquet"))
     with _pytest.raises(ValueError, match="in place"):
         compact_parquet_dataset(str(d), str(d), target_part_bytes=1 << 30)
+
+
+def test_write_parquet_partitioned_roundtrip_and_resume(ray_data, tmp_path):
+    """Hive-partitioned output: <col>=<value>/part-*.parquet dirs, the
+    partition column dropped from files and re-materialized on read;
+    content-hash resume skips every finished part; null partition
+    values land in the hive default-partition directory."""
+    import pyarrow as pa
+
+    from hyparquet_writer_ray.pipelines.write import write_parquet_partitioned
+
+    src = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "lang": pa.array((["en", "de", "fr", None] * 25)),
+        "n": pa.array([i * 2 for i in range(100)], pa.int64()),
+    })
+    out = str(tmp_path / "parts")
+    stats = write_parquet_partitioned(
+        ray_data.from_arrow(src), out, "lang")
+    assert stats["rows"] == 100 and stats["skipped_parts"] == 0
+    dirs = sorted(os.path.basename(d) for d in glob.glob(os.path.join(out, "lang=*")))
+    assert dirs == ["lang=__HIVE_DEFAULT_PARTITION__", "lang=de",
+                    "lang=en", "lang=fr"]
+    # files do NOT carry the partition column (hive standard)
+    one = glob.glob(os.path.join(out, "lang=en", "*.parquet"))[0]
+    assert "lang" not in pq.read_schema(one).names
+    back = pa.concat_tables(
+        b for b in ray_data.read_parquet(out).iter_batches(
+            batch_size=None, batch_format="pyarrow")
+    )
+    a = back.select(["doc_id", "lang", "n"]).sort_by("doc_id").combine_chunks()
+    assert a.column("doc_id").to_pylist() == list(range(100))
+    assert a.column("n").to_pylist() == [i * 2 for i in range(100)]
+    # hive readers surface the null-partition directory as the sentinel
+    # string unless configured with a null_fallback — match that
+    want_lang = [x if x is not None else "__HIVE_DEFAULT_PARTITION__"
+                 for x in src.sort_by("doc_id").column("lang").to_pylist()]
+    assert a.column("lang").cast(pa.string()).to_pylist() == want_lang
+    # resume: identical rerun writes nothing
+    stats2 = write_parquet_partitioned(
+        ray_data.from_arrow(src), out, "lang")
+    assert stats2["skipped_parts"] == stats2["parts"] > 0
+    # duckdb reads the same layout
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/*/*.parquet', "
+        f"hive_partitioning=1)").fetchone()[0]
+    assert n == 100
