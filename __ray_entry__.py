@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (43 of 55 queries);
+the DuckDB-equivalent SQL where expressible (44 of 56 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -849,6 +849,24 @@ def _q_group_topk(sf_dir: str) -> pa.Table:
          ("doc_id", "ascending")])
 
 
+def _q_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: drop every document sharing any word
+    3-gram with the 'eval set' (docs 0..2 here). Gram set broadcast
+    once; exact string membership (no hashing)."""
+    import ray.data
+    from hyparquet_writer_ray.functions.text import decontaminate
+    raw = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    bench = raw.filter(pa.compute.less(raw.column("doc_id"), 3)) \
+        .column("text").to_pylist()
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    kept = decontaminate(ds, bench, k=3)
+    t = _collect(kept, pa.schema([("doc_id", pa.int64()),
+                                  ("text", pa.string())]))
+    return t.select(["doc_id"]).sort_by("doc_id")
+
+
 def _q_roundtrip_partitioned(sf_dir: str) -> pa.Table:
     """Hive-partitioned sink roundtrip: documents written to
     lang=<v>/part-*.parquet (partition column dropped from files,
@@ -1222,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["text_distinctive_terms"] = _q_distinctive_terms
     q["text_quantiles_by_lang"] = _q_grouped_quantiles
     q["roundtrip_documents_partitioned"] = _q_roundtrip_partitioned
+    q["text_decontaminate"] = _q_decontaminate
     q["webtable_encode"] = _q_webtable
     q["multimodal_decode"] = _q_multimodal
     return q
@@ -1369,6 +1388,18 @@ def oracle_sql() -> dict[str, str]:
         "UNION SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u) "
         "SELECT node, CAST(min(r) AS BIGINT) AS component "
         "FROM reach GROUP BY node ORDER BY node"
+    )
+    _G3 = ("list_transform(range(1, len(string_split(text, ' ')) - 1), "
+           "i -> string_split(text, ' ')[i] || ' ' || "
+           "string_split(text, ' ')[i+1] || ' ' || "
+           "string_split(text, ' ')[i+2])")
+    sql["text_decontaminate"] = (
+        f"WITH bg AS (SELECT DISTINCT unnest({_G3}) AS g FROM documents "
+        "WHERE doc_id < 3), "
+        f"dg AS (SELECT doc_id, {_G3} AS gs FROM documents) "
+        "SELECT doc_id FROM dg WHERE NOT EXISTS "
+        "(SELECT 1 FROM bg WHERE list_contains(dg.gs, bg.g)) "
+        "ORDER BY doc_id"
     )
     sql["roundtrip_documents_partitioned"] = (
         "SELECT doc_id, text, lang, source, n_chars FROM documents "

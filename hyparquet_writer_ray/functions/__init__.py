@@ -25,6 +25,9 @@ from .text import (
     fingerprints,
     lang_ids,
     quality_scores,
+    Decontaminator,
+    benchmark_grams,
+    decontaminate,
     distinctive_terms,
     redact,
     repetition_stats,
@@ -49,7 +52,8 @@ __all__ = [
     "asof_join", "broadcast_join", "hash_join", "interval_join",
     "hll_distinct", "hll_estimate", "exact_quantiles", "group_topk", "grouped_quantiles",
     "LangIdModel", "bpe_token_counts", "fingerprints", "lang_ids",
-    "quality_scores", "distinctive_terms", "redact", "repetition_stats",
+    "quality_scores", "Decontaminator", "benchmark_grams", "decontaminate",
+    "distinctive_terms", "redact", "repetition_stats",
     "rolling_fingerprints", "stratified_sample",
     "token_counts", "top_tokens",
     "hopping_window_agg", "sessionize", "tumbling_window_agg",

@@ -485,3 +485,80 @@ def distinctive_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return joined.map_batches(add_doc_bucket, batch_format="pyarrow",
                               zero_copy_batch=True) \
         .groupby("__dbucket").map_groups(doc_topk, batch_format="pyarrow")
+
+
+def _word_ngrams(col, k: int = 3):
+    """Vectorized word k-grams of a string column: returns
+    (grams: pa.StringArray over all rows concatenated, doc_of: np.ndarray
+    row index per gram). No per-row Python — the gram strings are built
+    by one arrow binary_join_element_wise over offset-shifted slices of
+    the flattened token array."""
+    toks = pc.split_pattern(col, " ")
+    counts = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = single_chunk(pc.list_flatten(toks))
+    n = len(flat)
+    if n < k:
+        return pa.array([], pa.string()), np.zeros(0, np.int64)
+    doc_of = np.repeat(np.arange(len(col), dtype=np.int64), counts)
+    parts = [flat.slice(j, n - k + 1) for j in range(k)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    valid = doc_of[: n - k + 1] == doc_of[k - 1 :]
+    mask = pa.array(valid)
+    return grams.filter(mask), doc_of[: n - k + 1][valid]
+
+
+class Decontaminator:
+    """Stateful stage: drop documents that share ANY word k-gram with a
+    benchmark/eval set — the standard pre-training decontamination
+    pass. The benchmark gram set is ``ray.put`` ONCE (eval suites are
+    tiny next to the corpus) and fetched once per actor; each batch
+    does one vectorized gram build + one ``is_in`` membership kernel +
+    one bincount — exact string matching, no hashing, no per-row
+    Python."""
+
+    def __init__(self, bench_ref, k: int, text_col: str) -> None:
+        import ray
+
+        self.bench: pa.Array = ray.get(bench_ref)
+        self.k = k
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return batch
+        col = single_chunk(batch.column(self.text_col))
+        grams, doc_of = _word_ngrams(col, self.k)
+        if len(grams) == 0:
+            return batch
+        hit = pc.is_in(grams, value_set=self.bench).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        contaminated = np.bincount(doc_of, weights=hit,
+                                   minlength=batch.num_rows) > 0
+        return batch.filter(pa.array(~contaminated))
+
+
+def benchmark_grams(texts, k: int = 3) -> pa.Array:
+    """Distinct word k-grams of a benchmark text collection (driver-side
+    — eval sets are small), built with the same vectorized kernel the
+    corpus pass uses."""
+    col = pa.array(list(texts), pa.string())
+    grams, _ = _word_ngrams(col, k)
+    return pc.unique(grams)
+
+
+def decontaminate(ds, benchmark_texts, *, k: int = 3,
+                  text_col: str = "text", concurrency=(1, 4)):
+    """Drop corpus documents sharing any word ``k``-gram with
+    ``benchmark_texts``. Shuffle-free, streaming, resume-safe; the
+    benchmark gram set is broadcast once (``ray.put``)."""
+    import ray
+
+    bench_ref = ray.put(benchmark_grams(benchmark_texts, k))
+    return ds.map_batches(
+        Decontaminator,
+        fn_constructor_kwargs=dict(bench_ref=bench_ref, k=k,
+                                   text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+    )

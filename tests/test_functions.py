@@ -328,3 +328,30 @@ def test_repetition_stats_vs_python_sets():
             assert nt == len(toks)
             assert nd == len(set(toks))
             assert tc == max(toks.count(x) for x in set(toks))
+
+
+def test_decontaminate_exact_ngram_overlap(ray_session):
+    """Documents sharing ANY word 3-gram with the benchmark set drop;
+    all others survive (exact string matching, nulls/short docs kept)."""
+    import pyarrow as pa
+    import ray.data
+
+    from hyparquet_writer_ray.functions.text import decontaminate
+
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([
+            "the quick brown fox",     # contains bench gram -> drop
+            "a quick brown cat",       # 'quick brown cat' no; 'a quick brown' no -> keep
+            "quick brown fox jumps",   # 'quick brown fox' -> drop
+            "totally unrelated words here",
+            None,                      # null: kept
+            "two words",               # < 3 tokens: kept
+        ]),
+    })
+    bench = ["the quick brown fox ran"]
+    out = decontaminate(ray.data.from_arrow(docs), bench, k=3)
+    got = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("doc_id")
+    assert got.column("doc_id").to_pylist() == [1, 3, 4, 5]
