@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (44 of 56 queries);
+the DuckDB-equivalent SQL where expressible (44 of 57 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -849,6 +849,41 @@ def _q_group_topk(sf_dir: str) -> pa.Table:
          ("doc_id", "ascending")])
 
 
+def _q_filter_seen(sf_dir: str) -> pa.Table:
+    """Incremental-ingest dedup against a prior corpus via its bloom
+    filters (footer-only IO). In-driver oracle, both directions:
+    NO seen key may survive (blooms have no false negatives) and the
+    bloom-FP collateral on new keys stays within 5x the writer's fpp.
+    Deterministic given the data (same blooms -> same FP set)."""
+    import shutil
+
+    import ray.data
+    from hyparquet_writer_ray import WriteOptions, write_table
+    from hyparquet_writer_ray.core.options import ColumnSpec
+    from hyparquet_writer_ray.functions.ingest import filter_seen
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+    cust = pq.read_table(cust_path)
+    keys = cust.column("c_custkey")
+    even = pa.compute.equal(
+        pa.compute.bit_wise_and(keys, pa.scalar(1, keys.type)),
+        pa.scalar(0, keys.type))
+    prior = cust.filter(even)
+    pdir = _outpath(sf_dir, "ingest_prior")
+    shutil.rmtree(pdir, ignore_errors=True)
+    os.makedirs(pdir)
+    write_table(prior, os.path.join(pdir, "prior.parquet"),
+                WriteOptions(column_specs={
+                    "c_custkey": ColumnSpec(bloom_filter=True)}))
+    kept = filter_seen(ray.data.read_parquet(cust_path), pdir, "c_custkey")
+    t = _collect(kept).select(["c_custkey"]).sort_by("c_custkey")
+    got = t.column("c_custkey").to_pylist()
+    assert all(k % 2 == 1 for k in got), "a seen (even) key survived"
+    n_new = cust.num_rows - prior.num_rows
+    assert len(got) >= n_new * 0.95, \
+        f"bloom FP collateral too high: kept {len(got)} of {n_new} new"
+    return t
+
+
 def _q_decontaminate(sf_dir: str) -> pa.Table:
     """Benchmark decontamination: drop every document sharing any word
     3-gram with the 'eval set' (docs 0..2 here). Gram set broadcast
@@ -1241,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["text_quantiles_by_lang"] = _q_grouped_quantiles
     q["roundtrip_documents_partitioned"] = _q_roundtrip_partitioned
     q["text_decontaminate"] = _q_decontaminate
+    q["ingest_filter_seen"] = _q_filter_seen
     q["webtable_encode"] = _q_webtable
     q["multimodal_decode"] = _q_multimodal
     return q

@@ -315,3 +315,58 @@ def _bloom_probe(fmeta, read_range, column: str, value, _struct) -> list[bool]:
         words = read_bloom(read_range(off, ln))
         out.append(bool(sbbf_check(words, h)))
     return out
+
+
+def sbbf_check_many(words: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Vectorized SBBF membership: (n,) bool of possibly-present for an
+    array of 64-bit hashes — the batch twin of ``sbbf_check`` (one
+    gather + one compare over the (n, 8) salt grid, no per-value
+    Python)."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=bool)
+    num_blocks = len(words) // 8
+    with np.errstate(over="ignore"):
+        h = hashes.astype(np.uint64, copy=False)
+        block = ((h >> np.uint64(32)) * np.uint64(num_blocks)) >> np.uint64(32)
+        low = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        bits = ((low[:, None] * SALT[None, :]) >> np.uint32(27)).astype(np.uint32)
+        word_idx = (block[:, None].astype(np.int64) * 8) + np.arange(8)
+        w = words[word_idx]
+        return (((w >> bits) & np.uint32(1)) != 0).all(axis=1)
+
+
+def load_bloom_words(path: str, column: str):
+    """(physical_type, type_length, [words per row group]) of ``column``'s
+    bloom filters in a parquet file — footer + bloom byte ranges only,
+    data pages never read. Raises if any row group lacks a bloom on the
+    column (a seen-filter against it would have to treat every value as
+    possibly-seen)."""
+    from .thrift import CompactReader
+
+    with open(path, "rb") as f:
+        f.seek(0, 2)
+        size = f.tell()
+        f.seek(size - 8)
+        flen = int.from_bytes(f.read(4), "little")
+        f.seek(size - 8 - flen)
+        fmeta = CompactReader(f.read(flen)).read_struct()
+        schema_elems = fmeta[2]
+        leaf = [(el[4].decode() if isinstance(el[4], bytes) else el[4],
+                 el[1], el.get(2)) for el in schema_elems if el.get(1) is not None]
+        names = [n for n, _, _ in leaf]
+        if column not in names:
+            raise KeyError(f"no leaf column named {column!r} in {path}")
+        ci = names.index(column)
+        ptype, tlen = leaf[ci][1], leaf[ci][2]
+        out = []
+        for rg in fmeta[4]:
+            md = rg[1][ci][3]
+            off, ln = md.get(14), md.get(15)
+            if off is None or not ln:
+                raise ValueError(
+                    f"{path}: row group without a bloom filter on "
+                    f"{column!r} — write the prior dataset with "
+                    f"ColumnSpec(bloom_filter=True)")
+            f.seek(off)
+            out.append(read_bloom(f.read(ln)))
+        return ptype, tlen, out

@@ -38,6 +38,7 @@ from .text import (
 )
 from .audio import AudioFeatureStage, audio_features
 from .graph import connected_components, drop_near_duplicates
+from .ingest import SeenFilter, filter_seen
 from .stats import exact_quantiles, group_topk, grouped_quantiles
 from .windows import hopping_window_agg, sessionize, tumbling_window_agg
 
@@ -57,4 +58,5 @@ __all__ = [
     "rolling_fingerprints", "stratified_sample",
     "token_counts", "top_tokens",
     "hopping_window_agg", "sessionize", "tumbling_window_agg",
+    "SeenFilter", "filter_seen",
 ]

@@ -130,3 +130,53 @@ def test_bloom_probe_type_coercion_and_missing_blooms(tmp_path):
     assert bloom_might_contain(p, "qty", 20.0) == [True]
     # column without a bloom: True (cannot skip), not an exception
     assert bloom_might_contain(p, "plain", "x") == [True]
+
+
+def test_filter_seen_incremental_ingest(ray_session, tmp_path):
+    """filter_seen drops EVERY key present in the prior dataset (blooms
+    have no false negatives) and at most ~fpp of new keys; invert=True
+    keeps only the possibly-seen rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hyparquet_writer_ray import WriteOptions, write_table
+    from hyparquet_writer_ray.core.options import ColumnSpec
+    from hyparquet_writer_ray.functions.ingest import filter_seen
+
+    n = 2000
+    all_rows = pa.table({"k": pa.array(np.arange(n), pa.int64()),
+                         "v": pa.array(np.arange(n) * 7, pa.int64())})
+    prior = all_rows.filter(pa.array(np.arange(n) % 2 == 0))
+    pdir = tmp_path / "prior"
+    pdir.mkdir()
+    write_table(prior, str(pdir / "prior.parquet"),
+                WriteOptions(column_specs={"k": ColumnSpec(bloom_filter=True)}))
+    kept = filter_seen(ray.data.from_arrow(all_rows), str(pdir), "k")
+    t = pa.concat_tables(b for b in kept.iter_batches(
+        batch_size=None, batch_format="pyarrow"))
+    keys = set(t.column("k").to_pylist())
+    assert not any(k % 2 == 0 for k in keys)  # no seen key survives
+    # bloom FP collateral bounded (fpp=0.01 default, 5x slack)
+    assert len(keys) >= (n // 2) * 0.95
+    inv = filter_seen(ray.data.from_arrow(all_rows), str(pdir), "k",
+                      invert=True)
+    t2 = pa.concat_tables(b for b in inv.iter_batches(
+        batch_size=None, batch_format="pyarrow"))
+    assert set(prior.column("k").to_pylist()) <= set(t2.column("k").to_pylist())
+
+
+def test_filter_seen_requires_blooms(ray_session, tmp_path):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from hyparquet_writer_ray import write_table
+    from hyparquet_writer_ray.functions.ingest import filter_seen
+
+    prior = pa.table({"k": pa.array([1, 2], pa.int64())})
+    pdir = tmp_path / "prior"
+    pdir.mkdir()
+    write_table(prior, str(pdir / "p.parquet"))  # no bloom
+    with pytest.raises(ValueError):
+        filter_seen(ray.data.from_arrow(prior), str(pdir), "k")
