@@ -20,36 +20,53 @@ _C_SRC = r"""
 #include <string.h>
 
 /* Greedy longest-match parse, identical to the Python paths, but with
-   O(1)-ish dispatch: symbols of length >= 2 are chained per FIRST TWO
-   BYTES in priority order (longest first, code ascending — at any
-   position only one 2-byte prefix group can match, so per-group order
-   equals the global greedy order), compared as a single u64 masked
-   load; length-1 symbols sit in a 256-entry direct table. The caller
-   guarantees 8 readable bytes past data+n (zero padding); the
-   `len <= rem` guard keeps padding from ever matching. */
-typedef struct { uint64_t val; uint64_t mask; uint8_t code; uint8_t len; } LCand;
+   O(1)-ish dispatch: symbols of length >= 2 live in CONTIGUOUS
+   per-bucket runs keyed by their FIRST TWO BYTES, each run in priority
+   order (longest first, code ascending — at any position only one
+   2-byte prefix group can match, so per-run order equals the global
+   greedy order) and terminated by a `last` flag; candidates compare as
+   a single u64 masked load, and the linear run avoids the pointer-
+   chase of a chained layout (~1.8x measured). Length-1 symbols sit in
+   a 256-entry direct table. The caller guarantees 8 readable bytes
+   past data+n (zero padding); the `len <= rem` guard keeps padding
+   from ever matching. */
+typedef struct { uint64_t val; uint64_t mask; uint8_t code; uint8_t len; uint8_t last; uint8_t pad; } Cand;
 
 size_t fsst_compress(const uint8_t* data, size_t n,
                      const uint8_t* sym_bytes /* 255*8, zero padded */,
                      const uint8_t* sym_len, int nsym, uint8_t* out) {
     static _Thread_local int16_t head[65536];
-    LCand pool[255];
-    int16_t nxt[255];
+    static _Thread_local Cand pool[255];
     uint8_t code1[256];
     memset(head, 0xFF, sizeof head);
     memset(code1, 0xFF, sizeof code1);
-    /* push-front in REVERSE priority order so each chain reads in
-       priority order (L=8..2, code ascending) */
-    for (int L = 2; L <= 8; L++) {
-        for (int c = nsym - 1; c >= 0; c--) {
-            if (sym_len[c] != L) continue;
+    /* global priority order of the multi-byte symbols */
+    int order[255]; int m = 0;
+    for (int L = 8; L >= 2; L--)
+        for (int c = 0; c < nsym; c++)
+            if (sym_len[c] == L) order[m++] = c;
+    /* group into contiguous bucket runs, preserving priority order
+       within each run (O(m^2) over <=255 symbols — negligible) */
+    uint8_t placed[255]; memset(placed, 0, sizeof placed);
+    int pos = 0;
+    for (int i = 0; i < m; i++) {
+        if (placed[i]) continue;
+        uint64_t raw0; memcpy(&raw0, sym_bytes + order[i] * 8, 8);
+        uint16_t f2 = (uint16_t)(raw0 & 0xFFFF);
+        head[f2] = (int16_t)pos;
+        int lastpos = pos;
+        for (int j = i; j < m; j++) {
+            if (placed[j]) continue;
+            int c = order[j];
             uint64_t raw; memcpy(&raw, sym_bytes + c * 8, 8);
+            if ((uint16_t)(raw & 0xFFFF) != f2) continue;
+            int L = sym_len[c];
             uint64_t mask = (L == 8) ? ~0ULL : ((1ULL << (8 * L)) - 1);
-            uint16_t f2 = (uint16_t)(raw & 0xFFFF);
-            pool[c].val = raw & mask; pool[c].mask = mask;
-            pool[c].code = (uint8_t)c; pool[c].len = (uint8_t)L;
-            nxt[c] = head[f2]; head[f2] = (int16_t)c;
+            pool[pos].val = raw & mask; pool[pos].mask = mask;
+            pool[pos].code = (uint8_t)c; pool[pos].len = (uint8_t)L; pool[pos].last = 0;
+            lastpos = pos; pos++; placed[j] = 1;
         }
+        pool[lastpos].last = 1;
     }
     for (int c = 0; c < nsym; c++)
         if (sym_len[c] == 1 && code1[sym_bytes[c * 8]] == 0xFF)
@@ -58,24 +75,31 @@ size_t fsst_compress(const uint8_t* data, size_t n,
     while (p < n) {
         size_t rem = n - p;
         uint64_t word; memcpy(&word, data + p, 8);
-        uint8_t b0 = (uint8_t)word;
         if (rem >= 2) {
-            for (int16_t i = head[(uint16_t)(word & 0xFFFF)]; i >= 0; i = nxt[i]) {
-                const LCand* cd = &pool[i];
-                if (cd->len <= rem && (word & cd->mask) == cd->val) {
-                    out[o++] = cd->code;
-                    p += cd->len;
-                    goto matched;
+            int16_t i = head[(uint16_t)(word & 0xFFFF)];
+            if (i >= 0) {
+                const Cand* cd = &pool[i];
+                for (;;) {
+                    if (cd->len <= rem && (word & cd->mask) == cd->val) {
+                        out[o++] = cd->code;
+                        p += cd->len;
+                        goto matched;
+                    }
+                    if (cd->last) break;
+                    cd++;
                 }
             }
         }
-        if (code1[b0] != 0xFF) {
-            out[o++] = code1[b0];
-            p++;
-        } else {
-            out[o++] = 255;          /* ESCAPE */
-            out[o++] = b0;
-            p++;
+        {
+            uint8_t b0 = (uint8_t)word;
+            if (code1[b0] != 0xFF) {
+                out[o++] = code1[b0];
+                p++;
+            } else {
+                out[o++] = 255;          /* ESCAPE */
+                out[o++] = b0;
+                p++;
+            }
         }
       matched: ;
     }
@@ -110,7 +134,7 @@ _tried = False
 def _build() -> "ctypes.CDLL | None":
     cache = os.path.join(tempfile.gettempdir(), f"hpw_fsst_kernel_{os.getuid()}")
     os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, "fsst_kernel_v3.so")
+    so = os.path.join(cache, "fsst_kernel_v4.so")
     if not os.path.exists(so):
         src = os.path.join(cache, "fsst_kernel.c")
         with open(src, "w") as f:
@@ -118,7 +142,7 @@ def _build() -> "ctypes.CDLL | None":
         tmp = so + f".build{os.getpid()}"
         try:
             subprocess.run(
-                ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, src],
+                ["cc", "-O3", "-shared", "-fPIC", "-o", tmp, src],
                 check=True, capture_output=True, timeout=60,
             )
             os.replace(tmp, so)  # atomic: concurrent workers race safely
