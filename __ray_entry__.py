@@ -190,6 +190,23 @@ def _q_variant_shredded(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_json_extract(sf_dir: str) -> pa.Table:
+    """JSON scalar-field extraction over events.props: vectorized Arrow
+    regex fast path over provably-flat rows, exact ``json.loads`` for
+    the residue (functions/semistructured.py)."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.semistructured import json_extract_field
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
+    )
+    ds = json_extract_field(ds, "k", json_col="props", out_col="k")
+    ds = ds.select_columns(["event_id", "k"])
+    return pa.concat_tables(
+        b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+
 def _q_smart_codec(sf_dir: str) -> pa.Table:
     """Codec auto-selection v2 over the events table (delta for ts/ids,
     byte-stream-split for doubles, dict for low-cardinality strings)."""
@@ -1240,6 +1257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["encode_bloom"] = _q_encode_bloom
     q["encode_variant_shredded"] = _q_variant_shredded
     # training-data operators
+    q["events_json_extract"] = _q_json_extract
     q["text_token_count"] = _q_token_count
     q["text_quality"] = _q_quality
     q["text_fingerprint"] = _q_fingerprint
@@ -1301,6 +1319,10 @@ def oracle_sql() -> dict[str, str]:
     sql["encode_smart_codec"] = "SELECT * FROM events"
     sql["encode_fsst"] = "SELECT doc_id, text FROM documents"
     sql["encode_bloom"] = "SELECT * FROM customer"
+    sql["events_json_extract"] = (
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+        "FROM events"
+    )
     sql["text_token_count"] = (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"
     )

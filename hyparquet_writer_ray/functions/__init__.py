@@ -36,6 +36,7 @@ from .text import (
     token_counts,
     top_tokens,
 )
+from .semistructured import json_extract_batch, json_extract_field
 from .audio import AudioFeatureStage, audio_features
 from .graph import connected_components, drop_near_duplicates
 from .ingest import SeenFilter, filter_seen
@@ -59,4 +60,5 @@ __all__ = [
     "token_counts", "top_tokens",
     "hopping_window_agg", "sessionize", "tumbling_window_agg",
     "SeenFilter", "filter_seen",
+    "json_extract_batch", "json_extract_field",
 ]

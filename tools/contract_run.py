@@ -26,6 +26,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--num-cpus", type=int, default=32)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="restrict to these query names")
     args = ap.parse_args()
 
     import ray
@@ -47,6 +49,8 @@ def main() -> None:
     wall: dict[str, float] = {}
     failed: dict[str, str] = {}
     for name, fn in entry.queries().items():
+        if args.only and name not in args.only:
+            continue
         t0 = time.perf_counter()
         try:
             got = to_arrow(fn(args.sf_dir))
