@@ -190,6 +190,21 @@ def _q_variant_shredded(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_profile_events(sf_dir: str) -> pa.Table:
+    """Per-column table profile: count(*) / count(col) / EXACT
+    count(DISTINCT col) in one pass + one constant-bucket shuffle
+    (functions/stats.py:profile_table); ints/timestamps by int64
+    identity, floats canonicalized bit views, strings by the 128-bit
+    two-lane content hash."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.stats import profile_table
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return profile_table(
+        ds, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
 def _q_json_extract(sf_dir: str) -> pa.Table:
     """JSON scalar-field extraction over events.props: vectorized Arrow
     regex fast path over provably-flat rows, exact ``json.loads`` for
@@ -1258,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["encode_variant_shredded"] = _q_variant_shredded
     # training-data operators
     q["events_json_extract"] = _q_json_extract
+    q["profile_events"] = _q_profile_events
     q["text_token_count"] = _q_token_count
     q["text_quality"] = _q_quality
     q["text_fingerprint"] = _q_fingerprint
@@ -1319,6 +1335,12 @@ def oracle_sql() -> dict[str, str]:
     sql["encode_smart_codec"] = "SELECT * FROM events"
     sql["encode_fsst"] = "SELECT doc_id, text FROM documents"
     sql["encode_bloom"] = "SELECT * FROM customer"
+    sql["profile_events"] = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count({c}) AS BIGINT) AS n_nonnull, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM events"
+        for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
     sql["events_json_extract"] = (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
         "FROM events"

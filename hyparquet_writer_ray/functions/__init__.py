@@ -40,7 +40,7 @@ from .semistructured import json_extract_batch, json_extract_field
 from .audio import AudioFeatureStage, audio_features
 from .graph import connected_components, drop_near_duplicates
 from .ingest import SeenFilter, filter_seen
-from .stats import exact_quantiles, group_topk, grouped_quantiles
+from .stats import exact_quantiles, group_topk, grouped_quantiles, profile_table
 from .windows import hopping_window_agg, sessionize, tumbling_window_agg
 
 __all__ = [
@@ -60,5 +60,5 @@ __all__ = [
     "token_counts", "top_tokens",
     "hopping_window_agg", "sessionize", "tumbling_window_agg",
     "SeenFilter", "filter_seen",
-    "json_extract_batch", "json_extract_field",
+    "json_extract_batch", "json_extract_field", "profile_table",
 ]

@@ -1,4 +1,4 @@
-"""Distribution statistics over integer metric columns.
+"""Distribution statistics and table profiling.
 
 ``exact_quantiles`` computes EXACT discrete quantiles (DuckDB
 ``quantile_disc`` semantics: the sorted element at index
@@ -234,3 +234,159 @@ def grouped_quantiles(ds, *, key_col: str, col: str, qs=(0.5, 0.9, 0.99),
     return hist.map_batches(add_bucket, batch_format="pyarrow",
                             zero_copy_batch=True) \
         .groupby("__bucket").map_groups(finish, batch_format="pyarrow")
+
+
+# --- table profiling -------------------------------------------------------
+
+_PROFILE_PART = pa.schema([
+    ("col", pa.string()), ("h1", pa.int64()), ("h2", pa.int64()),
+    ("n", pa.int64()), ("nn", pa.int64()),
+])
+
+
+def _distinct_lanes(arr: pa.Array, hash_backend: str | None):
+    """Non-null values of ``arr`` as two int64 identity/hash lanes.
+
+    Integers, booleans, timestamps and dates are EXACT (the value is
+    its own lane); floats are exact after -0.0/NaN canonicalization
+    (SQL DISTINCT treats -0.0 = 0.0 and NaN = NaN); strings/binary use
+    the repo's 128-bit two-lane content hash (collision odds < 1e-14
+    at 10^12 values — the same exactness contract as exact_dedup)."""
+    from .dedup import _text_hash128_col
+
+    if arr.null_count:
+        arr = arr.drop_null()
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) \
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        h1, h2 = _text_hash128_col(arr, backend=hash_backend)
+        return (h1.to_numpy(zero_copy_only=False).astype(np.int64),
+                h2.to_numpy(zero_copy_only=False).astype(np.int64))
+    if pa.types.is_floating(t):
+        v = arr.cast(pa.float64()).to_numpy(zero_copy_only=False).copy()
+        v[v == 0.0] = 0.0          # -0.0 -> +0.0
+        v[np.isnan(v)] = np.nan    # every NaN bit pattern -> one NaN
+        return v.view(np.int64), np.zeros(len(v), np.int64)
+    # bool / int / uint / timestamp / date / time -> exact int64 identity
+    v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+    return v, np.zeros(len(v), np.int64)
+
+
+def profile_table(ds, columns, *, num_buckets: int = 64,
+                  hash_backend: str | None = None) -> pa.Table:
+    """Per-column profile of ``ds``: (col, n_rows, n_nonnull,
+    n_distinct) — SQL ``count(*) / count(col) / count(DISTINCT col)``.
+
+    Scale shape: each batch collapses every profiled column to its
+    batch-local DISTINCT lane pairs plus one (n, nn) summary row
+    before anything moves; ONE constant-bucket shuffle
+    (``h1 % num_buckets``, one task per bucket — never one per value)
+    finishes the distinct counts; the driver merges only
+    O(num_buckets x n_cols) count rows. Raw values never leave the
+    cluster and no stage holds more than a batch's distinct set."""
+    import pyarrow.compute as pc
+
+    from .dedup import _HASH_BACKEND
+
+    columns = list(columns)
+    NB = max(int(num_buckets), 1)
+    backend = hash_backend or _HASH_BACKEND  # pin: shuffle crosses workers
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return _PROFILE_PART.empty_table()
+        cols, h1s, h2s, ns, nns = [], [], [], [], []
+        for c in columns:
+            arr = single_chunk(batch.column(c))
+            l1, l2 = _distinct_lanes(arr, backend)
+            order = np.lexsort((l2, l1))
+            l1, l2 = l1[order], l2[order]
+            keep = np.ones(len(l1), bool)
+            keep[1:] = (l1[1:] != l1[:-1]) | (l2[1:] != l2[:-1])
+            l1, l2 = l1[keep], l2[keep]
+            cols.append(np.full(len(l1) + 1, c, dtype=object))
+            h1s.append(np.append(l1, 0))
+            h2s.append(np.append(l2, 0))
+            valid = np.zeros(len(l1) + 1, np.int64)
+            summary = np.zeros(len(l1) + 1, np.int64)
+            valid[-1] = len(arr) - arr.null_count
+            summary[-1] = len(arr)
+            ns.append(summary)
+            nns.append(valid)
+        mask = np.concatenate(
+            [np.append(np.zeros(len(h) - 1, bool), True) for h in h1s])
+        return pa.table({
+            "col": pa.array(np.concatenate(cols), pa.string()),
+            "h1": pa.array(np.concatenate(h1s), pa.int64(), mask=mask),
+            "h2": pa.array(np.concatenate(h2s), pa.int64(), mask=mask),
+            "n": pa.array(np.concatenate(ns), pa.int64()),
+            "nn": pa.array(np.concatenate(nns), pa.int64()),
+        })
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return batch
+        h1 = pc.fill_null(batch.column("h1"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__bucket", pa.array((h1.view(np.uint64) % NB).astype(np.int64)))
+
+    def finish(group: pa.Table) -> pa.Table:
+        empty = pa.table({"col": pa.array([], pa.string()),
+                          "n_rows": pa.array([], pa.int64()),
+                          "n_nonnull": pa.array([], pa.int64()),
+                          "n_distinct": pa.array([], pa.int64())})
+        if group.num_columns == 0 or group.num_rows == 0:
+            return empty
+        denc = pc.dictionary_encode(single_chunk(group.column("col")))
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        is_hash = pc.is_valid(group.column("h1")).to_numpy(
+            zero_copy_only=False).astype(bool)
+        h1 = pc.fill_null(group.column("h1"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h2 = pc.fill_null(group.column("h2"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = group.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = group.column("nn").to_numpy(zero_copy_only=False).astype(np.int64)
+        out_c, out_n, out_nn, out_d = [], [], [], []
+        for code in range(len(denc.dictionary)):
+            m = codes == code
+            mh = m & is_hash
+            l1, l2_ = h1[mh], h2[mh]
+            if len(l1):
+                order = np.lexsort((l2_, l1))
+                l1, l2_ = l1[order], l2_[order]
+                uniq = 1 + int(np.count_nonzero(
+                    (l1[1:] != l1[:-1]) | (l2_[1:] != l2_[:-1])))
+            else:
+                uniq = 0
+            out_c.append(denc.dictionary[code].as_py())
+            out_n.append(int(n[m].sum()))
+            out_nn.append(int(nn[m].sum()))
+            out_d.append(uniq)
+        return pa.table({"col": pa.array(out_c, pa.string()),
+                         "n_rows": pa.array(out_n, pa.int64()),
+                         "n_nonnull": pa.array(out_nn, pa.int64()),
+                         "n_distinct": pa.array(out_d, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = parts.map_batches(add_bucket, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .groupby("__bucket").map_groups(finish, batch_format="pyarrow")
+    # driver merge: O(num_buckets x n_cols) count rows
+    acc: dict[str, list[int]] = {c: [0, 0, 0] for c in columns}
+    for b in merged.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for c, nr, nnv, nd in zip(b.column("col").to_pylist(),
+                                  b.column("n_rows").to_pylist(),
+                                  b.column("n_nonnull").to_pylist(),
+                                  b.column("n_distinct").to_pylist()):
+            acc[c][0] += nr
+            acc[c][1] += nnv
+            acc[c][2] += nd
+    order = sorted(columns)
+    return pa.table({
+        "col": pa.array(order, pa.string()),
+        "n_rows": pa.array([acc[c][0] for c in order], pa.int64()),
+        "n_nonnull": pa.array([acc[c][1] for c in order], pa.int64()),
+        "n_distinct": pa.array([acc[c][2] for c in order], pa.int64()),
+    })
