@@ -214,6 +214,7 @@ class PartFileWriter:
         max_group_rows: int = DEFAULT_GROUP_ROWS,
         max_group_bytes: int = DEFAULT_GROUP_BYTES,
         skip_part_ids: Optional[frozenset[str]] = None,
+        sort_by=None,
     ) -> None:
         self.opts = opts
         self.schema_ir = schema_from_arrow(arrow_schema)
@@ -222,11 +223,23 @@ class PartFileWriter:
         self.max_group_rows = max_group_rows
         self.max_group_bytes = max_group_bytes
         self.skip = skip_part_ids or frozenset()
+        self.sort_by = [sort_by] if isinstance(sort_by, str) else (
+            list(sort_by) if sort_by else None)
 
     def __call__(self, batch: pa.Table):
         batch = normalize_table(batch)
         if batch.num_rows == 0:
             return
+        if self.sort_by:
+            # BLOCK-LOCAL sort-before-encode: no shuffle, each worker
+            # sorts only its own part. Clustering equal/near values
+            # feeds the dict/RLE/delta/FSST codecs longer runs and
+            # smaller deltas; row order is not load-bearing for keyed
+            # part output (the lineage manifest, not position,
+            # identifies parts). Measured on shuffled events @ sf0.1:
+            # 14.9% smaller compressed output, recovering ~63% of the
+            # full global-sort benefit with zero shuffle (BASELINE.md).
+            batch = batch.sort_by([(c, "ascending") for c in self.sort_by])
         # ONE content-hash pass: per-group digests, part id derived from
         # them (hashing the whole batch AND each group would read every
         # byte twice)
@@ -578,6 +591,7 @@ def write_parquet_dataset(
     use_actors: bool = False,
     part_rows: Optional[int] = None,
     repartition_blocks: Optional[int] = None,
+    sort_by=None,
 ) -> dict:
     """Partitioned parquet output with lineage manifest + resume.
 
@@ -618,6 +632,7 @@ def write_parquet_dataset(
         max_group_rows=max_group_rows,
         max_group_bytes=max_group_bytes,
         skip_part_ids=skip,
+        sort_by=sort_by,
     )
     if use_actors:
         manifest_ds = ds.map_batches(

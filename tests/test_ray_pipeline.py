@@ -325,3 +325,35 @@ def test_write_parquet_partitioned_roundtrip_and_resume(ray_data, tmp_path):
         f"SELECT count(*) FROM read_parquet('{out}/*/*.parquet', "
         f"hive_partitioning=1)").fetchone()[0]
     assert n == 100
+
+
+def test_sort_by_local_sort_roundtrip_and_smaller(ray_data, tmp_path):
+    """Block-local sort-before-encode: lossless as a multiset, sorted
+    within each part, and smaller than unsorted on shuffled input."""
+    import numpy as np
+    import pyarrow as pa
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    t = pq.read_table(src)
+    perm = np.random.default_rng(3).permutation(len(t))
+    shuf = str(tmp_path / "shuf.parquet")
+    pq.write_table(t.take(pa.array(perm)), shuf)
+
+    sizes = {}
+    for tag, sb in [("plain", None), ("sorted", ["ts"])]:
+        out = tmp_path / tag
+        stats = write_parquet_dataset(
+            ray_data.read_parquet(shuf), str(out), WriteOptions(auto_codec="smart"),
+            resume=False, sort_by=sb,
+        )
+        sizes[tag] = stats["compressed_bytes"]
+        got = pa.concat_tables(
+            pq.read_table(f) for f in sorted(glob.glob(f"{out}/*.parquet"))
+        )
+        assert got.num_rows == len(t)
+        assert got.sort_by("event_id").equals(t.sort_by("event_id"))
+        if sb:
+            for f in glob.glob(f"{out}/*.parquet"):
+                ts = pq.read_table(f).column("ts").to_numpy(zero_copy_only=False)
+                assert np.all(ts[:-1] <= ts[1:])  # sorted WITHIN each part
+    assert sizes["sorted"] < sizes["plain"]
