@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (44 of 57 queries);
+the DuckDB-equivalent SQL where expressible (49 of 62 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -1011,6 +1011,82 @@ def _q_repetition(sf_dir: str) -> pa.Table:
                      "top_token_count"]).sort_by("doc_id")
 
 
+# html construction shared by _q_html_to_text and its SQL oracle:
+# deterministic wrap of each document's text with style/comment/
+# entities/script fragments so every strip rule is exercised. The
+# script body deliberately contains a bare '<' to prove block removal
+# runs before tag stripping.
+_HTML_PRE = "<html><head><style>p{color:red}</style></head><body><!-- "
+_HTML_MID1 = " --><h1>"
+_HTML_MID2 = "</h1><p>"
+_HTML_POST = (" &amp; &lt;b&gt; &#39;q&#39; &quot;w&quot;&nbsp;end</p>"
+              "<script>if(1<2){var q=2;}</script></body></html>")
+
+
+def _q_html_to_text(sf_dir: str) -> pa.Table:
+    """HTML -> training-text extraction (webtext core op): strip
+    script/style/comments/tags, decode entities, collapse whitespace —
+    all Arrow RE2 kernels, the engine DuckDB's regexp_replace also
+    uses, so the oracle is pattern-for-pattern exact. The html payload
+    is built deterministically from each document row (testdata has no
+    html column); null text propagates to null html to null output on
+    both sides."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.web import html_to_text
+
+    def build(batch: pa.Table) -> pa.Table:
+        html = pc.binary_join_element_wise(
+            _HTML_PRE, batch.column("source"), _HTML_MID1,
+            batch.column("lang"), _HTML_MID2, batch.column("text"),
+            _HTML_POST, "")
+        return pa.table({"doc_id": batch.column("doc_id"), "html": html})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    ).map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+    out = html_to_text(ds, html_col="html")
+    t = _collect(out, pa.schema([("doc_id", pa.int64()),
+                                 ("html", pa.string()),
+                                 ("extracted_text", pa.string())]))
+    return t.select(["doc_id", "extracted_text"]).sort_by("doc_id")
+
+
+def _q_domain_stats(sf_dir: str) -> pa.Table:
+    """Per-domain corpus stats (webtext core op): parse urls with ONE
+    RE2 extract, collapse each batch to (host, n_docs, n_bytes)
+    partials BEFORE the shuffle — the groupby moves O(hosts) rows per
+    batch, never O(rows). Urls are built deterministically from doc_id
+    (97 hosts); the oracle re-derives host via regexp_extract."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.web import domain_stats
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        host_code = pc.cast(pa.array(ids % 97), pa.string())
+        doc_str = pc.cast(batch.column("doc_id"), pa.string())
+        url = pc.binary_join_element_wise(
+            "https://host", host_code, ".example.org/docs/", doc_str,
+            "?src=", batch.column("source"), "")
+        return pa.table({"url": url, "n_chars": batch.column("n_chars")})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    ).map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+    out = domain_stats(ds, url_col="url", bytes_col="n_chars")
+    t = _collect(out, pa.schema([("host", pa.string()),
+                                 ("n_docs", pa.int64()),
+                                 ("n_bytes", pa.int64())]))
+    return t
+
+
 def _q_asof_join(sf_dir: str) -> pa.Table:
     """Backward as-of join: each event attaches the latest order (by
     o_orderdate <= ts) of the same user, orders restricted to even
@@ -1327,6 +1403,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["asof_join"] = _q_asof_join
     q["text_redact"] = _q_redact
     q["text_repetition"] = _q_repetition
+    q["web_html_to_text"] = _q_html_to_text
+    q["web_domain_stats"] = _q_domain_stats
     q["join_broadcast_enrich"] = _q_broadcast_join
     q["group_topk_docs"] = _q_group_topk
     q["interval_join_sessions"] = _q_interval_join
@@ -1574,6 +1652,34 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, regexp_replace(regexp_replace(text, "
         "'\\b(key|value|hash)\\b', '<T>', 'g'), '[0-9]+', '#', 'g') "
         "AS redacted FROM documents ORDER BY doc_id"
+    )
+    # Same construction constants as _q_html_to_text (f-string embed =
+    # single source of truth), same RE2 patterns, same entity order
+    # (&amp; last), chr(39) = apostrophe replacement for &#39;
+    sql["web_html_to_text"] = (
+        "WITH h AS (SELECT doc_id, "
+        f"'{_HTML_PRE}' || source || '{_HTML_MID1}' || lang || "
+        f"'{_HTML_MID2}' || text || '{_HTML_POST}' AS html FROM documents) "
+        "SELECT doc_id, trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace("
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, "
+        "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), "
+        "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), "
+        "'(?s)<!--.*?-->', ' ', 'g'), "
+        "'(?s)<[^>]*>', ' ', 'g'), "
+        "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+        "'&#39;', chr(39)), '&amp;', '&'), "
+        "'\\s+', ' ', 'g')) AS extracted_text FROM h ORDER BY doc_id"
+    )
+    sql["web_domain_stats"] = (
+        "WITH u AS (SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) "
+        "|| '.example.org/docs/' || CAST(doc_id AS VARCHAR) || '?src=' "
+        "|| source AS url, n_chars FROM documents) "
+        "SELECT regexp_extract(url, "
+        "'^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2) AS host, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS n_bytes "
+        "FROM u GROUP BY 1 ORDER BY 1"
     )
     sql["text_repetition"] = (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "

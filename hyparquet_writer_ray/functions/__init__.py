@@ -41,6 +41,7 @@ from .audio import AudioFeatureStage, audio_features
 from .graph import connected_components, drop_near_duplicates
 from .ingest import SeenFilter, filter_seen
 from .stats import exact_quantiles, group_topk, grouped_quantiles, profile_table
+from .web import domain_stats, html_to_text, parse_urls
 from .windows import hopping_window_agg, sessionize, tumbling_window_agg
 
 __all__ = [
@@ -61,4 +62,5 @@ __all__ = [
     "hopping_window_agg", "sessionize", "tumbling_window_agg",
     "SeenFilter", "filter_seen",
     "json_extract_batch", "json_extract_field", "profile_table",
+    "domain_stats", "html_to_text", "parse_urls",
 ]

@@ -1,0 +1,186 @@
+"""Webtext operators: HTML->text extraction and URL parsing/stats.
+
+Oracles here are INDEPENDENT implementations: Python re/html.parser
+semantics for the strip chain, DuckDB RE2 for the regex parity the
+driver oracle relies on, and a pandas groupby for domain_stats.
+"""
+from __future__ import annotations
+
+import re
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from hyparquet_writer_ray.functions.web import (
+    HTML_ENTITY_RULES,
+    HTML_STRIP_RULES,
+    domain_stats,
+    html_to_text_batch,
+    parse_url_batch,
+)
+
+TRICKY_HTML = [
+    "<html><body><p>plain</p></body></html>",
+    "<SCRIPT>var a = 1 < 2;</SCRIPT>after",   # uppercase + bare '<' in body
+    "<style\n  type='text/css'>p{}</style>x",  # attr + newline in open tag
+    "<!-- <p>commented out</p> -->kept",
+    "a &amp;lt; b",                            # must decode to 'a &lt; b'
+    "&nbsp;&lt;&gt;&quot;&#39;&amp;",
+    "no tags at all",
+    "",
+    None,
+    "<div>multi\n\n  space</div>\tend",
+    "<script>nested <div>inside</div></script>ok",
+    "<p>unterminated <broken",                 # unclosed tag stays (no '>')
+]
+
+
+def _python_reference_strip(s: str) -> str:
+    """Independent scalar implementation of the documented chain."""
+    for pat, rep in HTML_STRIP_RULES:
+        s = re.sub(pat, rep, s)
+    for lit, rep in HTML_ENTITY_RULES:
+        s = s.replace(lit, rep)
+    s = re.sub(r"\s+", " ", s)
+    return s.strip()
+
+
+def test_html_to_text_matches_python_reference():
+    t = pa.table({"html": pa.array(TRICKY_HTML, pa.string())})
+    got = html_to_text_batch(t).column("extracted_text").to_pylist()
+    for src, g in zip(TRICKY_HTML, got):
+        if src is None:
+            assert g is None
+        else:
+            assert g == _python_reference_strip(src), (src, g)
+
+
+def test_html_to_text_binary_input_and_idempotent():
+    raw = [h.encode() if h is not None else None for h in TRICKY_HTML]
+    t = pa.table({"html": pa.array(raw, pa.binary())})
+    got = html_to_text_batch(t).column("extracted_text").to_pylist()
+    want = html_to_text_batch(
+        pa.table({"html": pa.array(TRICKY_HTML, pa.string())})
+    ).column("extracted_text").to_pylist()
+    assert got == want
+    # stripping already-clean text is a fixed point (except literal
+    # entity/tag-like sequences, excluded here)
+    clean = [g for g in got if g and "&" not in g and "<" not in g]
+    t2 = pa.table({"html": pa.array(clean, pa.string())})
+    assert html_to_text_batch(t2).column(
+        "extracted_text").to_pylist() == clean
+
+
+def test_html_to_text_matches_duckdb_regexp_chain():
+    """The driver-oracle parity claim itself: Arrow RE2 == DuckDB RE2
+    pattern-for-pattern on randomized tag soup."""
+    rng = np.random.default_rng(7)
+    frags = ["<p>", "</p>", "<script>", "</script>", "x<1", "a&amp;b",
+             "word", " ", "\n", "<!--", "-->", "<style>", "</style>",
+             "&lt;", "&nbsp;", "<div class=x>", "tail>"]
+    docs = ["".join(rng.choice(frags, size=rng.integers(1, 25)))
+            for _ in range(200)]
+    t = pa.table({"html": pa.array(docs, pa.string())})
+    got = html_to_text_batch(t).column("extracted_text").to_pylist()
+
+    con = duckdb.connect()
+    con.register("d", pa.table({"i": pa.array(range(len(docs))),
+                                "html": pa.array(docs, pa.string())}))
+    sql = ("SELECT trim(regexp_replace("
+           "replace(replace(replace(replace(replace(replace("
+           "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+           "html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'), "
+           "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), "
+           "'(?s)<!--.*?-->', ' ', 'g'), '(?s)<[^>]*>', ' ', 'g'), "
+           "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), "
+           "'&quot;', '\"'), '&#39;', chr(39)), '&amp;', '&'), "
+           "'\\s+', ' ', 'g')) FROM d ORDER BY i")
+    want = [r[0] for r in con.sql(sql).fetchall()]
+    assert got == want
+
+
+URLS = [
+    "https://hostA.example.org/path/1?q=2&r=3",
+    "http://h/",
+    "ftp://x.y",
+    "https://no-path.example.com",
+    "scheme+ext.2://host:8080/a/b?x",
+    "notaurl",
+    "://missing-scheme",
+    "https://h/path#frag?notquery",   # '#' before '?': no query match
+    None,
+    "",
+]
+
+
+def test_parse_url_components():
+    t = pa.table({"url": pa.array(URLS, pa.string())})
+    p = parse_url_batch(t)
+    rows = p.select(["scheme", "host", "path", "query"]).to_pylist()
+    assert rows[0] == {"scheme": "https", "host": "hostA.example.org",
+                       "path": "/path/1", "query": "q=2&r=3"}
+    assert rows[1] == {"scheme": "http", "host": "h", "path": "/",
+                       "query": ""}
+    assert rows[3]["host"] == "no-path.example.com" and rows[3]["path"] == ""
+    assert rows[4]["host"] == "host:8080"
+    for bad in (5, 6, 8, 9):
+        assert rows[bad] == {"scheme": None, "host": None, "path": None,
+                             "query": None}
+    # '#' stops both path and query per the anchored pattern: no match
+    # for '#frag?notquery' outside the groups -> whole row null
+    assert rows[7] == {"scheme": None, "host": None, "path": None,
+                       "query": None}
+
+
+def test_domain_stats_vs_pandas(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    hosts = [f"h{int(i)}.org" for i in rng.integers(0, 37, n)]
+    urls = [f"https://{h}/p/{j}" for j, h in enumerate(hosts)]
+    # a few unparseable urls land in the host=None bucket
+    for j in range(0, n, 500):
+        urls[j] = "garbage"
+        hosts[j] = None
+    nb = rng.integers(1, 1000, n).astype(np.int64)
+    t = pa.table({"url": pa.array(urls, pa.string()),
+                  "n_chars": pa.array(nb)})
+    got = pa.concat_tables(
+        domain_stats(
+            ray.data.from_arrow(t).repartition(8),
+            url_col="url", bytes_col="n_chars",
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    ).to_pandas().set_index("host")
+
+    import pandas as pd
+    df = pd.DataFrame({"host": hosts, "n": nb})
+    want_counts = df.groupby("host", dropna=False)["n"].agg(["size", "sum"])
+    assert len(got) == len(want_counts)
+    for host, row in want_counts.iterrows():
+        key = None if (isinstance(host, float) or host is None) else host
+        if key is None:
+            sel = got[got.index.isnull()].iloc[0]
+        else:
+            sel = got.loc[key]
+        assert int(sel["n_docs"]) == int(row["size"])
+        assert int(sel["n_bytes"]) == int(row["sum"])
+
+
+@pytest.mark.parametrize("nulls", [False, True])
+def test_html_to_text_dataset_level(ray_session, nulls):
+    import ray.data
+
+    from hyparquet_writer_ray.functions.web import html_to_text
+
+    docs = list(TRICKY_HTML if nulls else [h for h in TRICKY_HTML if h])
+    t = pa.table({"doc": pa.array(range(len(docs)), pa.int64()),
+                  "html": pa.array(docs, pa.string())})
+    out = pa.concat_tables(
+        html_to_text(ray.data.from_arrow(t).repartition(3), html_col="html")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("doc")
+    for src, g in zip(docs, out.column("extracted_text").to_pylist()):
+        assert g == (None if src is None else _python_reference_strip(src))
