@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (49 of 62 queries);
+the DuckDB-equivalent SQL where expressible (50 of 63 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -1011,6 +1011,24 @@ def _q_repetition(sf_dir: str) -> pa.Table:
                      "top_token_count"]).sort_by("doc_id")
 
 
+def _q_latest_by_key(sf_dir: str) -> pa.Table:
+    """Crawl-style keep-newest dedup: the latest event row per user
+    wins (ties by max event_id). Map-side combiner collapses each
+    batch to per-key winners BEFORE the constant-bucket shuffle, so
+    shuffled rows are O(users per batch), never O(events)."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.dedup import latest_by_key
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = latest_by_key(ds, key="user_id", ts_col="ts", id_col="event_id")
+    t = _collect(out, pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string())]))
+    return t.sort_by("event_id")
+
+
 # html construction shared by _q_html_to_text and its SQL oracle:
 # deterministic wrap of each document's text with style/comment/
 # entities/script fragments so every strip rule is exercised. The
@@ -1405,6 +1423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["text_repetition"] = _q_repetition
     q["web_html_to_text"] = _q_html_to_text
     q["web_domain_stats"] = _q_domain_stats
+    q["dedup_latest_by_key"] = _q_latest_by_key
     q["join_broadcast_enrich"] = _q_broadcast_join
     q["group_topk_docs"] = _q_group_topk
     q["interval_join_sessions"] = _q_interval_join
@@ -1652,6 +1671,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, regexp_replace(regexp_replace(text, "
         "'\\b(key|value|hash)\\b', '<T>', 'g'), '[0-9]+', '#', 'g') "
         "AS redacted FROM documents ORDER BY doc_id"
+    )
+    sql["dedup_latest_by_key"] = (
+        "WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+        "SELECT event_id, ts, user_id, event_type, value, props "
+        "FROM r WHERE rn = 1 ORDER BY event_id"
     )
     # Same construction constants as _q_html_to_text (f-string embed =
     # single source of truth), same RE2 patterns, same entity order

@@ -5,6 +5,7 @@ from .dedup import (
     SimHasher,
     exact_dedup,
     exact_dedup_rows,
+    latest_by_key,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhashes,
@@ -46,7 +47,7 @@ from .windows import hopping_window_agg, sessionize, tumbling_window_agg
 
 __all__ = [
     "MinHasher", "SimHasher", "connected_components", "drop_near_duplicates", "exact_dedup",
-    "exact_dedup_rows", "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    "exact_dedup_rows", "latest_by_key", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhashes",
     "ImageDecodeStage", "FrameSampleStage", "decode_images", "sample_frames",
     "AudioFeatureStage", "audio_features",

@@ -177,6 +177,85 @@ def exact_dedup_rows(ds, key: str = "text", id_col: str = "doc_id",
     return hashed.groupby("__bucket").map_groups(keep_min_bucket, batch_format="pyarrow")
 
 
+def latest_by_key(ds, key: str = "url", ts_col: str = "warc_ts",
+                  id_col: str = "doc_id", num_buckets: int = 256):
+    """Keep the FULL newest row per distinct ``key`` (crawl semantics:
+    the latest snapshot of each url wins); ties on ``ts_col`` break by
+    max ``id_col`` — a total order, so the result is deterministic.
+
+    Scale shape: because max is associative, each batch FIRST collapses
+    to its own per-key winner (map-side combiner — the shuffle moves
+    O(distinct keys per batch) rows, never O(rows); a 100-snapshot url
+    costs one shuffled row per batch it appears in), then one
+    constant-bucket shuffle on ``hash % num_buckets`` resolves global
+    winners vectorized (lexsort + segment-last). String keys shuffle as
+    the 128-bit content hash (16 bytes/row regardless of url length);
+    integer keys ride as-is. Null keys form ONE group (SQL GROUP BY
+    semantics); null timestamps lose to any real timestamp."""
+    import pyarrow.compute as pc
+
+    NB = max(int(num_buckets), 1)
+    backend = _HASH_BACKEND  # pinned on the driver for the whole job
+
+    _I64MIN = -(1 << 63)
+
+    def _key_halves(col):
+        col = single_chunk(col)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            return _text_hash128_col(col, backend=backend)
+        h1 = col.cast(pa.int64())
+        return h1, pa.nulls(len(col), pa.int64())
+
+    def _winners(group: pa.Table, drop_aux: bool) -> pa.Table:
+        """Per-(h1,h2,null-flag) key: keep the row with max (ts, id)."""
+        h1c, h2c = group.column("__h1"), group.column("__h2")
+        nulls = pc.is_null(h1c).to_numpy(zero_copy_only=False).astype(bool)
+        hn = nulls.astype(np.int64)
+        h1 = pc.fill_null(h1c, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        h2 = pc.fill_null(h2c, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.fill_null(
+            group.column(ts_col).cast(pa.int64()), _I64MIN
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, hn, h2, h1))
+        h1s, h2s, hns = h1[order], h2[order], hn[order]
+        last = np.ones(len(order), bool)
+        last[:-1] = (
+            (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1]) | (hns[1:] != hns[:-1])
+        )
+        keep_idx = order[np.nonzero(last)[0]]
+        out = group.take(pa.array(np.sort(keep_idx)))
+        return out.drop_columns(["__h1", "__h2", "__bucket"]) if drop_aux else out
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        h1, h2 = _key_halves(batch.column(key))
+        h1f = pc.fill_null(h1, 0)
+        if NB & (NB - 1) == 0:
+            bucket = pc.bit_wise_and(h1f, NB - 1)
+        else:
+            bucket = pa.array(
+                h1f.to_numpy(zero_copy_only=False).astype(np.int64) % NB,
+                pa.int64(),
+            )
+        tagged = batch.append_column("__h1", h1).append_column(
+            "__h2", h2).append_column("__bucket", bucket)
+        return _winners(tagged, drop_aux=False)
+
+    def resolve(group: pa.Table) -> pa.Table:
+        if "__h1" not in group.column_names:
+            return group
+        if group.num_rows == 0:
+            return group.drop_columns(["__h1", "__h2", "__bucket"])
+        return _winners(group, drop_aux=True)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.groupby("__bucket").map_groups(
+        resolve, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

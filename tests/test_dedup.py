@@ -293,3 +293,47 @@ def test_exact_dedup_rows_null_group_matches_sql_semantics(ray_session):
             batch_size=None, batch_format="pyarrow")
     ).column("doc_id").to_pylist())
     assert got == want == [1, 2, 5]
+
+
+def test_latest_by_key_matches_duckdb_window(ray_session):
+    """latest_by_key == row_number() OVER (PARTITION BY key ORDER BY
+    ts DESC, id DESC) = 1 — randomized, both int and string keys,
+    null keys and null timestamps included."""
+    import duckdb
+    import numpy as np
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.dedup import latest_by_key
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    urls = [None if i % 101 == 0 else f"u{int(k)}"
+            for i, k in enumerate(rng.integers(0, 80, n))]
+    ts = pa.array([None if i % 37 == 0 else int(x)
+                   for i, x in enumerate(rng.integers(0, 1000, n))],
+                  pa.int64())
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n)),
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": ts,
+        "ikey": pa.array(rng.integers(0, 80, n)),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    for key in ("url", "ikey"):
+        out = latest_by_key(
+            ray.data.from_arrow(t).repartition(9),
+            key=key, ts_col="warc_ts", id_col="doc_id", num_buckets=7,
+        )
+        got = pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow")
+        ).sort_by("doc_id")
+        want = con.sql(f"""
+            WITH r AS (SELECT doc_id, url, warc_ts, ikey, row_number()
+              OVER (PARTITION BY {key} ORDER BY
+                    coalesce(warc_ts, -9223372036854775808) DESC,
+                    doc_id DESC) rn FROM t)
+            SELECT doc_id, url, warc_ts, ikey FROM r WHERE rn = 1
+            ORDER BY doc_id""").arrow()
+        assert got.to_pylist() == want.to_pylist(), key
