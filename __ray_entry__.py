@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (50 of 63 queries);
+the DuckDB-equivalent SQL where expressible (51 of 64 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -1011,6 +1011,42 @@ def _q_repetition(sf_dir: str) -> pa.Table:
                      "top_token_count"]).sort_by("doc_id")
 
 
+_PARA_BOILER = ("copyright footer", "subscribe to newsletter",
+                "all rights reserved", "cookie notice")
+
+
+def _q_paragraph_dedup(sf_dir: str) -> pa.Table:
+    """CCNet-style paragraph dedup: docs are built as three '.'-
+    separated paragraphs — the document text, a per-source footer
+    (~source-cardinality duplicates) and one of 4 boilerplate lines —
+    and every paragraph survives only at its global first occurrence
+    (min (doc_id, idx)), so footers/boilerplate vanish everywhere but
+    their first sighting. Docs losing all paragraphs drop (inner-join
+    semantics, matching the SQL oracle)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.dedup import paragraph_dedup
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        boiler = pa.array([_PARA_BOILER[int(i) % 4] for i in ids],
+                          pa.string())
+        doc = pc.binary_join_element_wise(
+            batch.column("text"), batch.column("source"), boiler, ".")
+        return pa.table({"doc_id": batch.column("doc_id"), "text": doc})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    ).map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+    out = paragraph_dedup(ds, sep=".")
+    t = _collect(out, pa.schema([("doc_id", pa.int64()),
+                                 ("text_dedup", pa.string())]))
+    return t.sort_by("doc_id")
+
+
 def _q_latest_by_key(sf_dir: str) -> pa.Table:
     """Crawl-style keep-newest dedup: the latest event row per user
     wins (ties by max event_id). Map-side combiner collapses each
@@ -1424,6 +1460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["web_html_to_text"] = _q_html_to_text
     q["web_domain_stats"] = _q_domain_stats
     q["dedup_latest_by_key"] = _q_latest_by_key
+    q["dedup_paragraphs"] = _q_paragraph_dedup
     q["join_broadcast_enrich"] = _q_broadcast_join
     q["group_topk_docs"] = _q_group_topk
     q["interval_join_sessions"] = _q_interval_join
@@ -1671,6 +1708,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, regexp_replace(regexp_replace(text, "
         "'\\b(key|value|hash)\\b', '<T>', 'g'), '[0-9]+', '#', 'g') "
         "AS redacted FROM documents ORDER BY doc_id"
+    )
+    # Same doc construction as _q_paragraph_dedup; first-occurrence
+    # rule expressed as min(doc_id*1e6+idx) (valid while docs have
+    # < 1e6 paragraphs — here 3)
+    sql["dedup_paragraphs"] = (
+        "WITH d AS (SELECT doc_id, text || '.' || source || '.' || "
+        f"CASE doc_id % 4 WHEN 0 THEN '{_PARA_BOILER[0]}' "
+        f"WHEN 1 THEN '{_PARA_BOILER[1]}' WHEN 2 THEN '{_PARA_BOILER[2]}' "
+        f"ELSE '{_PARA_BOILER[3]}' END AS doc FROM documents), "
+        "p AS (SELECT doc_id, i AS idx, paras[i] AS para "
+        "FROM (SELECT doc_id, string_split(doc, '.') AS paras FROM d), "
+        "unnest(range(1, len(paras)+1)) AS g(i)), "
+        "keep AS (SELECT para, min(doc_id * 1000000 + idx) AS k "
+        "FROM p GROUP BY para) "
+        "SELECT p.doc_id, string_agg(p.para, '.' ORDER BY p.idx) "
+        "AS text_dedup FROM p JOIN keep ON p.para = keep.para "
+        "AND p.doc_id * 1000000 + p.idx = keep.k "
+        "GROUP BY p.doc_id ORDER BY p.doc_id"
     )
     sql["dedup_latest_by_key"] = (
         "WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id "

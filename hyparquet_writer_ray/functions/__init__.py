@@ -7,6 +7,7 @@ from .dedup import (
     exact_dedup_rows,
     latest_by_key,
     minhash_lsh_pairs,
+    paragraph_dedup,
     ngram_jaccard_pairs,
     simhashes,
 )
@@ -48,6 +49,7 @@ from .windows import hopping_window_agg, sessionize, tumbling_window_agg
 __all__ = [
     "MinHasher", "SimHasher", "connected_components", "drop_near_duplicates", "exact_dedup",
     "exact_dedup_rows", "latest_by_key", "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    "paragraph_dedup",
     "simhashes",
     "ImageDecodeStage", "FrameSampleStage", "decode_images", "sample_frames",
     "AudioFeatureStage", "audio_features",

@@ -256,6 +256,96 @@ def latest_by_key(ds, key: str = "url", ts_col: str = "warc_ts",
         resolve, batch_format="pyarrow")
 
 
+def paragraph_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    sep: str = "\n\n", num_buckets: int = 256):
+    """CCNet/RefinedWeb-style paragraph-level dedup: split every
+    document on ``sep``, keep each distinct paragraph ONLY at its first
+    occurrence (min (doc_id, idx) across the whole corpus — boilerplate
+    headers/footers vanish everywhere but their first sighting), then
+    reassemble each document from its surviving paragraphs in original
+    order. Documents with no surviving paragraphs (all-boilerplate or
+    null text) are dropped.
+
+    Scale shape: explode is a per-batch Arrow kernel (split_pattern +
+    list_parent_indices — no Python per row); paragraphs shuffle ONCE
+    keyed by ``128-bit-hash % num_buckets`` (constant group count) for
+    the global first-occurrence pick, then winners shuffle ONCE keyed
+    by ``doc_id % num_buckets`` for reassembly (lexsort + ListArray +
+    binary_join per bucket). Both shuffles move paragraph text exactly
+    once; nothing is broadcast; no driver state."""
+    import pyarrow.compute as pc
+
+    NB = max(int(num_buckets), 1)
+    backend = _HASH_BACKEND  # pinned on the driver for the whole job
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = single_chunk(batch.column(text_col))
+        ids = single_chunk(batch.column(id_col))
+        lists = single_chunk(pc.split_pattern(col, sep))
+        paras = pc.list_flatten(lists)          # null docs contribute 0 rows
+        parent = pc.list_parent_indices(lists)
+        doc = pc.take(ids, parent)
+        lens = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        offs = np.repeat(np.cumsum(lens) - lens, lens)
+        idx = np.arange(offs.size, dtype=np.int64) - offs
+        h1, h2 = _text_hash128_col(paras, backend=backend)
+        b = pc.fill_null(h1, 0).to_numpy(zero_copy_only=False).astype(
+            np.int64) % NB
+        return pa.table({
+            id_col: doc, "__idx": pa.array(idx), "__para": paras,
+            "__h1": h1, "__h2": h2, "__bucket": pa.array(b),
+        })
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        if "__h1" not in group.column_names or group.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "__idx": pa.array([], pa.int64()),
+                "__para": pa.array([], pa.string()),
+                "__bucket": pa.array([], pa.int64()),
+            })
+        h1 = group.column("__h1").to_numpy(zero_copy_only=False).astype(np.int64)
+        h2 = group.column("__h2").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = group.column(id_col).to_numpy(zero_copy_only=False)
+        idx = group.column("__idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((idx, doc, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        first = np.ones(len(order), bool)
+        first[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        keep_idx = order[np.nonzero(first)[0]]
+        kept = group.take(pa.array(np.sort(keep_idx)))
+        b2 = kept.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64) % NB
+        return pa.table({
+            id_col: kept.column(id_col), "__idx": kept.column("__idx"),
+            "__para": kept.column("__para"), "__bucket": pa.array(b2),
+        })
+
+    def assemble(group: pa.Table) -> pa.Table:
+        if "__para" not in group.column_names or group.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "text_dedup": pa.array([], pa.string())})
+        doc = group.column(id_col).to_numpy(zero_copy_only=False)
+        idx = group.column("__idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((idx, doc))
+        docs_sorted = doc[order]
+        paras_sorted = single_chunk(group.column("__para")).take(
+            pa.array(order))
+        uniq, starts = np.unique(docs_sorted, return_index=True)
+        offsets = np.append(starts, len(docs_sorted)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), paras_sorted)
+        joined = pc.binary_join(lists, sep)
+        return pa.table({id_col: pa.array(uniq), "text_dedup": joined})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    winners = exploded.groupby("__bucket").map_groups(
+        keep_first, batch_format="pyarrow")
+    return winners.groupby("__bucket").map_groups(
+        assemble, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -337,3 +337,54 @@ def test_latest_by_key_matches_duckdb_window(ray_session):
             SELECT doc_id, url, warc_ts, ikey FROM r WHERE rn = 1
             ORDER BY doc_id""").arrow()
         assert got.to_pylist() == want.to_pylist(), key
+
+
+def test_paragraph_dedup_matches_duckdb(ray_session):
+    """CCNet-style paragraph dedup == the SQL first-occurrence rule
+    (min(doc_id, idx) per distinct paragraph, docs reassembled in
+    order, all-duplicate docs dropped) — randomized with planted
+    boilerplate paragraphs and null docs."""
+    import duckdb
+    import numpy as np
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.dedup import paragraph_dedup
+
+    rng = np.random.default_rng(2)
+    boiler = ["copyright footer", "subscribe now", "rights reserved"]
+    docs, n = [], 1500
+    for i in range(n):
+        if i % 151 == 0:
+            docs.append(None)
+            continue
+        k = int(rng.integers(1, 6))
+        paras = [f"para {int(rng.integers(0, 500))} content"
+                 for _ in range(k)]
+        paras.insert(int(rng.integers(0, k + 1)), boiler[i % 3])
+        docs.append(".".join(paras))
+    t = pa.table({"doc_id": pa.array(np.arange(n)),
+                  "text": pa.array(docs, pa.string())})
+    out = paragraph_dedup(ray.data.from_arrow(t).repartition(7),
+                          sep=".", num_buckets=16)
+    got = pa.concat_tables(
+        out.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("doc_id")
+    con = duckdb.connect()
+    con.register("d", t)
+    want = con.sql("""
+        WITH p AS (
+          SELECT doc_id, i AS idx, paras[i] AS para
+          FROM (SELECT doc_id, string_split(text, '.') AS paras FROM d),
+               unnest(range(1, len(paras)+1)) AS g(i)),
+        keep AS (SELECT para, min(doc_id * 1000000 + idx) AS k
+                 FROM p GROUP BY para)
+        SELECT p.doc_id, string_agg(p.para, '.' ORDER BY p.idx)
+          AS text_dedup
+        FROM p JOIN keep ON p.para = keep.para
+          AND p.doc_id * 1000000 + p.idx = keep.k
+        GROUP BY p.doc_id ORDER BY p.doc_id""").arrow()
+    assert got.column("doc_id").to_pylist() == want.column(
+        "doc_id").to_pylist()
+    assert got.column("text_dedup").to_pylist() == want.column(
+        "text_dedup").to_pylist()
