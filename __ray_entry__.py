@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (51 of 64 queries);
+the DuckDB-equivalent SQL where expressible (51 of 65 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -1011,6 +1011,53 @@ def _q_repetition(sf_dir: str) -> pa.Table:
                      "top_token_count"]).sort_by("doc_id")
 
 
+def _q_pack_sequences(sf_dir: str) -> pa.Table:
+    """Sequence packing (pretraining batch construction): documents
+    grouped into token-budgeted bins. Not SQL-expressible (bin
+    assignment is an algorithm, not a relation) — the in-driver gate
+    asserts the three packing invariants instead: every doc in exactly
+    ONE bin; every bin within budget unless it is a flagged single-doc
+    oversize; bin count within the next-fit-decreasing bound
+    (2x optimal + 1 per bucket)."""
+    import math
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.packing import pack_sequences
+    from hyparquet_writer_ray.functions.text import token_count_batch
+
+    BUDGET, NB = 256, 16
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).map_batches(token_count_batch, batch_format="pyarrow",
+                  zero_copy_batch=True)
+    out = pack_sequences(ds, budget=BUDGET, num_buckets=NB)
+    t = _collect(out, pa.schema([
+        ("pack_id", pa.int64()), ("doc_ids", pa.list_(pa.int64())),
+        ("n_docs", pa.int64()), ("n_tokens", pa.int64()),
+        ("oversize", pa.bool_())])).sort_by("pack_id")
+
+    raw = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])
+    all_ids = sorted(raw.column("doc_id").to_pylist())
+    packed = sorted(x for lst in t.column("doc_ids").to_pylist()
+                    for x in lst)
+    assert packed == all_ids, "packing lost or duplicated documents"
+    for n_tok, over, n_docs in zip(t.column("n_tokens").to_pylist(),
+                                   t.column("oversize").to_pylist(),
+                                   t.column("n_docs").to_pylist()):
+        assert over == (n_tok > BUDGET)
+        assert n_tok <= BUDGET or n_docs == 1, "over-budget multi-doc bin"
+    total = sum(t.column("n_tokens").to_pylist())
+    assert t.num_rows <= 2 * math.ceil(total / BUDGET) + NB, \
+        "packing efficiency below the next-fit-decreasing bound"
+    return t.set_column(
+        t.schema.get_field_index("doc_ids"), "doc_ids",
+        pa.array([",".join(map(str, v)) for v in
+                  t.column("doc_ids").to_pylist()], pa.string()))
+
+
 _PARA_BOILER = ("copyright footer", "subscribe to newsletter",
                 "all rights reserved", "cookie notice")
 
@@ -1461,6 +1508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["web_domain_stats"] = _q_domain_stats
     q["dedup_latest_by_key"] = _q_latest_by_key
     q["dedup_paragraphs"] = _q_paragraph_dedup
+    q["pack_sequences"] = _q_pack_sequences  # rows-only: algorithmic op,
+    # self-verifying in-driver (exact-cover + budget + efficiency bound)
     q["join_broadcast_enrich"] = _q_broadcast_join
     q["group_topk_docs"] = _q_group_topk
     q["interval_join_sessions"] = _q_interval_join

@@ -43,6 +43,7 @@ from .audio import AudioFeatureStage, audio_features
 from .graph import connected_components, drop_near_duplicates
 from .ingest import SeenFilter, filter_seen
 from .stats import exact_quantiles, group_topk, grouped_quantiles, profile_table
+from .packing import pack_sequences
 from .web import domain_stats, html_to_text, parse_urls
 from .windows import hopping_window_agg, sessionize, tumbling_window_agg
 
@@ -66,4 +67,5 @@ __all__ = [
     "SeenFilter", "filter_seen",
     "json_extract_batch", "json_extract_field", "profile_table",
     "domain_stats", "html_to_text", "parse_urls",
+    "pack_sequences",
 ]
