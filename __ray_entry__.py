@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (51 of 65 queries);
+the DuckDB-equivalent SQL where expressible (52 of 66 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -1011,6 +1011,41 @@ def _q_repetition(sf_dir: str) -> pa.Table:
                      "top_token_count"]).sort_by("doc_id")
 
 
+def _q_dedup_normalized(sf_dir: str) -> pa.Table:
+    """Case/whitespace-insensitive dedup with PLANTED ground truth:
+    every document also appears as an uppercased, space-padded copy
+    under doc_id+1e6, so normalization-insensitive dedup must collapse
+    each pair to its min id — the gate cannot pass vacuously. The
+    canonicalization chain (lower + whitespace collapse + trim) is the
+    same RE2 chain the SQL oracle applies."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.dedup import exact_dedup
+
+    def doubled(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks() \
+            if isinstance(batch.column("doc_id"), pa.ChunkedArray) \
+            else batch.column("doc_id")
+        txt = batch.column("text").combine_chunks() \
+            if isinstance(batch.column("text"), pa.ChunkedArray) \
+            else batch.column("text")
+        upper = pc.binary_join_element_wise("  ", pc.utf8_upper(txt), "")
+        return pa.table({
+            "doc_id": pa.chunked_array([ids, pc.add(ids, 1_000_000)]),
+            "text": pa.chunked_array([txt, upper]),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).map_batches(doubled, batch_format="pyarrow", zero_copy_batch=True)
+    out = exact_dedup(ds, normalize=True)
+    t = _collect(out, pa.schema([("doc_id", pa.int64())]))
+    return t.sort_by("doc_id")
+
+
 def _q_pack_sequences(sf_dir: str) -> pa.Table:
     """Sequence packing (pretraining batch construction): documents
     grouped into token-budgeted bins. Not SQL-expressible (bin
@@ -1508,6 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["web_domain_stats"] = _q_domain_stats
     q["dedup_latest_by_key"] = _q_latest_by_key
     q["dedup_paragraphs"] = _q_paragraph_dedup
+    q["dedup_normalized"] = _q_dedup_normalized
     q["pack_sequences"] = _q_pack_sequences  # rows-only: algorithmic op,
     # self-verifying in-driver (exact-cover + budget + efficiency bound)
     q["join_broadcast_enrich"] = _q_broadcast_join
@@ -1775,6 +1811,17 @@ def oracle_sql() -> dict[str, str]:
         "AS text_dedup FROM p JOIN keep ON p.para = keep.para "
         "AND p.doc_id * 1000000 + p.idx = keep.k "
         "GROUP BY p.doc_id ORDER BY p.doc_id"
+    )
+    # Same doubling construction as _q_dedup_normalized; same
+    # canonicalization chain (lower + \s+ collapse + trim, RE2)
+    sql["dedup_normalized"] = (
+        "WITH all_docs AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 1000000, '  ' || upper(text) "
+        "FROM documents), "
+        "norm AS (SELECT doc_id, trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g')) AS k FROM all_docs) "
+        "SELECT min(doc_id) AS doc_id FROM norm GROUP BY k "
+        "ORDER BY doc_id"
     )
     sql["dedup_latest_by_key"] = (
         "WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id "

@@ -83,18 +83,38 @@ def _text_hash128(texts: list, backend: str | None = None) -> tuple[list, list]:
     return hi.to_pylist(), lo.to_pylist()
 
 
-def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
-    """Keep the min-id row per distinct ``key`` value.
+def normalize_text_col(col):
+    """Canonicalization chain for normalization-insensitive dedup:
+    lowercase, collapse whitespace runs, trim — all Arrow kernels
+    (utf8_lower + RE2), the exact chain SQL mirrors as
+    ``trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))``. Nulls pass
+    through."""
+    import pyarrow.compute as pc
+
+    col = pc.utf8_lower(single_chunk(col))
+    col = pc.replace_substring_regex(col, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(col)
+
+
+def exact_dedup(ds, key: str = "text", id_col: str = "doc_id",
+                normalize: bool = False):
+    """Keep the min-id row per distinct ``key`` value (canonicalized
+    first when ``normalize`` — case/whitespace-insensitive dedup, the
+    standard webtext near-exact rule).
 
     Scale shape: hash the key to 128 bits inside map_batches (combiner
     side), then a single groupby on the two hash halves — a 16-byte
     shuffle key regardless of document size, with no meaningful
-    collision probability at 10^12 rows."""
+    collision probability at 10^12 rows. Normalization happens inside
+    the same map_batches pass; the canonical string never shuffles."""
 
     backend = _HASH_BACKEND  # pinned here, on the driver, for the whole job
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hi, lo = _text_hash128_col(batch.column(key), backend=backend)
+        col = batch.column(key)
+        if normalize:
+            col = normalize_text_col(col)
+        hi, lo = _text_hash128_col(col, backend=backend)
         return pa.table({id_col: batch.column(id_col), "__h1": hi, "__h2": lo})
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)

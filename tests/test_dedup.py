@@ -388,3 +388,26 @@ def test_paragraph_dedup_matches_duckdb(ray_session):
         "doc_id").to_pylist()
     assert got.column("text_dedup").to_pylist() == want.column(
         "text_dedup").to_pylist()
+
+
+def test_exact_dedup_normalize_collapses_case_and_whitespace(ray_session):
+    import ray.data
+
+    from hyparquet_writer_ray.functions.dedup import exact_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": ["Hello  World", "hello world ", "  HELLO\tWORLD",
+                 "different", None, None],
+    })
+    got = sorted(pa.concat_tables(
+        exact_dedup(ray.data.from_arrow(t), normalize=True).iter_batches(
+            batch_size=None, batch_format="pyarrow")
+    ).column("doc_id").to_pylist())
+    assert got == [1, 4, 5]
+    # without normalize all six survive (all raw strings distinct)
+    got_raw = sorted(pa.concat_tables(
+        exact_dedup(ray.data.from_arrow(t)).iter_batches(
+            batch_size=None, batch_format="pyarrow")
+    ).column("doc_id").to_pylist())
+    assert got_raw == [1, 2, 3, 4, 5]
