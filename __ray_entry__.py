@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (52 of 66 queries);
+the DuckDB-equivalent SQL where expressible (53 of 67 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -1011,6 +1011,38 @@ def _q_repetition(sf_dir: str) -> pa.Table:
                      "top_token_count"]).sort_by("doc_id")
 
 
+_BLOCKED_HOSTS = tuple(f"host{k}.example.org" for k in (3, 7, 11, 42))
+
+
+def _q_filter_domains(sf_dir: str) -> pa.Table:
+    """Domain blocklist filter (crawl curation): urls built
+    deterministically from doc_id (97 hosts), four hosts blocked; the
+    blocklist is ray.put ONCE and probed with one RE2 extract + one
+    is_in kernel per batch. Oracle re-derives the host in SQL."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.web import filter_domains
+
+    def build(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        host_code = pc.cast(pa.array(ids % 97), pa.string())
+        doc_str = pc.cast(batch.column("doc_id"), pa.string())
+        url = pc.binary_join_element_wise(
+            "https://host", host_code, ".example.org/docs/", doc_str,
+            "?src=", batch.column("source"), "")
+        return pa.table({"doc_id": batch.column("doc_id"), "url": url})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    ).map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+    out = filter_domains(ds, _BLOCKED_HOSTS)
+    t = _collect(out, pa.schema([("doc_id", pa.int64()),
+                                 ("url", pa.string())]))
+    return t.sort_by("doc_id")
+
+
 def _q_dedup_normalized(sf_dir: str) -> pa.Table:
     """Case/whitespace-insensitive dedup with PLANTED ground truth:
     every document also appears as an uppercased, space-padded copy
@@ -1543,6 +1575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["web_domain_stats"] = _q_domain_stats
     q["dedup_latest_by_key"] = _q_latest_by_key
     q["dedup_paragraphs"] = _q_paragraph_dedup
+    q["web_filter_domains"] = _q_filter_domains
     q["dedup_normalized"] = _q_dedup_normalized
     q["pack_sequences"] = _q_pack_sequences  # rows-only: algorithmic op,
     # self-verifying in-driver (exact-cover + budget + efficiency bound)
@@ -1811,6 +1844,15 @@ def oracle_sql() -> dict[str, str]:
         "AS text_dedup FROM p JOIN keep ON p.para = keep.para "
         "AND p.doc_id * 1000000 + p.idx = keep.k "
         "GROUP BY p.doc_id ORDER BY p.doc_id"
+    )
+    _blocked_sql = ", ".join(f"'{h}'" for h in _BLOCKED_HOSTS)
+    sql["web_filter_domains"] = (
+        "WITH u AS (SELECT doc_id, 'https://host' || "
+        "CAST(doc_id % 97 AS VARCHAR) || '.example.org/docs/' || "
+        "CAST(doc_id AS VARCHAR) || '?src=' || source AS url "
+        "FROM documents) SELECT doc_id, url FROM u WHERE "
+        "regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2) "
+        f"NOT IN ({_blocked_sql}) ORDER BY doc_id"
     )
     # Same doubling construction as _q_dedup_normalized; same
     # canonicalization chain (lower + \s+ collapse + trim, RE2)

@@ -44,7 +44,7 @@ from .graph import connected_components, drop_near_duplicates
 from .ingest import SeenFilter, filter_seen
 from .stats import exact_quantiles, group_topk, grouped_quantiles, profile_table
 from .packing import pack_sequences
-from .web import domain_stats, html_to_text, parse_urls
+from .web import DomainFilter, domain_stats, filter_domains, html_to_text, parse_urls
 from .windows import hopping_window_agg, sessionize, tumbling_window_agg
 
 __all__ = [
@@ -66,6 +66,6 @@ __all__ = [
     "hopping_window_agg", "sessionize", "tumbling_window_agg",
     "SeenFilter", "filter_seen",
     "json_extract_batch", "json_extract_field", "profile_table",
-    "domain_stats", "html_to_text", "parse_urls",
+    "DomainFilter", "domain_stats", "filter_domains", "html_to_text", "parse_urls",
     "pack_sequences",
 ]

@@ -107,6 +107,52 @@ def parse_urls(ds, *, url_col: str = "url"):
     )
 
 
+class DomainFilter:
+    """Stateful stage: drop rows whose url host is on a blocklist (the
+    crawl-curation domain filter). The blocklist ships ONCE via
+    ``ray.put`` and is fetched once per actor; each batch does one RE2
+    host extract + one ``is_in`` membership kernel. Unparseable or
+    null urls are KEPT (no host to match) unless ``strict``."""
+
+    def __init__(self, blocked_ref, url_col: str, strict: bool) -> None:
+        import ray
+
+        self.blocked: pa.Array = ray.get(blocked_ref)
+        self.url_col = url_col
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return batch
+        host = single_chunk(
+            parse_url_batch(batch.select([self.url_col]), self.url_col)
+            .column("host"))
+        blocked = pc.fill_null(
+            pc.is_in(host, value_set=self.blocked), False)
+        if self.strict:
+            blocked = pc.or_(blocked, pc.is_null(host))
+        return batch.filter(pc.invert(blocked))
+
+
+def filter_domains(ds, blocked_hosts, *, url_col: str = "url",
+                   strict: bool = False, concurrency=(1, 4)):
+    """Drop rows whose url host appears in ``blocked_hosts``.
+    Shuffle-free, streaming, resume-safe; the blocklist is broadcast
+    once (``ray.put``), never re-shipped per batch. ``strict`` also
+    drops rows whose url cannot be parsed."""
+    import ray
+
+    blocked_ref = ray.put(pa.array(sorted(set(blocked_hosts)),
+                                   pa.string()))
+    return ds.map_batches(
+        DomainFilter,
+        fn_constructor_kwargs=dict(blocked_ref=blocked_ref,
+                                   url_col=url_col, strict=strict),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
 def domain_stats(ds, *, url_col: str = "url", bytes_col: str | None = None):
     """Per-host corpus stats: ``n_docs`` (and ``n_bytes`` when
     ``bytes_col`` is given) per registered host, host ascending.

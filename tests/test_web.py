@@ -184,3 +184,24 @@ def test_html_to_text_dataset_level(ray_session, nulls):
     ).sort_by("doc")
     for src, g in zip(docs, out.column("extracted_text").to_pylist()):
         assert g == (None if src is None else _python_reference_strip(src))
+
+
+def test_filter_domains(ray_session):
+    import ray.data
+
+    from hyparquet_writer_ray.functions.web import filter_domains
+
+    urls = ["https://bad.org/a", "https://good.org/b", "notaurl",
+            None, "https://bad.org/c", "http://also-good.net/"]
+    t = pa.table({"i": pa.array(range(6), pa.int64()),
+                  "url": pa.array(urls, pa.string())})
+    kept = pa.concat_tables(
+        filter_domains(ray.data.from_arrow(t), ["bad.org"])
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("i")
+    assert kept.column("i").to_pylist() == [1, 2, 3, 5]
+    strict = pa.concat_tables(
+        filter_domains(ray.data.from_arrow(t), ["bad.org"], strict=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("i")
+    assert strict.column("i").to_pylist() == [1, 5]
