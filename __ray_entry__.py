@@ -1057,12 +1057,9 @@ def _q_dedup_normalized(sf_dir: str) -> pa.Table:
     from hyparquet_writer_ray.functions.dedup import exact_dedup
 
     def doubled(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").combine_chunks() \
-            if isinstance(batch.column("doc_id"), pa.ChunkedArray) \
-            else batch.column("doc_id")
-        txt = batch.column("text").combine_chunks() \
-            if isinstance(batch.column("text"), pa.ChunkedArray) \
-            else batch.column("text")
+        from hyparquet_writer_ray.core.arrays import single_chunk
+        ids = single_chunk(batch.column("doc_id"))
+        txt = single_chunk(batch.column("text"))
         upper = pc.binary_join_element_wise("  ", pc.utf8_upper(txt), "")
         return pa.table({
             "doc_id": pa.chunked_array([ids, pc.add(ids, 1_000_000)]),

@@ -248,8 +248,9 @@ def latest_by_key(ds, key: str = "url", ts_col: str = "warc_ts",
         return out.drop_columns(["__h1", "__h2", "__bucket"]) if drop_aux else out
 
     def partial(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
+        # no 0-row early-out: the kernels handle empty input, and
+        # returning the UNTAGGED schema for an empty batch would feed
+        # schema-inconsistent blocks into groupby("__bucket")
         h1, h2 = _key_halves(batch.column(key))
         h1f = pc.fill_null(h1, 0)
         if NB & (NB - 1) == 0:

@@ -52,7 +52,17 @@ def html_to_text_batch(batch: pa.Table, html_col: str = "html",
     binary input is reinterpreted as utf-8; no per-row Python."""
     col = single_chunk(batch.column(html_col))
     if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
-        col = col.cast(pa.string())
+        try:
+            col = col.cast(pa.string())
+        except pa.lib.ArrowInvalid:
+            # real crawl payloads carry mis-declared charsets: decode
+            # with U+FFFD replacement (Python loop ONLY on a batch that
+            # actually contains invalid utf-8 — the cast fast path
+            # covers the rest)
+            col = pa.array(
+                (None if v is None else v.decode("utf-8", "replace")
+                 for v in col.to_pylist()),
+                pa.string())
     for pattern, replacement in HTML_STRIP_RULES:
         col = pc.replace_substring_regex(col, pattern=pattern,
                                          replacement=replacement)
@@ -107,17 +117,31 @@ def parse_urls(ds, *, url_col: str = "url"):
     )
 
 
+def _canonical_host(host):
+    """RFC-3986 host canonicalization for blocklist matching: strip
+    userinfo (``user@``) and ``:port``, lowercase. A filter that
+    matches the raw authority verbatim is trivially bypassed by
+    ``https://Bad.org:8080/`` — compliance filters must not be."""
+    host = pc.replace_substring_regex(host, pattern=r"^[^@]*@",
+                                      replacement="")
+    host = pc.replace_substring_regex(host, pattern=r":[0-9]*$",
+                                      replacement="")
+    return pc.utf8_lower(host)
+
+
 class DomainFilter:
     """Stateful stage: drop rows whose url host is on a blocklist (the
-    crawl-curation domain filter). The blocklist ships ONCE via
-    ``ray.put`` and is fetched once per actor; each batch does one RE2
-    host extract + one ``is_in`` membership kernel. Unparseable or
-    null urls are KEPT (no host to match) unless ``strict``."""
+    crawl-curation domain filter). The blocklist rides in the actor
+    constructor args — serialized ONCE per actor at creation,
+    restart-safe (no loose ObjectRef). Each batch does one RE2 host
+    extract + canonicalization + one ``is_in`` membership kernel.
+    Hosts are matched canonically (lowercased, userinfo/port
+    stripped). Unparseable or null urls are KEPT (no host to match)
+    unless ``strict``."""
 
-    def __init__(self, blocked_ref, url_col: str, strict: bool) -> None:
-        import ray
-
-        self.blocked: pa.Array = ray.get(blocked_ref)
+    def __init__(self, blocked: pa.Array, url_col: str,
+                 strict: bool) -> None:
+        self.blocked = blocked
         self.url_col = url_col
         self.strict = strict
 
@@ -128,7 +152,8 @@ class DomainFilter:
             parse_url_batch(batch.select([self.url_col]), self.url_col)
             .column("host"))
         blocked = pc.fill_null(
-            pc.is_in(host, value_set=self.blocked), False)
+            pc.is_in(_canonical_host(host), value_set=self.blocked),
+            False)
         if self.strict:
             blocked = pc.or_(blocked, pc.is_null(host))
         return batch.filter(pc.invert(blocked))
@@ -136,18 +161,17 @@ class DomainFilter:
 
 def filter_domains(ds, blocked_hosts, *, url_col: str = "url",
                    strict: bool = False, concurrency=(1, 4)):
-    """Drop rows whose url host appears in ``blocked_hosts``.
-    Shuffle-free, streaming, resume-safe; the blocklist is broadcast
-    once (``ray.put``), never re-shipped per batch. ``strict`` also
+    """Drop rows whose url host appears in ``blocked_hosts`` (matched
+    canonically: case-insensitive, userinfo/port ignored).
+    Shuffle-free, streaming, resume-safe; the blocklist ships once per
+    actor in the constructor args, never per batch. ``strict`` also
     drops rows whose url cannot be parsed."""
-    import ray
-
-    blocked_ref = ray.put(pa.array(sorted(set(blocked_hosts)),
-                                   pa.string()))
+    blocked = _canonical_host(
+        pa.array(sorted(set(blocked_hosts)), pa.string()))
     return ds.map_batches(
         DomainFilter,
-        fn_constructor_kwargs=dict(blocked_ref=blocked_ref,
-                                   url_col=url_col, strict=strict),
+        fn_constructor_kwargs=dict(blocked=blocked, url_col=url_col,
+                                   strict=strict),
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency,
     )
@@ -179,8 +203,10 @@ def domain_stats(ds, *, url_col: str = "url", bytes_col: str | None = None):
         if bytes_col is not None:
             w = pc.fill_null(batch.column(bytes_col), 0).to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            byte_sums = np.bincount(codes[valid], weights=w[valid],
-                                    minlength=nd).astype(np.int64)
+            # int64 accumulator (np.bincount weights go through float64,
+            # which silently rounds past 2^53)
+            byte_sums = np.zeros(nd, np.int64)
+            np.add.at(byte_sums, codes[valid], w[valid])
             cols["n_bytes"] = pa.array(byte_sums)
         t = pa.table(cols)
         n_null = int((~valid).sum())

@@ -205,3 +205,32 @@ def test_filter_domains(ray_session):
         .iter_batches(batch_size=None, batch_format="pyarrow")
     ).sort_by("i")
     assert strict.column("i").to_pylist() == [1, 5]
+
+
+def test_html_to_text_invalid_utf8_binary():
+    """Mis-declared charsets are routine in crawls: invalid utf-8
+    decodes with U+FFFD replacement instead of killing the task."""
+    t = pa.table({"html": pa.array(
+        [b"\xff\xfe<p>hi</p>", b"<p>ok</p>", None], pa.binary())})
+    got = html_to_text_batch(t).column("extracted_text").to_pylist()
+    assert got[1] == "ok" and got[2] is None
+    assert "hi" in got[0] and "�" in got[0]
+
+
+def test_filter_domains_canonical_host_matching(ray_session):
+    """Case, port and userinfo variants of a blocked domain must not
+    slip through (RFC 3986 host equivalence)."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.web import filter_domains
+
+    urls = ["https://Bad.org/x", "https://bad.org:8080/y",
+            "https://user@bad.org/z", "https://goodbad.org/w",
+            "https://ok.example/v"]
+    t = pa.table({"i": pa.array(range(5), pa.int64()),
+                  "url": pa.array(urls, pa.string())})
+    kept = pa.concat_tables(
+        filter_domains(ray.data.from_arrow(t), ["BAD.ORG:443"])
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("i")
+    assert kept.column("i").to_pylist() == [3, 4]
