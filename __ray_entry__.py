@@ -7,7 +7,7 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (encode roundtrips through the engine + independent
 decode) or one training-data operator (dedup / text analysis /
 similarity / windows / sketches / curation). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL where expressible (53 of 67 queries);
+the DuckDB-equivalent SQL where expressible (53 of 68 queries);
 non-SQL ops are rows-only, and several of those SELF-VERIFY in-driver
 against independent implementations (bpe scanner, scalar rolling
 hash, true shingle Jaccard, exact distinct count).
@@ -1011,6 +1011,53 @@ def _q_repetition(sf_dir: str) -> pa.Table:
                      "top_token_count"]).sort_by("doc_id")
 
 
+def _q_web_extract(sf_dir: str) -> pa.Table:
+    """End-to-end webtext extraction over the north-rule input table:
+    synthesize the deterministic Common-Crawl-style webtable, strip
+    every html payload to text with the Arrow RE2 chain, and verify
+    the north rule's own invariant — extracted text per url — against
+    an INDEPENDENT scalar Python re implementation of the documented
+    strip chain on a deterministic 10% row sample (html here includes
+    truncated mid-tag filler, so the gate exercises the unterminated-
+    tag path, not just clean markup)."""
+    import re
+
+    from hyparquet_writer_ray.functions.web import (
+        HTML_ENTITY_RULES, HTML_STRIP_RULES, html_to_text)
+    from hyparquet_writer_ray.sources.webtable import webtable_dataset
+
+    n = 20_000
+    ds = webtable_dataset(n).map_batches(
+        lambda b: b.select(["url", "html"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = html_to_text(ds, html_col="html")
+    t = _collect(out, pa.schema([("url", pa.string()),
+                                 ("html", pa.binary()),
+                                 ("extracted_text", pa.string())]))
+
+    def scalar_strip(s: bytes) -> str:
+        x = s.decode("utf-8", "replace")
+        for pat, rep in HTML_STRIP_RULES:
+            x = re.sub(pat, rep, x)
+        for lit, rep in HTML_ENTITY_RULES:
+            x = x.replace(lit, rep)
+        return re.sub(r"\s+", " ", x).strip()
+
+    got = dict(zip(t.column("url").to_pylist(),
+                   zip(t.column("html").to_pylist(),
+                       t.column("extracted_text").to_pylist())))
+    assert len(got) == n
+    checked = 0
+    for url, (html, ext) in got.items():
+        if int(url.rsplit("/", 1)[1]) % 10 != 0:
+            continue
+        want = None if html is None else scalar_strip(html)
+        assert ext == want, f"extracted text diverges at {url}"
+        checked += 1
+    assert checked == n // 10
+    return t.select(["url", "extracted_text"]).sort_by("url")
+
+
 _BLOCKED_HOSTS = tuple(f"host{k}.example.org" for k in (3, 7, 11, 42))
 
 
@@ -1573,6 +1620,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_latest_by_key"] = _q_latest_by_key
     q["dedup_paragraphs"] = _q_paragraph_dedup
     q["web_filter_domains"] = _q_filter_domains
+    q["web_extract_roundtrip"] = _q_web_extract  # rows-only: synthesized
+    # webtable is not a registered oracle table; per-url invariant
+    # gated in-driver vs an independent scalar strip implementation
     q["dedup_normalized"] = _q_dedup_normalized
     q["pack_sequences"] = _q_pack_sequences  # rows-only: algorithmic op,
     # self-verifying in-driver (exact-cover + budget + efficiency bound)
