@@ -1011,6 +1011,37 @@ def _q_repetition(sf_dir: str) -> pa.Table:
                      "top_token_count"]).sort_by("doc_id")
 
 
+def _q_grouped_hll(sf_dir: str) -> pa.Table:
+    """Per-key approximate distinct (grouped HLL): distinct users per
+    event_type. Each batch collapses to one 4 KiB register row per key
+    BEFORE the shuffle; the in-driver gate compares every key's
+    estimate against the exact DuckDB count(DISTINCT) within the
+    sketch's error envelope (±5% at p=12, SE ~1.6%)."""
+    import duckdb
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.sketches import grouped_hll_distinct
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    out = grouped_hll_distinct(ds, key_col="event_type",
+                               value_col="user_id")
+    t = _collect(out, pa.schema([("event_type", pa.string()),
+                                 ("n_distinct_approx", pa.int64())]))
+    exact = {r[0]: r[1] for r in duckdb.sql(
+        "SELECT event_type, count(DISTINCT user_id) FROM "
+        f"'{os.path.join(sf_dir, 'events.parquet')}' GROUP BY event_type"
+    ).fetchall()}
+    got = dict(zip(t.column("event_type").to_pylist(),
+                   t.column("n_distinct_approx").to_pylist()))
+    assert set(got) == set(exact), "grouped HLL lost or invented keys"
+    for k, want in exact.items():
+        assert abs(got[k] - want) <= max(0.05 * want, 2), \
+            f"grouped HLL estimate for {k} outside ±5%: {got[k]} vs {want}"
+    return t.sort_by("event_type")
+
+
 def _q_web_extract(sf_dir: str) -> pa.Table:
     """End-to-end webtext extraction over the north-rule input table:
     synthesize the deterministic Common-Crawl-style webtable, strip
@@ -1596,6 +1627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["window_hopping"] = _q_window_hopping
     q["sessionize"] = _q_sessionize
     q["hll_distinct_users"] = _q_hll_distinct
+    q["hll_by_event_type"] = _q_grouped_hll  # rows-only: approximate
+    # sketch; every key gated in-driver vs exact count(DISTINCT)
     q["text_top_tokens"] = _q_top_tokens
     q["curate_pipeline"] = _q_curate
     q["stratified_sample"] = _q_stratified_sample

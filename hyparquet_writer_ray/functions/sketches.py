@@ -44,15 +44,12 @@ def _hash_column(col: pa.Array) -> np.ndarray:
     raise TypeError(f"hll_distinct: unsupported column type {t}")
 
 
-def _registers(hashes: np.ndarray, p: int) -> np.ndarray:
-    m = 1 << p
-    reg = np.zeros(m, np.uint8)
-    if not len(hashes):
-        return reg
+def _idx_rho(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-hash (register index, rho) pairs — rho = leading-zero count
+    of the remaining 64-p bits + 1, exact vectorized clz by binary
+    search (6 masked shifts)."""
     idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
     rest = hashes << np.uint64(p)
-    # rho = leading-zero count of the remaining 64-p bits + 1,
-    # exact vectorized clz by binary search (6 masked shifts)
     lz = np.full(len(rest), 64 - p, np.uint8)
     nz = rest != 0
     cur = rest[nz].copy()
@@ -63,6 +60,15 @@ def _registers(hashes: np.ndarray, p: int) -> np.ndarray:
         cur = np.where(zero_high, cur << np.uint64(w), cur)
     lz[nz] = np.minimum(shift_total, 64 - p)
     rho = (lz + 1).astype(np.uint8)
+    return idx, rho
+
+
+def _registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    m = 1 << p
+    reg = np.zeros(m, np.uint8)
+    if not len(hashes):
+        return reg
+    idx, rho = _idx_rho(hashes, p)
     np.maximum.at(reg, idx, rho)
     return reg
 
@@ -80,6 +86,114 @@ def hll_estimate(reg: np.ndarray) -> float:
     elif est > (1 << 64) / 30.0:
         est = -(1 << 64) * np.log1p(-est / (1 << 64))
     return float(est)
+
+
+def _hash_column_aligned(col: pa.Array) -> np.ndarray:
+    """Row-aligned 64-bit hashes (no null drop — callers mask)."""
+    col = single_chunk(col)
+    t = col.type
+    if pa.types.is_integer(t):
+        import pyarrow.compute as pc
+        vals = pc.fill_null(col.cast(pa.int64()), 0).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        return _splitmix64(vals)
+    if (pa.types.is_string(t) or pa.types.is_binary(t)
+            or pa.types.is_large_string(t) or pa.types.is_large_binary(t)):
+        import pyarrow.compute as pc
+
+        from ..core.arrays import byte_array_values
+        from .dedup import _segmented_poly_hash
+
+        lens, data = byte_array_values(pc.fill_null(col, ""))
+        return _splitmix64(_segmented_poly_hash(lens, data))
+    raise TypeError(f"grouped_hll_distinct: unsupported column type {t}")
+
+
+def grouped_hll_distinct(ds, *, key_col: str, value_col: str,
+                         p: int = 12, num_buckets: int = 64):
+    """Approximate distinct ``value_col`` per ``key_col`` (the
+    per-domain / per-language cardinality profile). Returns one row
+    per key: (key, n_distinct_approx:int64).
+
+    Scale shape: each batch collapses to ONE 2^p-byte register row per
+    key present in the batch (np.maximum.at into a (keys x m) matrix —
+    no Python per row), so the shuffle moves O(keys-per-batch) x 4 KiB
+    partials, never the values; one constant-bucket groupby merges
+    registers per key by np.maximum.reduceat and estimates. Standard
+    error ~1.04/sqrt(2^p) (~1.6% at p=12), deterministic for a given
+    input set. Null keys form one group (SQL GROUP BY); null values
+    are not counted (SQL count(DISTINCT) semantics)."""
+    import pyarrow.compute as pc
+
+    m = 1 << p
+    NB = max(int(num_buckets), 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = single_chunk(batch.column(key_col))
+        vals = single_chunk(batch.column(value_col))
+        keep = pc.is_valid(vals)
+        keys, vals = keys.filter(keep), vals.filter(keep)
+        denc = pc.dictionary_encode(keys)
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        null_keys = np.isnan(codes) if codes.dtype.kind == "f" else \
+            np.zeros(len(codes), bool)
+        nk = len(denc.dictionary)
+        codes = np.where(null_keys, nk, codes).astype(np.int64)
+        n_rows = nk + int(null_keys.any())
+        mat = np.zeros((n_rows, m), np.uint8)
+        if len(vals):
+            idx, rho = _idx_rho(_hash_column_aligned(vals), p)
+            np.maximum.at(mat, (codes, idx), rho)
+        key_out = denc.dictionary
+        if n_rows > nk:
+            key_out = pa.concat_arrays(
+                [key_out, pa.nulls(1, key_out.type)])
+        kb = _splitmix64(_hash_column_aligned(key_out)).astype(
+            np.int64) % NB
+        kb[pc.is_null(key_out).to_numpy(zero_copy_only=False)
+           .astype(bool)] = 0  # null key deterministically in bucket 0
+        return pa.table({
+            key_col: key_out,
+            "__reg": pa.array([r.tobytes() for r in mat], pa.binary()),
+            "__bucket": pa.array(kb),
+        })
+
+    def resolve(group: pa.Table) -> pa.Table:
+        if "__reg" not in group.column_names or group.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "n_distinct_approx": pa.array([], pa.int64())})
+        keys = single_chunk(group.column(key_col))
+        denc = pc.dictionary_encode(keys)
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        null_keys = np.isnan(codes) if codes.dtype.kind == "f" else \
+            np.zeros(len(codes), bool)
+        nk = len(denc.dictionary)
+        codes = np.where(null_keys, nk, codes).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        mat = np.stack([
+            np.frombuffer(v, np.uint8)
+            for v in group.column("__reg").to_pylist()
+        ])[order]
+        sorted_codes = codes[order]
+        starts = np.nonzero(np.r_[True,
+                                  sorted_codes[1:] != sorted_codes[:-1]])[0]
+        merged = np.maximum.reduceat(mat, starts, axis=0)
+        uniq_codes = sorted_codes[starts]
+        key_out_parts = []
+        for c in uniq_codes:
+            key_out_parts.append(None if c == nk
+                                 else denc.dictionary[c].as_py())
+        est = [int(round(hll_estimate(merged[i])))
+               for i in range(len(starts))]
+        return pa.table({
+            key_col: pa.array(key_out_parts, denc.dictionary.type),
+            "n_distinct_approx": pa.array(est, pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return parts.groupby("__bucket").map_groups(
+        resolve, batch_format="pyarrow")
 
 
 def hll_distinct(ds, col: str, *, p: int = 12) -> dict:

