@@ -195,22 +195,43 @@ def _q_roundtrip_sorted(sf_dir: str) -> pa.Table:
     written with rows clustered by (event_type, user_id), feeding the
     dict/RLE/delta codecs longer runs — measured 14.9% smaller output
     on shuffled events at sf0.1 (pipelines/write.py PartFileWriter).
-    The SELECT * oracle proves the reorder is lossless."""
+    The SELECT * oracle proves the reorder is lossless. Also the
+    integrity gate: parts are written with page CRC-32 checksums
+    (PageHeader.crc; reference serializes the field at
+    src/datapage.js:113) and RowGroup.sorting_columns footer metadata
+    (src/metadata.js:92-96); the read-back verifies every page CRC via
+    pyarrow ``page_checksum_verification`` and asserts the advertised
+    sort survives in each footer."""
     import shutil
 
     import ray.data
 
+    from hyparquet_writer_ray import WriteOptions
     from hyparquet_writer_ray.pipelines.write import write_parquet_dataset
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
     out = _outpath(sf_dir, "events_sorted_parts")
     shutil.rmtree(out, ignore_errors=True)
     write_parquet_dataset(
-        ds, out, None, concurrency=(1, 4), sort_by=["event_type", "user_id"]
+        ds, out, WriteOptions(page_crc=True), concurrency=(1, 4),
+        sort_by=["event_type", "user_id"],
     )
     files = sorted(
         os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
     )
-    return pa.concat_tables(pq.read_table(f) for f in files)
+    parts = []
+    sort_leaf_idx = None
+    for f in files:
+        pf = pq.ParquetFile(f, page_checksum_verification=True)
+        parts.append(pf.read())  # raises on any CRC mismatch
+        md = pq.ParquetFile(f).metadata
+        if sort_leaf_idx is None:
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            sort_leaf_idx = [names.index("event_type"), names.index("user_id")]
+        for i in range(md.num_row_groups):
+            sc = md.row_group(i).sorting_columns
+            assert [c.column_index for c in sc] == sort_leaf_idx, \
+                f"sorting_columns missing/wrong in {f} rg{i}: {sc}"
+    return pa.concat_tables(parts)
 
 
 def _q_profile_events(sf_dir: str) -> pa.Table:

@@ -13,6 +13,7 @@ from .footer import (
     AbsoluteChunk,
     column_index_thrift,
     offset_index_thrift,
+    resolve_sorting_columns,
     row_group_thrift,
     write_footer,
 )
@@ -77,6 +78,9 @@ class FileAssembler:
                     c.bloom_filter_length = len(c.meta.bloom)
                     self._write(c.meta.bloom)
 
+        sort_cols = resolve_sorting_columns(
+            self.schema_ir, self.opts.sorting_columns
+        )
         rg_structs = [
             row_group_thrift(
                 chunks,
@@ -84,6 +88,7 @@ class FileAssembler:
                 num_rows=meta.num_rows,
                 file_offset=group_offset,
                 total_compressed_size=meta.total_compressed_size,
+                sorting_columns=sort_cols,
             )
             for chunks, meta, group_offset in self.groups
         ]

@@ -11,6 +11,7 @@ row starts.
 """
 from __future__ import annotations
 
+import zlib
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -365,6 +366,7 @@ def encode_chunk(
         write_dictionary_page_header(
             w, uncompressed_page_size=len(raw), compressed_page_size=len(comp),
             num_values=len(dict_arr.dictionary),
+            crc=zlib.crc32(comp) if opts.page_crc else None,
         )
         w.write(comp)
         dict_uncomp = (w.offset - dictionary_page_offset) - len(comp) + len(raw)
@@ -433,6 +435,12 @@ def encode_chunk(
             comp = fsst_table.serialize() + F.compress(raw, fsst_table)
         else:
             comp = compress(raw, codec, opts.compressors, opts.codec_level)
+        lvl_bytes = lvl.getvalue()
+        crc = None
+        if opts.page_crc:
+            # spec: V2 page CRC covers the page as written after the
+            # header — uncompressed level runs then compressed values
+            crc = zlib.crc32(comp, zlib.crc32(lvl_bytes))
         write_data_page_v2_header(
             w,
             uncompressed_page_size=lvl.offset + len(raw),
@@ -444,8 +452,9 @@ def encode_chunk(
             definition_levels_byte_length=def_len,
             repetition_levels_byte_length=rep_len,
             is_compressed=codec != Codec.UNCOMPRESSED or fsst_table is not None,
+            crc=crc,
         )
-        w.write(lvl.getvalue())
+        w.write(lvl_bytes)
         w.write(comp)
         uncomp_acc += (w.offset - page_start) - len(comp) + len(raw)
 

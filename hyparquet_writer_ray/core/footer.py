@@ -173,14 +173,48 @@ def row_group_thrift(
     num_rows: int,
     file_offset: Optional[int] = None,
     total_compressed_size: Optional[int] = None,
+    sorting_columns: Optional[list[tuple[int, bool, bool]]] = None,
 ) -> dict[int, object]:
+    # sorting_columns: (leaf_ordinal, descending, nulls_first) triples,
+    # RowGroup field 4 (reference src/metadata.js:92-96)
     return {
         1: [c.thrift() for c in chunks],
         2: I64(total_byte_size),
         3: I64(num_rows),
+        4: None if sorting_columns is None else [
+            {1: idx, 2: desc, 3: nf} for idx, desc, nf in sorting_columns
+        ],
         5: None if file_offset is None else I64(file_offset),
         6: None if total_compressed_size is None else I64(total_compressed_size),
     }
+
+
+def resolve_sorting_columns(
+    schema_ir: list[SchemaElement],
+    sorting_columns: Optional[list[tuple[str, bool, bool]]],
+) -> Optional[list[tuple[int, bool, bool]]]:
+    """Map WriteOptions.sorting_columns names to leaf ordinals.
+
+    SortingColumn.column_idx indexes the row group's column-chunk list,
+    which is the depth-first leaf order of the schema. Only top-level
+    primitive columns are sortable here (a nested leaf's chunk order is
+    still resolved correctly, but sorting by part of a list/map has no
+    defined row order) — unknown names raise.
+    """
+    if not sorting_columns:
+        return None
+    leaf_names = [el.name for el in schema_ir[1:] if el.is_leaf]
+    out = []
+    for name, desc, nulls_first in sorting_columns:
+        try:
+            idx = leaf_names.index(name)
+        except ValueError:
+            raise ValueError(
+                f"sorting_columns: {name!r} is not a leaf column "
+                f"(leaves: {leaf_names})"
+            ) from None
+        out.append((idx, bool(desc), bool(nulls_first)))
+    return out
 
 
 def write_footer(

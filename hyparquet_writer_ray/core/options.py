@@ -42,6 +42,19 @@ class WriteOptions:
     # the small RLE/bit-packed indices (the reference's own open TODO,
     # src/dictionary.js:133). Opt-in: changes page bytes vs reference.
     dict_sort_frequency: bool = False
+    # write PageHeader.crc (CRC-32 of the post-header page bytes) on
+    # every data/dictionary page; verified by pyarrow with
+    # page_checksum_verification=True. Opt-in: adds ~6 bytes/page and
+    # changes bytes vs the reference (which serializes but never
+    # computes the field, src/datapage.js:113).
+    page_crc: bool = False
+    # RowGroup.sorting_columns footer metadata: the rows of every row
+    # group are sorted by these columns. Each entry is
+    # (column_name, descending, nulls_first); serialized per the spec
+    # as leaf ordinals (reference src/metadata.js:92-96). The writer
+    # does NOT re-sort — callers assert the order they produced
+    # (e.g. write_parquet_dataset(sort_by=...)).
+    sorting_columns: Optional[list[tuple[str, bool, bool]]] = None
     column_specs: dict[str, ColumnSpec] = field(default_factory=dict)
     # per-column SchemaElement replacement (logical-type annotations like
     # UUID/JSON/ENUM that keep the same physical layout; reference

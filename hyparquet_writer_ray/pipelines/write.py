@@ -225,6 +225,15 @@ class PartFileWriter:
         self.skip = skip_part_ids or frozenset()
         self.sort_by = [sort_by] if isinstance(sort_by, str) else (
             list(sort_by) if sort_by else None)
+        if self.sort_by and self.opts.sorting_columns is None:
+            # advertise the block-local sort in every part's footer
+            # (RowGroup.sorting_columns): ascending, nulls last —
+            # pa.Table.sort_by's defaults below
+            import dataclasses
+            self.opts = dataclasses.replace(
+                self.opts,
+                sorting_columns=[(c, False, False) for c in self.sort_by],
+            )
 
     def __call__(self, batch: pa.Table):
         batch = normalize_table(batch)
