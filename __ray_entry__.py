@@ -1063,6 +1063,69 @@ def _q_grouped_hll(sf_dir: str) -> pa.Table:
     return t.sort_by("event_type")
 
 
+def _q_inverted_index(sf_dir: str) -> pa.Table:
+    """Full inverted index over the documents corpus: one row per
+    distinct token with sorted posting list + document frequency.
+    Pairs are deduped per batch pre-shuffle; the exchange is a
+    constant-bucket token-hash shard (the sharded-index layout)."""
+    from hyparquet_writer_ray.functions.text import inverted_index
+
+    out = inverted_index(
+        _docs_ds(sf_dir).select_columns(["doc_id", "text"]))
+    return _collect(out, pa.schema([
+        ("token", pa.string()),
+        ("doc_ids", pa.list_(pa.int64())),
+        ("df", pa.int64()),
+    ])).sort_by("token")
+
+
+def _q_histogram(sf_dir: str) -> pa.Table:
+    """Fixed-width 40-bin histogram of events.value over [-5, 5]:
+    per-batch bincount partials, O(bins) shuffle rows per batch. The
+    SQL oracle mirrors the bin rule token-for-token so IEEE edge
+    behavior is identical."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.stats import histogram
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+    out = histogram(ds, "value", lo=-5.0, hi=5.0, bins=40)
+    return _collect(out, pa.schema([
+        ("bin", pa.int64()), ("lo_edge", pa.float64()),
+        ("hi_edge", pa.float64()), ("n", pa.int64()),
+    ])).sort_by("bin")
+
+
+def _q_shuffle_export(sf_dir: str) -> pa.Table:
+    """Seeded reproducible global shuffle (epoch-order export): every
+    doc keyed by splitmix64(id ^ mix(seed)) and range-sorted. The
+    in-driver gate recomputes the full expected permutation with the
+    pure key function and asserts the streamed order matches exactly
+    and is a true permutation of the corpus."""
+    import numpy as np
+
+    from hyparquet_writer_ray.functions.shuffle import (
+        deterministic_shuffle, shuffle_key)
+
+    ds = _docs_ds(sf_dir).select_columns(["doc_id"])
+    out = deterministic_shuffle(ds, id_col="doc_id", seed=41)
+    got = _collect(out, pa.schema([("doc_id", pa.int64())]))
+    got_ids = got.column("doc_id").to_numpy(zero_copy_only=False)
+    all_ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = shuffle_key(all_ids, 41).astype(np.int64)
+    expect = all_ids[np.argsort(keys, kind="stable")]
+    assert np.array_equal(got_ids, expect), "shuffle order mismatch"
+    assert np.array_equal(np.sort(got_ids), np.sort(all_ids)), \
+        "shuffle lost or duplicated rows"
+    return pa.table({
+        "pos": pa.array(np.arange(len(got_ids), dtype=np.int64)),
+        "doc_id": pa.array(got_ids),
+    })
+
+
 def _q_web_extract(sf_dir: str) -> pa.Table:
     """End-to-end webtext extraction over the north-rule input table:
     synthesize the deterministic Common-Crawl-style webtable, strip
@@ -1650,6 +1713,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["hll_distinct_users"] = _q_hll_distinct
     q["hll_by_event_type"] = _q_grouped_hll  # rows-only: approximate
     # sketch; every key gated in-driver vs exact count(DISTINCT)
+    q["text_inverted_index"] = _q_inverted_index
+    q["events_histogram"] = _q_histogram
+    q["shuffle_export"] = _q_shuffle_export  # rows-only: order is the
+    # result; full permutation re-derived and asserted in-driver
     q["text_top_tokens"] = _q_top_tokens
     q["curate_pipeline"] = _q_curate
     q["stratified_sample"] = _q_stratified_sample
@@ -1755,6 +1822,26 @@ def oracle_sql() -> dict[str, str]:
         "SELECT u.tok AS token, CAST(count(*) AS BIGINT) AS n "
         "FROM documents, unnest(string_split(text, ' ')) AS u(tok) "
         "GROUP BY 1 ORDER BY n DESC, token LIMIT 25"
+    )
+    sql["text_inverted_index"] = (
+        "WITH p AS (SELECT DISTINCT u.tok AS token, doc_id "
+        "FROM documents, unnest(string_split(text, ' ')) AS u(tok)) "
+        "SELECT token, list(doc_id ORDER BY doc_id) AS doc_ids, "
+        "CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token "
+        "ORDER BY token"
+    )
+    sql["events_histogram"] = (
+        # bin rule mirrored token-for-token with functions/stats.py:
+        # histogram (floor((v - lo) / ((hi - lo) / bins)), top edge
+        # clamped, nulls and out-of-range excluded, empty bins present)
+        "WITH bins AS (SELECT CAST(i AS BIGINT) AS bin FROM range(40) t(i)), "
+        "c AS (SELECT least(CAST(floor((value - (-5.0)) / "
+        "((5.0 - (-5.0)) / 40)) AS BIGINT), 39) AS bin, count(*) AS n "
+        "FROM events WHERE value >= -5.0 AND value <= 5.0 GROUP BY 1) "
+        "SELECT b.bin, (-5.0) + b.bin * ((5.0 - (-5.0)) / 40) AS lo_edge, "
+        "(-5.0) + (b.bin + 1) * ((5.0 - (-5.0)) / 40) AS hi_edge, "
+        "CAST(coalesce(c.n, 0) AS BIGINT) AS n "
+        "FROM bins b LEFT JOIN c USING (bin) ORDER BY bin"
     )
     sql["sessionize"] = (
         "WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec "

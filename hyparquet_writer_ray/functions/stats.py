@@ -390,3 +390,49 @@ def profile_table(ds, columns, *, num_buckets: int = 64,
         "n_nonnull": pa.array([acc[c][1] for c in order], pa.int64()),
         "n_distinct": pa.array([acc[c][2] for c in order], pa.int64()),
     })
+
+
+def histogram(ds, col: str, *, lo: float, hi: float, bins: int = 64):
+    """Fixed-width histogram of ``col`` over ``[lo, hi]`` —
+    ``(bin:int64, lo_edge:double, hi_edge:double, n:int64)``, empty
+    bins included.
+
+    Scale shape: each batch collapses to one ``bins``-long bincount
+    partial BEFORE the shuffle, so the exchange moves O(bins) rows per
+    batch regardless of input size; the final groupby sums at most
+    ``bins`` keys. Bin rule (mirrored token-for-token by the SQL
+    oracle so edge values land identically in IEEE double):
+    ``bin = floor((v - lo) / ((hi - lo) / bins))`` for
+    ``lo <= v <= hi``, with the top edge clamped into the last bin;
+    values outside [lo, hi] and nulls are excluded.
+    """
+    import pyarrow.compute as pc
+
+    nb = int(bins)
+    width = (float(hi) - float(lo)) / nb
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = single_chunk(batch.column(col)).cast(pa.float64())
+        x = v.to_numpy(zero_copy_only=False)  # float64; nulls -> NaN
+        x = x[(x >= lo) & (x <= hi)]  # NaN compares False: nulls drop
+        b = np.minimum(np.floor((x - lo) / width).astype(np.int64), nb - 1)
+        counts = np.bincount(b, minlength=nb)
+        return pa.table({
+            "bin": pa.array(np.arange(nb, dtype=np.int64)),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = partials.groupby("bin").sum("n")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = batch.column("bin").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bin": batch.column("bin"),
+            "lo_edge": pa.array(lo + b * width, pa.float64()),
+            "hi_edge": pa.array(lo + (b + 1) * width, pa.float64()),
+            "n": batch.column("sum(n)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

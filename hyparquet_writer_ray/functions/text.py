@@ -562,3 +562,79 @@ def decontaminate(ds, benchmark_texts, *, k: int = 3,
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency,
     )
+
+
+def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   num_buckets: int = 64):
+    """Build an inverted index: one row per distinct token with its
+    sorted posting list and document frequency —
+    ``(token, doc_ids: list<int64>, df: int64)``.
+
+    Scale shape: each batch collapses to DISTINCT (token, doc) pairs
+    before the shuffle (tokens dictionary-encoded, pair-dedup via one
+    lexsort — no Python per token), so the exchange moves one row per
+    posting, the irreducible minimum for index construction. The
+    shuffle key is a constant-bucket token hash (``num_buckets``
+    tasks, each building the postings for its token shard — the
+    standard sharded-index layout, one shard per reducer at cluster
+    scale). Inside a bucket the postings are assembled with one
+    lexsort + reduceat; list offsets are computed vectorized. Tokens
+    arrive deduped per batch but not globally, so the bucket pass
+    dedups (token, doc) again — exact ``count(DISTINCT doc)``
+    semantics. Tokenization: single-space split (SQL
+    ``string_split(text, ' ')`` parity).
+    """
+    from .dedup import _segmented_poly_hash
+    from .sketches import _splitmix64
+    from ..core.arrays import byte_array_values
+
+    NB = max(int(num_buckets), 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = single_chunk(batch.column(text_col))
+        ids = single_chunk(batch.column(id_col)).cast(pa.int64())
+        toks = pc.split_pattern(pc.fill_null(text, ""), " ")
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = single_chunk(pc.list_flatten(toks))
+        doc_of = np.repeat(ids.to_numpy(zero_copy_only=False), nper)
+        denc = pc.dictionary_encode(flat)
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (token, doc) pairs: one lexsort over the pair key
+        order = np.lexsort((doc_of, codes))
+        c_s, d_s = codes[order], doc_of[order]
+        keep = np.r_[True, (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])]
+        c_u, d_u = c_s[keep], d_s[keep]
+        toks_out = denc.dictionary.take(pa.array(c_u))
+        lens, data = byte_array_values(toks_out)
+        bucket = (_splitmix64(_segmented_poly_hash(lens, data))
+                  .astype(np.int64) % NB)
+        return pa.table({
+            "token": toks_out,
+            "doc": pa.array(d_u),
+            "__bucket": pa.array(bucket),
+        })
+
+    def build(group: pa.Table) -> pa.Table:
+        toks = single_chunk(group.column("token"))
+        docs = group.column("doc").to_numpy(zero_copy_only=False)
+        denc = pc.dictionary_encode(toks)
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((docs, codes))
+        c_s, d_s = codes[order], docs[order]
+        keep = np.r_[True, (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])]
+        c_u, d_u = c_s[keep], d_s[keep]
+        starts = np.nonzero(np.r_[True, c_u[1:] != c_u[:-1]])[0]
+        df = np.diff(np.r_[starts, len(c_u)])
+        offsets = np.r_[0, np.cumsum(df)].astype(np.int32)
+        postings = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(d_u, pa.int64()))
+        return pa.table({
+            "token": denc.dictionary.take(pa.array(c_u[starts])),
+            "doc_ids": postings,
+            "df": pa.array(df.astype(np.int64)),
+        })
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return pairs.groupby("__bucket").map_groups(
+        build, batch_format="pyarrow")

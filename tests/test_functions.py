@@ -355,3 +355,97 @@ def test_decontaminate_exact_ngram_overlap(ray_session):
         b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
     ).sort_by("doc_id")
     assert got.column("doc_id").to_pylist() == [1, 3, 4, 5]
+
+
+def test_inverted_index_matches_duckdb(ray_session):
+    """Postings and df equal DuckDB's unnest+DISTINCT formulation,
+    including cross-batch (token, doc) dedup and empty tokens."""
+    import duckdb
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.text import inverted_index
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "text": pa.array(
+            [f"the cat sat {'x' * (i % 3)} on the mat {i % 5}"
+             for i in range(40)]),
+    })
+    out = inverted_index(
+        ray.data.from_arrow(docs).repartition(5), num_buckets=3)
+    got = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("token")
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.sql(
+        "WITH p AS (SELECT DISTINCT u.tok AS token, doc_id FROM documents, "
+        "unnest(string_split(text, ' ')) AS u(tok)) "
+        "SELECT token, list(doc_id ORDER BY doc_id) AS doc_ids, "
+        "CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token ORDER BY token"
+    ).arrow()
+    got = got.combine_chunks()
+    assert got.column("token").to_pylist() == want.column("token").to_pylist()
+    assert got.column("doc_ids").to_pylist() == want.column("doc_ids").to_pylist()
+    assert got.column("df").to_pylist() == want.column("df").to_pylist()
+
+
+def test_histogram_exact_bins(ray_session):
+    """Bin counts equal an independent numpy histogram with the same
+    rule; nulls and out-of-range values excluded; empty bins present."""
+    import numpy as np
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.stats import histogram
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(0, 2, 5000)
+    vals[::97] = np.nan
+    vals[::53] = 100.0  # out of range
+    t = pa.table({"v": pa.array(vals, pa.float64())})
+    out = histogram(ray.data.from_arrow(t).repartition(4),
+                    "v", lo=-4.0, hi=4.0, bins=16)
+    got = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("bin")
+    x = vals[~np.isnan(vals)]
+    x = x[(x >= -4.0) & (x <= 4.0)]
+    w = (4.0 - (-4.0)) / 16
+    b = np.minimum(np.floor((x - (-4.0)) / w).astype(np.int64), 15)
+    want = np.bincount(b, minlength=16)
+    assert got.column("bin").to_pylist() == list(range(16))
+    assert got.column("n").to_pylist() == want.tolist()
+    assert got.column("lo_edge").to_pylist()[0] == -4.0
+    assert got.column("hi_edge").to_pylist()[-1] == 4.0
+
+
+def test_deterministic_shuffle_reproducible(ray_session):
+    """Same seed -> identical order across runs and partitionings;
+    different seed -> different order; output is a permutation."""
+    import numpy as np
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.shuffle import (
+        deterministic_shuffle, shuffle_key)
+
+    ids = pa.table({"doc_id": pa.array(list(range(1000)), pa.int64())})
+
+    def run(seed, parts):
+        out = deterministic_shuffle(
+            ray.data.from_arrow(ids).repartition(parts),
+            id_col="doc_id", seed=seed)
+        return pa.concat_tables(
+            b for b in out.iter_batches(batch_size=None,
+                                        batch_format="pyarrow")
+        ).column("doc_id").to_pylist()
+
+    a = run(7, 4)
+    assert run(7, 9) == a, "order depends on partitioning"
+    assert run(8, 4) != a, "seed has no effect"
+    assert sorted(a) == list(range(1000)), "not a permutation"
+    keys = shuffle_key(np.arange(1000, dtype=np.int64), 7).astype(np.int64)
+    expect = np.arange(1000)[np.argsort(keys, kind="stable")].tolist()
+    assert a == expect, "order differs from the pure key function"
