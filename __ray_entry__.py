@@ -1063,6 +1063,32 @@ def _q_grouped_hll(sf_dir: str) -> pa.Table:
     return t.sort_by("event_type")
 
 
+def _q_hash_join(sf_dir: str) -> pa.Table:
+    """Big-x-big equi-join with NO broadcast: orders x customer both
+    shuffle once on hash(custkey) % NB and each bucket joins
+    vectorized (functions/joins.py:hash_join) — the shape for a right
+    side that is itself cluster-scale. Left join keeps orders whose
+    customer is absent (null payload)."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment"])
+    out = hash_join(orders, customer, on="o_custkey",
+                    right_on="c_custkey",
+                    right_cols=["c_name", "c_mktsegment"], how="left")
+    return _collect(out, pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_totalprice", pa.float64()), ("c_name", pa.string()),
+        ("c_mktsegment", pa.string()),
+    ])).sort_by("o_orderkey")
+
+
 def _q_inverted_index(sf_dir: str) -> pa.Table:
     """Full inverted index over the documents corpus: one row per
     distinct token with sorted posting list + document frequency.
@@ -1748,6 +1774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pack_sequences"] = _q_pack_sequences  # rows-only: algorithmic op,
     # self-verifying in-driver (exact-cover + budget + efficiency bound)
     q["join_broadcast_enrich"] = _q_broadcast_join
+    q["join_shuffle_hash"] = _q_hash_join
     q["group_topk_docs"] = _q_group_topk
     q["interval_join_sessions"] = _q_interval_join
     q["text_distinctive_terms"] = _q_distinctive_terms
@@ -2009,6 +2036,11 @@ def oracle_sql() -> dict[str, str]:
         "JOIN nation ON c_nationkey = n_nationkey AND n_nationkey < 20 "
         "LEFT JOIN region ON n_regionkey = r_regionkey "
         "GROUP BY 1 ORDER BY r_name"
+    )
+    sql["join_shuffle_hash"] = (
+        "SELECT o_orderkey, o_custkey, o_totalprice, c_name, "
+        "c_mktsegment FROM orders LEFT JOIN customer "
+        "ON o_custkey = c_custkey ORDER BY o_orderkey"
     )
     sql["text_redact"] = (
         "SELECT doc_id, regexp_replace(regexp_replace(text, "
