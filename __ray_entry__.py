@@ -1063,6 +1063,28 @@ def _q_grouped_hll(sf_dir: str) -> pa.Table:
     return t.sort_by("event_type")
 
 
+def _q_lm_score(sf_dir: str) -> pa.Table:
+    """CCNet-style bigram LM quality scoring: train add-alpha bigram
+    counts over the corpus (one constant-bucket shuffle produces both
+    c12 and the left-context total c1), broadcast the
+    vocabulary-bounded model once, score each document's per-token
+    cross-entropy in an actor pool (functions/lm.py). The SQL oracle
+    re-derives the entire train+score composition."""
+    from hyparquet_writer_ray.functions.lm import (
+        bigram_model, lm_score, vocab_size)
+
+    ds = _docs_ds(sf_dir).select_columns(["doc_id", "text"])
+    model = _collect(bigram_model(ds), pa.schema([
+        ("w1", pa.string()), ("w2", pa.string()),
+        ("c12", pa.int64()), ("c1", pa.int64())]))
+    V = vocab_size(ds)
+    out = lm_score(ds, model, V)
+    return _collect(out, pa.schema([
+        ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+        ("xent", pa.float64()),
+    ])).sort_by("doc_id")
+
+
 def _q_hash_join(sf_dir: str) -> pa.Table:
     """Big-x-big equi-join with NO broadcast: orders x customer both
     shuffle once on hash(custkey) % NB and each bucket joins
@@ -1740,6 +1762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["hll_by_event_type"] = _q_grouped_hll  # rows-only: approximate
     # sketch; every key gated in-driver vs exact count(DISTINCT)
     q["text_inverted_index"] = _q_inverted_index
+    q["text_lm_score"] = _q_lm_score
     q["events_histogram"] = _q_histogram
     q["shuffle_export"] = _q_shuffle_export  # rows-only: order is the
     # result; full permutation re-derived and asserted in-driver
@@ -1856,6 +1879,28 @@ def oracle_sql() -> dict[str, str]:
         "SELECT token, list(doc_id ORDER BY doc_id) AS doc_ids, "
         "CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token "
         "ORDER BY token"
+    )
+    sql["text_lm_score"] = (
+        # the full train+score composition: bigram counts bc, left
+        # totals uc, exact vocab V, then per-doc mean of
+        # -ln((c12+0.5)/(c1+0.5*V)) — formula mirrored token-for-token
+        # by functions/lm.py LMScorer
+        "WITH toks AS (SELECT doc_id, string_split(text,' ') AS l "
+        "FROM documents), "
+        "big AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2 FROM "
+        "(SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i "
+        "FROM toks)), "
+        "bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1,2), "
+        "uc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1), "
+        "v AS (SELECT count(DISTINCT u.tok) AS vocab FROM documents, "
+        "unnest(string_split(text,' ')) AS u(tok)), "
+        "scored AS (SELECT big.doc_id, "
+        "ln((bc.c12 + 0.5) / (uc.c1 + 0.5 * v.vocab)) AS lp "
+        "FROM big JOIN bc USING (w1,w2) JOIN uc USING (w1) "
+        "CROSS JOIN v) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        "-sum(lp)/count(*) AS xent FROM scored GROUP BY doc_id "
+        "ORDER BY doc_id"
     )
     sql["events_histogram"] = (
         # bin rule mirrored token-for-token with functions/stats.py:

@@ -1,0 +1,225 @@
+"""Bigram language-model quality scoring (the CCNet-style perplexity
+filter): train token-bigram counts over a corpus, then score every
+document's per-token cross-entropy under the model with add-alpha
+smoothing — ``logP(w2|w1) = ln((c12 + a) / (c1 + a*V))``.
+
+Scale shape:
+- **Training** is ONE constant-bucket shuffle keyed on ``hash(w1)``:
+  each batch pre-aggregates its (w1, w2) pair counts (dictionary
+  encode + lexsort + reduceat — no Python per token) so the exchange
+  moves distinct-pairs-per-batch rows, and because a bucket holds ALL
+  continuations of its w1 tokens, both the bigram count c12 and the
+  left-context total c1 come out of the same pass.
+- **The model** is vocabulary-bounded, not corpus-bounded; prune with
+  ``min_count`` when the long tail outgrows worker memory. Scoring
+  broadcasts it once (``ray.put``) into an actor pool — each actor
+  builds its lookup dict in ``__init__``, batches probe it only on
+  dictionary-encoded DISTINCT bigrams, and per-doc sums are one
+  ``np.bincount``. For a model too large to broadcast, compose two
+  ``hash_join``s against the model table instead (same outputs).
+- **Vocabulary size** (the smoothing constant V) is exact distinct
+  tokens via per-batch ``pc.unique`` partials into a bucketed count.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.arrays import byte_array_values, single_chunk
+
+
+def _doc_bigrams(batch: pa.Table, text_col: str):
+    """(w1, w2, doc_row_index) for all within-document adjacent token
+    pairs of a batch; single-space tokenization (SQL string_split
+    parity)."""
+    text = single_chunk(batch.column(text_col))
+    toks = pc.split_pattern(pc.fill_null(text, ""), " ")
+    nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = single_chunk(pc.list_flatten(toks))
+    doc_idx = np.repeat(np.arange(len(nper), dtype=np.int64), nper)
+    if len(doc_idx) < 2:
+        empty = pa.array([], flat.type)
+        return empty, empty, np.zeros(0, np.int64)
+    mask = pa.array(doc_idx[1:] == doc_idx[:-1])
+    w1 = flat.slice(0, len(flat) - 1).filter(mask)
+    w2 = flat.slice(1).filter(mask)
+    return w1, w2, doc_idx[:-1][np.asarray(mask)]
+
+
+def _pair_counts(w1: pa.Array, w2: pa.Array):
+    """Distinct (w1, w2) pairs + counts via lexsort (no Python loop)."""
+    d1, d2 = pc.dictionary_encode(w1), pc.dictionary_encode(w2)
+    c1 = d1.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    c2 = d2.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((c2, c1))
+    s1, s2 = c1[order], c2[order]
+    starts = np.nonzero(
+        np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])])[0]
+    n = np.diff(np.r_[starts, len(s1)])
+    return (d1.dictionary.take(pa.array(s1[starts])),
+            d2.dictionary.take(pa.array(s2[starts])),
+            n.astype(np.int64))
+
+
+def bigram_model(ds, *, text_col: str = "text", num_buckets: int = 64,
+                 min_count: int = 1):
+    """Corpus bigram model: ``(w1, w2, c12:int64, c1:int64)`` rows,
+    where c1 = total bigram occurrences with left context w1 (so the
+    conditional is c12/c1). ``min_count`` prunes rare PAIRS from the
+    output but after c1 is computed, so probabilities stay exact."""
+    from .dedup import _segmented_poly_hash
+    from .sketches import _splitmix64
+
+    NB = max(int(num_buckets), 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w1, w2, _ = _doc_bigrams(batch, text_col)
+        u1, u2, n = _pair_counts(w1, w2)
+        lens, data = byte_array_values(u1)
+        bucket = (_splitmix64(_segmented_poly_hash(lens, data))
+                  .astype(np.int64) % NB)
+        return pa.table({"w1": u1, "w2": u2, "n": pa.array(n),
+                         "__bucket": pa.array(bucket)})
+
+    def resolve(group: pa.Table) -> pa.Table:
+        d1 = pc.dictionary_encode(single_chunk(group.column("w1")))
+        d2 = pc.dictionary_encode(single_chunk(group.column("w2")))
+        c1 = d1.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = d2.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((c2, c1))
+        s1, s2, sn = c1[order], c2[order], n[order]
+        pair_starts = np.nonzero(
+            np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])])[0]
+        c12 = np.add.reduceat(sn, pair_starts)
+        p1 = s1[pair_starts]
+        w1_starts = np.nonzero(np.r_[True, p1[1:] != p1[:-1]])[0]
+        totals = np.add.reduceat(c12, w1_starts)
+        c1_of_pair = np.repeat(totals,
+                               np.diff(np.r_[w1_starts, len(p1)]))
+        keep = c12 >= min_count
+        return pa.table({
+            "w1": d1.dictionary.take(pa.array(p1[keep])),
+            "w2": d2.dictionary.take(pa.array(s2[pair_starts][keep])),
+            "c12": pa.array(c12[keep].astype(np.int64)),
+            "c1": pa.array(c1_of_pair[keep].astype(np.int64)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return parts.groupby("__bucket").map_groups(
+        resolve, batch_format="pyarrow")
+
+
+def vocab_size(ds, *, text_col: str = "text",
+               num_buckets: int = 64) -> int:
+    """Exact distinct token count (the smoothing constant V): per-batch
+    ``pc.unique`` partials, bucketed distinct count, driver sums one
+    int per bucket."""
+    from .dedup import _segmented_poly_hash
+    from .sketches import _splitmix64
+
+    NB = max(int(num_buckets), 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = single_chunk(batch.column(text_col))
+        toks = pc.unique(single_chunk(
+            pc.list_flatten(pc.split_pattern(pc.fill_null(text, ""), " "))))
+        lens, data = byte_array_values(toks)
+        bucket = (_splitmix64(_segmented_poly_hash(lens, data))
+                  .astype(np.int64) % NB)
+        return pa.table({"tok": toks, "__bucket": pa.array(bucket)})
+
+    def resolve(group: pa.Table) -> pa.Table:
+        n = len(pc.unique(single_chunk(group.column("tok"))))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    counts = parts.groupby("__bucket").map_groups(
+        resolve, batch_format="pyarrow")
+    return sum(
+        sum(b.column("n").to_pylist())
+        for b in counts.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    )
+
+
+class LMScorer:
+    """Actor stage: per-document cross-entropy under a broadcast bigram
+    model. Lookup dicts built once per actor in ``__init__``; per batch
+    only DISTINCT bigrams touch Python (dictionary-encoded probe, then
+    vectorized take/bincount)."""
+
+    SEP = "\x1f"
+
+    def __init__(self, model_ref, vocab: int, alpha: float,
+                 text_col: str, id_col: str) -> None:
+        import ray
+        model: pa.Table = ray.get(model_ref)
+        keys = pc.binary_join_element_wise(
+            model.column("w1").cast(pa.string()),
+            model.column("w2").cast(pa.string()), self.SEP)
+        c12 = model.column("c12").to_numpy(zero_copy_only=False)
+        c1 = model.column("c1").to_numpy(zero_copy_only=False)
+        self.pair = dict(zip(keys.to_pylist(),
+                             zip(c12.tolist(), c1.tolist())))
+        self.left = {}
+        for w1, c in zip(model.column("w1").to_pylist(), c1.tolist()):
+            self.left.setdefault(w1, c)
+        self.vocab = int(vocab)
+        self.alpha = float(alpha)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w1, w2, doc_of = _doc_bigrams(batch, self.text_col)
+        ids = single_chunk(batch.column(self.id_col)).cast(pa.int64())
+        a, V = self.alpha, self.vocab
+        if len(doc_of) == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "xent": pa.array([], pa.float64())})
+        keys = pc.binary_join_element_wise(w1, w2, self.SEP)
+        denc = pc.dictionary_encode(keys)
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = denc.dictionary.to_pylist()
+        lp_u = np.empty(len(uniq), np.float64)
+        for i, k in enumerate(uniq):
+            hit = self.pair.get(k)
+            if hit is not None:
+                c12, c1 = hit
+            else:
+                c12 = 0
+                c1 = self.left.get(k.split(self.SEP, 1)[0], 0)
+            # formula mirrored by the SQL oracle token-for-token
+            lp_u[i] = np.log((c12 + a) / (c1 + a * V))
+        lp = lp_u[codes]
+        nb = np.bincount(doc_of, minlength=batch.num_rows)
+        sums = np.bincount(doc_of, weights=lp, minlength=batch.num_rows)
+        has = nb > 0
+        return pa.table({
+            self.id_col: ids.filter(pa.array(has)),
+            "n_bigrams": pa.array(nb[has].astype(np.int64)),
+            "xent": pa.array(-sums[has] / nb[has], pa.float64()),
+        })
+
+
+def lm_score(ds, model: pa.Table, vocab: int, *, alpha: float = 0.5,
+             text_col: str = "text", id_col: str = "doc_id",
+             concurrency=(1, 4)):
+    """Score every document of ``ds`` under a trained bigram model.
+    Returns ``(id, n_bigrams, xent)``; documents with no bigram
+    (fewer than two tokens) are excluded, matching the SQL oracle."""
+    import ray
+
+    model_ref = ray.put(model.combine_chunks())
+    return ds.map_batches(
+        LMScorer,
+        fn_constructor_kwargs=dict(model_ref=model_ref, vocab=vocab,
+                                   alpha=alpha, text_col=text_col,
+                                   id_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,120 @@
+"""Bigram LM training + cross-entropy scoring (functions/lm.py)."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _collect(ds):
+    return pa.concat_tables(
+        b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+
+@pytest.fixture()
+def corpus():
+    return pa.table({
+        "doc_id": pa.array(list(range(60)), pa.int64()),
+        "text": pa.array(
+            [f"the cat {i % 5} sat on the mat {i % 3}" if i % 7
+             else "one token" for i in range(60)]),
+    })
+
+
+def test_bigram_model_counts_match_duckdb(ray_session, corpus):
+    import duckdb
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.lm import bigram_model
+
+    model = _collect(bigram_model(
+        ray.data.from_arrow(corpus).repartition(4), num_buckets=3))
+    con = duckdb.connect()
+    con.register("documents", corpus)
+    want = con.sql(
+        "WITH toks AS (SELECT doc_id, string_split(text,' ') AS l "
+        "FROM documents), big AS (SELECT l[i] AS w1, l[i+1] AS w2 FROM "
+        "(SELECT l, unnest(generate_series(1, len(l)-1)) AS i FROM toks)) "
+        "SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12, "
+        "CAST(sum(count(*)) OVER (PARTITION BY w1) AS BIGINT) AS c1 "
+        "FROM big GROUP BY 1, 2 ORDER BY w1, w2"
+    ).arrow()
+    got = model.sort_by([("w1", "ascending"), ("w2", "ascending")])
+    for col in ("w1", "w2", "c12", "c1"):
+        assert got.column(col).to_pylist() == want.column(col).to_pylist(), col
+
+
+def test_vocab_size_exact(ray_session, corpus):
+    import duckdb
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.lm import vocab_size
+
+    V = vocab_size(ray.data.from_arrow(corpus).repartition(5),
+                   num_buckets=4)
+    con = duckdb.connect()
+    con.register("documents", corpus)
+    want = con.sql(
+        "SELECT count(DISTINCT u.tok) FROM documents, "
+        "unnest(string_split(text,' ')) AS u(tok)").fetchone()[0]
+    assert V == want
+
+
+def test_lm_score_unseen_bigrams_and_words(ray_session, corpus):
+    """Scoring held-out text exercises both fallbacks: unseen pair with
+    seen left context (c12=0, real c1) and fully unseen left word
+    (c1=0). Expected values recomputed scalar-by-scalar in the test."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.lm import (
+        bigram_model, lm_score, vocab_size)
+
+    train = ray.data.from_arrow(corpus).repartition(3)
+    model = _collect(bigram_model(train))
+    V = vocab_size(train)
+    held = pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array(["the zebra runs", "qq ww"]),
+    })
+    got = _collect(lm_score(
+        ray.data.from_arrow(held), model, V)).sort_by("doc_id")
+
+    pair = {(a, b): (c, d) for a, b, c, d in zip(
+        model.column("w1").to_pylist(), model.column("w2").to_pylist(),
+        model.column("c12").to_pylist(), model.column("c1").to_pylist())}
+    left = {}
+    for w1, c1 in zip(model.column("w1").to_pylist(),
+                      model.column("c1").to_pylist()):
+        left.setdefault(w1, c1)
+
+    def lp(w1, w2):
+        c12, c1 = pair.get((w1, w2), (0, left.get(w1, 0)))
+        return np.log((c12 + 0.5) / (c1 + 0.5 * V))
+
+    exp = [
+        -(lp("the", "zebra") + lp("zebra", "runs")) / 2,
+        -lp("qq", "ww") / 1,
+    ]
+    assert got.column("n_bigrams").to_pylist() == [2, 1]
+    assert np.allclose(got.column("xent").to_pylist(), exp, rtol=1e-12)
+
+
+def test_bigram_model_min_count_prunes_pairs_not_totals(ray_session):
+    import ray.data
+
+    from hyparquet_writer_ray.functions.lm import bigram_model
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b", "a b", "a c"]),
+    })
+    model = _collect(bigram_model(
+        ray.data.from_arrow(docs), min_count=2))
+    rows = {(a, b): (c, d) for a, b, c, d in zip(
+        model.column("w1").to_pylist(), model.column("w2").to_pylist(),
+        model.column("c12").to_pylist(), model.column("c1").to_pylist())}
+    # (a,c) pruned, but c1 still counts it: P(b|a) stays 2/3-shaped
+    assert rows == {("a", "b"): (2, 3)}
