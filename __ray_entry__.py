@@ -1174,6 +1174,40 @@ def _q_shuffle_export(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_cms_freq(sf_dir: str) -> pa.Table:
+    """Count-min sketch frequency profile of events.user_id: each
+    batch collapses to one depth x width count matrix, partials merge
+    by sum — the sketch never sees individual rows cross the wire.
+    The in-driver gate checks the CMS contract against exact DuckDB
+    counts for EVERY distinct user: no underestimate, overestimate
+    <= 2n/width."""
+    import duckdb
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.sketches import (
+        cms_estimate, count_min_sketch)
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    cms = count_min_sketch(ds, "user_id", depth=4, width=16384)
+    exact = duckdb.sql(
+        "SELECT user_id, count(*) AS n FROM "
+        f"'{os.path.join(sf_dir, 'events.parquet')}' "
+        "WHERE user_id IS NOT NULL GROUP BY 1 ORDER BY 1").arrow()
+    vals = exact.column("user_id").combine_chunks()
+    est = cms_estimate(cms, vals)
+    true = exact.column("n").to_numpy(zero_copy_only=False)
+    bound = 2 * cms["n"] / cms["width"]
+    assert (est >= true).all(), "CMS underestimated a frequency"
+    assert (est - true).max() <= bound, \
+        f"CMS error {int((est - true).max())} above bound {bound}"
+    return pa.table({
+        "user_id": vals,
+        "freq_est": pa.array(est, pa.int64()),
+    }).sort_by("user_id")
+
+
 def _q_web_extract(sf_dir: str) -> pa.Table:
     """End-to-end webtext extraction over the north-rule input table:
     synthesize the deterministic Common-Crawl-style webtable, strip
@@ -1763,6 +1797,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sketch; every key gated in-driver vs exact count(DISTINCT)
     q["text_inverted_index"] = _q_inverted_index
     q["text_lm_score"] = _q_lm_score
+    q["cms_user_freq"] = _q_cms_freq  # rows-only: approximate sketch;
+    # every distinct user gated in-driver vs exact counts (no under-
+    # estimate, error <= 2n/width)
     q["events_histogram"] = _q_histogram
     q["shuffle_export"] = _q_shuffle_export  # rows-only: order is the
     # result; full permutation re-derived and asserted in-driver

@@ -215,3 +215,69 @@ def hll_distinct(ds, col: str, *, p: int = 12) -> dict:
         for v in b.column("reg"):
             reg = np.maximum(reg, np.frombuffer(v.as_py(), np.uint8))
     return {"estimate": hll_estimate(reg), "registers": reg}
+
+
+def _cms_rows(hashes: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) bucket indices: row d uses an independent splitmix
+    lane (seeded re-mix) of the value hash."""
+    idx = np.empty((depth, len(hashes)), np.int64)
+    for d in range(depth):
+        seed = (0xA076_1D64_78BD_642F * (d + 1)) & 0xFFFF_FFFF_FFFF_FFFF
+        lane = _splitmix64(hashes ^ np.uint64(seed))
+        idx[d] = (lane % np.uint64(width)).astype(np.int64)
+    return idx
+
+
+def count_min_sketch(ds, col: str, *, depth: int = 4, width: int = 8192):
+    """Count-min sketch of value frequencies in ``ds[col]``: a
+    (depth x width) uint64 count matrix. Point query
+    ``cms_estimate(sketch, value)`` never underestimates and
+    overestimates by at most ``2 * n / width`` with probability
+    ``1 - 2^-depth`` (Cormode & Muthukrishnan 2005).
+
+    Scale shape: each batch collapses to one depth x width partial
+    (np.add.at over dictionary-pre-counted values), partials merge by
+    elementwise SUM on the driver — depth*width*8 bytes per batch is
+    the only movement, never the values. Deterministic (fixed
+    splitmix64 lanes), so the same input always yields the same
+    sketch. Returns ``{"sketch": np.ndarray, "n": int, "depth": ...,
+    "width": ...}``."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = single_chunk(batch.column(col))
+        v = v.filter(pc.is_valid(v))
+        mat = np.zeros((depth, width), np.uint64)
+        n = len(v)
+        if n:
+            # pre-count duplicates so add.at touches distinct values only
+            denc = pc.dictionary_encode(v)
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            counts = np.bincount(codes, minlength=len(denc.dictionary)) \
+                .astype(np.uint64)
+            idx = _cms_rows(_hash_column(denc.dictionary), depth, width)
+            for d in range(depth):
+                np.add.at(mat[d], idx[d], counts)
+        return pa.table({
+            "part": pa.array([mat.tobytes()], pa.large_binary()),
+            "n": pa.array([n], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    sketch = np.zeros((depth, width), np.uint64)
+    total = 0
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for blob, n in zip(b.column("part").to_pylist(),
+                           b.column("n").to_pylist()):
+            sketch += np.frombuffer(blob, np.uint64).reshape(depth, width)
+            total += n
+    return {"sketch": sketch, "n": total, "depth": depth, "width": width}
+
+
+def cms_estimate(cms: dict, values: pa.Array) -> np.ndarray:
+    """Estimated frequency of each value (vectorized min over rows)."""
+    idx = _cms_rows(_hash_column(values), cms["depth"], cms["width"])
+    ests = np.stack([cms["sketch"][d][idx[d]]
+                     for d in range(cms["depth"])])
+    return ests.min(axis=0).astype(np.int64)

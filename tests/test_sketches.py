@@ -194,3 +194,48 @@ def test_grouped_hll_within_error_envelope(ray_session):
     assert set(got) == set(want)
     for k, w in want.items():
         assert abs(got[k] - w) <= max(0.05 * w, 2), (k, got[k], w)
+
+
+def test_count_min_sketch_bounds(ray_session):
+    """CMS point estimates never underestimate and stay within the
+    2n/width bound for every queried value (string and int columns);
+    heavy hitters are near-exact."""
+    import numpy as np
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.sketches import (
+        cms_estimate, count_min_sketch)
+
+    rng = np.random.default_rng(11)
+    zipf = np.minimum(rng.zipf(1.3, 40000), 5000)
+    t = pa.table({"v": pa.array([f"tok{int(x)}" for x in zipf])})
+    cms = count_min_sketch(
+        ray.data.from_arrow(t).repartition(6), "v",
+        depth=4, width=4096)
+    assert cms["n"] == 40000
+    import collections
+    true = collections.Counter(t.column("v").to_pylist())
+    qvals = pa.array(list(true.keys()))
+    est = cms_estimate(cms, qvals)
+    errs = est - np.array([true[k] for k in qvals.to_pylist()])
+    assert (errs >= 0).all(), "CMS underestimated"
+    assert errs.max() <= 2 * cms["n"] / cms["width"], errs.max()
+    # the single heaviest token should be essentially exact
+    top = max(true, key=true.get)
+    top_est = cms_estimate(cms, pa.array([top]))[0]
+    assert abs(top_est - true[top]) <= 2 * cms["n"] / cms["width"]
+
+
+def test_count_min_deterministic_and_mergeable(ray_session):
+    import numpy as np
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.sketches import count_min_sketch
+
+    t = pa.table({"v": pa.array(list(range(1000)) * 3, pa.int64())})
+    a = count_min_sketch(ray.data.from_arrow(t).repartition(2), "v")
+    b = count_min_sketch(ray.data.from_arrow(t).repartition(7), "v")
+    assert np.array_equal(a["sketch"], b["sketch"]), \
+        "sketch depends on partitioning"
