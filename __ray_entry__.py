@@ -223,7 +223,7 @@ def _q_roundtrip_sorted(sf_dir: str) -> pa.Table:
     for f in files:
         pf = pq.ParquetFile(f, page_checksum_verification=True)
         parts.append(pf.read())  # raises on any CRC mismatch
-        md = pq.ParquetFile(f).metadata
+        md = pf.metadata
         if sort_leaf_idx is None:
             names = [md.schema.column(i).name for i in range(md.num_columns)]
             sort_leaf_idx = [names.index("event_type"), names.index("user_id")]
@@ -1163,8 +1163,7 @@ def _q_shuffle_export(sf_dir: str) -> pa.Table:
     all_ids = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     ).column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    keys = shuffle_key(all_ids, 41).astype(np.int64)
-    expect = all_ids[np.argsort(keys, kind="stable")]
+    expect = all_ids[np.argsort(shuffle_key(all_ids, 41), kind="stable")]
     assert np.array_equal(got_ids, expect), "shuffle order mismatch"
     assert np.array_equal(np.sort(got_ids), np.sort(all_ids)), \
         "shuffle lost or duplicated rows"
@@ -1179,8 +1178,10 @@ def _q_cms_freq(sf_dir: str) -> pa.Table:
     batch collapses to one depth x width count matrix, partials merge
     by sum — the sketch never sees individual rows cross the wire.
     The in-driver gate checks the CMS contract against exact DuckDB
-    counts for EVERY distinct user: no underestimate, overestimate
-    <= 2n/width."""
+    counts for EVERY distinct user: no underestimate ever, and the
+    2n/width overestimate bound violated on at most ~2^-depth of the
+    values (the actual Cormode-Muthukrishnan guarantee — it is
+    per-value probabilistic, NOT a max bound)."""
     import duckdb
 
     import ray.data
@@ -1200,8 +1201,12 @@ def _q_cms_freq(sf_dir: str) -> pa.Table:
     true = exact.column("n").to_numpy(zero_copy_only=False)
     bound = 2 * cms["n"] / cms["width"]
     assert (est >= true).all(), "CMS underestimated a frequency"
-    assert (est - true).max() <= bound, \
-        f"CMS error {int((est - true).max())} above bound {bound}"
+    viol = float(((est - true) > bound).mean())
+    allowed = 2.0 * 2.0 ** -cms["depth"]  # 2x margin on the 2^-depth rate
+    assert viol <= allowed, \
+        f"CMS bound violated on {viol:.1%} of values (allowed {allowed:.1%})"
+    assert float((est - true).mean()) <= bound, \
+        f"CMS mean error {(est - true).mean():.2f} above {bound}"
     return pa.table({
         "user_id": vals,
         "freq_est": pa.array(est, pa.int64()),

@@ -196,24 +196,38 @@ def resolve_sorting_columns(
     """Map WriteOptions.sorting_columns names to leaf ordinals.
 
     SortingColumn.column_idx indexes the row group's column-chunk list,
-    which is the depth-first leaf order of the schema. Only top-level
-    primitive columns are sortable here (a nested leaf's chunk order is
-    still resolved correctly, but sorting by part of a list/map has no
-    defined row order) — unknown names raise.
+    which is the depth-first leaf order of the schema. Only TOP-LEVEL
+    primitive columns are sortable (sorting by part of a list/map has
+    no defined row order), and name resolution considers only those —
+    a nested leaf that happens to share the name (e.g. a map's
+    ``value``) never shadows a top-level column. Unknown names raise.
     """
     if not sorting_columns:
         return None
-    leaf_names = [el.name for el in schema_ir[1:] if el.is_leaf]
+    # walk the flat DFS schema with a remaining-children stack so each
+    # leaf gets its chunk ordinal and we know whether it is top-level
+    top_level: dict[str, int] = {}
+    stack = [schema_ir[0].num_children or 0]
+    leaf_ord = 0
+    for el in schema_ir[1:]:
+        depth = len(stack)
+        stack[-1] -= 1
+        if el.is_leaf:
+            if depth == 1 and el.name not in top_level:
+                top_level[el.name] = leaf_ord
+            leaf_ord += 1
+        else:
+            stack.append(el.num_children or 0)
+        while stack and stack[-1] == 0:
+            stack.pop()
     out = []
     for name, desc, nulls_first in sorting_columns:
-        try:
-            idx = leaf_names.index(name)
-        except ValueError:
+        if name not in top_level:
             raise ValueError(
-                f"sorting_columns: {name!r} is not a leaf column "
-                f"(leaves: {leaf_names})"
-            ) from None
-        out.append((idx, bool(desc), bool(nulls_first)))
+                f"sorting_columns: {name!r} is not a top-level leaf "
+                f"column (sortable: {sorted(top_level)})"
+            )
+        out.append((top_level[name], bool(desc), bool(nulls_first)))
     return out
 
 

@@ -20,7 +20,15 @@ from .similarity import (
     lsh_bucket_pairs,
     topk_cosine,
 )
-from .sketches import hll_distinct, hll_estimate
+from .sketches import (
+    cms_estimate,
+    count_min_sketch,
+    grouped_hll_distinct,
+    hll_distinct,
+    hll_estimate,
+)
+from .lm import LMScorer, bigram_model, lm_score, vocab_size
+from .shuffle import deterministic_shuffle, shuffle_key
 from .text import (
     LangIdModel,
     bpe_token_counts,
@@ -34,6 +42,7 @@ from .text import (
     redact,
     repetition_stats,
     rolling_fingerprints,
+    inverted_index,
     stratified_sample,
     token_counts,
     top_tokens,
@@ -42,7 +51,13 @@ from .semistructured import json_extract_batch, json_extract_field
 from .audio import AudioFeatureStage, audio_features
 from .graph import connected_components, drop_near_duplicates
 from .ingest import SeenFilter, filter_seen
-from .stats import exact_quantiles, group_topk, grouped_quantiles, profile_table
+from .stats import (
+    exact_quantiles,
+    group_topk,
+    grouped_quantiles,
+    histogram,
+    profile_table,
+)
 from .packing import pack_sequences
 from .web import DomainFilter, domain_stats, filter_domains, html_to_text, parse_urls
 from .windows import hopping_window_agg, sessionize, tumbling_window_agg
@@ -57,11 +72,15 @@ __all__ = [
     "HyperplaneBucketer", "exact_cosine_pairs", "ivf_topk",
     "lsh_bucket_pairs", "topk_cosine",
     "asof_join", "broadcast_join", "hash_join", "interval_join",
-    "hll_distinct", "hll_estimate", "exact_quantiles", "group_topk", "grouped_quantiles",
+    "hll_distinct", "hll_estimate", "grouped_hll_distinct",
+    "count_min_sketch", "cms_estimate",
+    "LMScorer", "bigram_model", "lm_score", "vocab_size",
+    "deterministic_shuffle", "shuffle_key", "histogram",
+    "exact_quantiles", "group_topk", "grouped_quantiles",
     "LangIdModel", "bpe_token_counts", "fingerprints", "lang_ids",
     "quality_scores", "Decontaminator", "benchmark_grams", "decontaminate",
     "distinctive_terms", "redact", "repetition_stats",
-    "rolling_fingerprints", "stratified_sample",
+    "inverted_index", "rolling_fingerprints", "stratified_sample",
     "token_counts", "top_tokens",
     "hopping_window_agg", "sessionize", "tumbling_window_agg",
     "SeenFilter", "filter_seen",

@@ -49,6 +49,9 @@ def _doc_bigrams(batch: pa.Table, text_col: str):
 
 def _pair_counts(w1: pa.Array, w2: pa.Array):
     """Distinct (w1, w2) pairs + counts via lexsort (no Python loop)."""
+    if len(w1) == 0:
+        empty = pa.array([], w1.type)
+        return empty, empty, np.zeros(0, np.int64)
     d1, d2 = pc.dictionary_encode(w1), pc.dictionary_encode(w2)
     c1 = d1.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     c2 = d2.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -149,24 +152,21 @@ def vocab_size(ds, *, text_col: str = "text",
 class LMScorer:
     """Actor stage: per-document cross-entropy under a broadcast bigram
     model. Lookup dicts built once per actor in ``__init__``; per batch
-    only DISTINCT bigrams touch Python (dictionary-encoded probe, then
-    vectorized take/bincount)."""
-
-    SEP = "\x1f"
+    only DISTINCT bigrams touch Python (separate dictionary encodes +
+    one combined-code unique — no joined-string key, so tokens may
+    contain any byte)."""
 
     def __init__(self, model_ref, vocab: int, alpha: float,
                  text_col: str, id_col: str) -> None:
         import ray
         model: pa.Table = ray.get(model_ref)
-        keys = pc.binary_join_element_wise(
-            model.column("w1").cast(pa.string()),
-            model.column("w2").cast(pa.string()), self.SEP)
         c12 = model.column("c12").to_numpy(zero_copy_only=False)
         c1 = model.column("c1").to_numpy(zero_copy_only=False)
-        self.pair = dict(zip(keys.to_pylist(),
+        w1l = model.column("w1").to_pylist()
+        self.pair = dict(zip(zip(w1l, model.column("w2").to_pylist()),
                              zip(c12.tolist(), c1.tolist())))
         self.left = {}
-        for w1, c in zip(model.column("w1").to_pylist(), c1.tolist()):
+        for w1, c in zip(w1l, c1.tolist()):
             self.left.setdefault(w1, c)
         self.vocab = int(vocab)
         self.alpha = float(alpha)
@@ -181,18 +181,23 @@ class LMScorer:
             return pa.table({self.id_col: pa.array([], pa.int64()),
                              "n_bigrams": pa.array([], pa.int64()),
                              "xent": pa.array([], pa.float64())})
-        keys = pc.binary_join_element_wise(w1, w2, self.SEP)
-        denc = pc.dictionary_encode(keys)
-        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = denc.dictionary.to_pylist()
+        d1, d2 = pc.dictionary_encode(w1), pc.dictionary_encode(w2)
+        k1 = d1.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k2 = d2.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        combined = k1 * len(d2.dictionary) + k2
+        uniq, codes = np.unique(combined, return_inverse=True)
+        u1 = d1.dictionary.take(
+            pa.array(uniq // len(d2.dictionary))).to_pylist()
+        u2 = d2.dictionary.take(
+            pa.array(uniq % len(d2.dictionary))).to_pylist()
         lp_u = np.empty(len(uniq), np.float64)
-        for i, k in enumerate(uniq):
-            hit = self.pair.get(k)
+        for i, (a1, b2) in enumerate(zip(u1, u2)):
+            hit = self.pair.get((a1, b2))
             if hit is not None:
                 c12, c1 = hit
             else:
                 c12 = 0
-                c1 = self.left.get(k.split(self.SEP, 1)[0], 0)
+                c1 = self.left.get(a1, 0)
             # formula mirrored by the SQL oracle token-for-token
             lp_u[i] = np.log((c12 + a) / (c1 + a * V))
         lp = lp_u[codes]

@@ -37,8 +37,9 @@ def deterministic_shuffle(ds, *, id_col: str = "doc_id", seed: int = 0,
     def add_key(batch: pa.Table) -> pa.Table:
         ids = single_chunk(batch.column(id_col)).cast(pa.int64())
         k = shuffle_key(ids.to_numpy(zero_copy_only=False), seed)
-        return batch.append_column(
-            "__shuffle_key", pa.array(k.astype(np.int64)))
+        # stored uint64 so the exported order is exactly
+        # np.argsort(shuffle_key(ids, seed)) — no signed reinterpretation
+        return batch.append_column("__shuffle_key", pa.array(k, pa.uint64()))
 
     out = ds.map_batches(add_key, batch_format="pyarrow",
                          zero_copy_batch=True).sort("__shuffle_key")

@@ -23,13 +23,20 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
-def _hash_column(col: pa.Array) -> np.ndarray:
-    """64-bit hashes of a column's non-null values (ints hashed by
-    value; strings/binary by their segmented polynomial hash)."""
+def _hash_column(col: pa.Array, *, aligned: bool = False) -> np.ndarray:
+    """64-bit hashes of a column (ints hashed by value; strings/binary
+    by their segmented polynomial hash). Default drops nulls; with
+    ``aligned=True`` the output is row-aligned (nulls hashed as the
+    zero value — callers mask them out)."""
     col = single_chunk(col)
-    col = col.drop_null()
+    if aligned:
+        import pyarrow.compute as pc
+    else:
+        col = col.drop_null()
     t = col.type
     if pa.types.is_integer(t):
+        if aligned:
+            col = pc.fill_null(col, 0)
         vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
         return _splitmix64(vals)
     if (pa.types.is_string(t) or pa.types.is_binary(t)
@@ -37,11 +44,13 @@ def _hash_column(col: pa.Array) -> np.ndarray:
         from ..core.arrays import byte_array_values
         from .dedup import _segmented_poly_hash
 
+        if aligned:
+            col = pc.fill_null(col, "")
         # byte_array_values handles 32- and 64-bit offsets natively —
         # no cast (a cast to pa.binary() would overflow on >2GB chunks)
         lens, data = byte_array_values(col)
         return _splitmix64(_segmented_poly_hash(lens, data))
-    raise TypeError(f"hll_distinct: unsupported column type {t}")
+    raise TypeError(f"sketch hash: unsupported column type {t}")
 
 
 def _idx_rho(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
@@ -90,23 +99,7 @@ def hll_estimate(reg: np.ndarray) -> float:
 
 def _hash_column_aligned(col: pa.Array) -> np.ndarray:
     """Row-aligned 64-bit hashes (no null drop — callers mask)."""
-    col = single_chunk(col)
-    t = col.type
-    if pa.types.is_integer(t):
-        import pyarrow.compute as pc
-        vals = pc.fill_null(col.cast(pa.int64()), 0).to_numpy(
-            zero_copy_only=False).astype(np.uint64)
-        return _splitmix64(vals)
-    if (pa.types.is_string(t) or pa.types.is_binary(t)
-            or pa.types.is_large_string(t) or pa.types.is_large_binary(t)):
-        import pyarrow.compute as pc
-
-        from ..core.arrays import byte_array_values
-        from .dedup import _segmented_poly_hash
-
-        lens, data = byte_array_values(pc.fill_null(col, ""))
-        return _splitmix64(_segmented_poly_hash(lens, data))
-    raise TypeError(f"grouped_hll_distinct: unsupported column type {t}")
+    return _hash_column(col, aligned=True)
 
 
 def grouped_hll_distinct(ds, *, key_col: str, value_col: str,
@@ -160,7 +153,11 @@ def grouped_hll_distinct(ds, *, key_col: str, value_col: str,
 
     def resolve(group: pa.Table) -> pa.Table:
         if "__reg" not in group.column_names or group.num_rows == 0:
-            return pa.table({key_col: pa.array([], pa.string()),
+            # defensive: preserve the real key type so an empty block
+            # can never conflict with other groups' schema
+            kt = (group.schema.field(key_col).type
+                  if key_col in group.column_names else pa.string())
+            return pa.table({key_col: pa.array([], kt),
                              "n_distinct_approx": pa.array([], pa.int64())})
         keys = single_chunk(group.column(key_col))
         denc = pc.dictionary_encode(keys)
@@ -276,7 +273,12 @@ def count_min_sketch(ds, col: str, *, depth: int = 4, width: int = 8192):
 
 
 def cms_estimate(cms: dict, values: pa.Array) -> np.ndarray:
-    """Estimated frequency of each value (vectorized min over rows)."""
+    """Estimated frequency of each value (vectorized min over rows).
+    Nulls are rejected: the sketch never counts them, and silently
+    dropping them here would misalign the result with ``values``."""
+    values = single_chunk(values)
+    if values.null_count:
+        raise ValueError("cms_estimate: values must not contain nulls")
     idx = _cms_rows(_hash_column(values), cms["depth"], cms["width"])
     ests = np.stack([cms["sketch"][d][idx[d]]
                      for d in range(cms["depth"])])

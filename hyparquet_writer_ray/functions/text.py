@@ -597,6 +597,10 @@ def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
         nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         flat = single_chunk(pc.list_flatten(toks))
         doc_of = np.repeat(ids.to_numpy(zero_copy_only=False), nper)
+        if len(doc_of) == 0:  # empty block from repartition/filter
+            return pa.table({"token": pa.array([], flat.type),
+                             "doc": pa.array([], pa.int64()),
+                             "__bucket": pa.array([], pa.int64())})
         denc = pc.dictionary_encode(flat)
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         # distinct (token, doc) pairs: one lexsort over the pair key

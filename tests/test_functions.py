@@ -446,6 +446,26 @@ def test_deterministic_shuffle_reproducible(ray_session):
     assert run(7, 9) == a, "order depends on partitioning"
     assert run(8, 4) != a, "seed has no effect"
     assert sorted(a) == list(range(1000)), "not a permutation"
-    keys = shuffle_key(np.arange(1000, dtype=np.int64), 7).astype(np.int64)
+    keys = shuffle_key(np.arange(1000, dtype=np.int64), 7)
     expect = np.arange(1000)[np.argsort(keys, kind="stable")].tolist()
     assert a == expect, "order differs from the pure key function"
+
+
+def test_inverted_index_empty_blocks(ray_session):
+    """Blocks with zero rows (over-repartitioned input) must not crash
+    the pair stage (regression: length-1 boolean mask on empty array)."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.text import inverted_index
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a b", "b c"]),
+    })
+    out = inverted_index(ray.data.from_arrow(docs).repartition(8),
+                         num_buckets=2)
+    got = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("token")
+    assert got.column("token").to_pylist() == ["a", "b", "c"]
+    assert got.column("doc_ids").to_pylist() == [[0], [0, 1], [1]]

@@ -100,7 +100,7 @@ def test_sorting_columns_in_footer(tmp_path):
 
 def test_sorting_columns_unknown_name_raises():
     t = pa.table({"a": [1, 2]})
-    with pytest.raises(ValueError, match="not a leaf"):
+    with pytest.raises(ValueError, match="not a top-level leaf"):
         write_table_to_bytes(
             t, WriteOptions(sorting_columns=[("missing", False, False)])
         )
@@ -127,3 +127,18 @@ def test_dataset_sort_by_advertises_sorting_columns(tmp_path, ray_session):
         for i in range(md.num_row_groups):
             sc = md.row_group(i).sorting_columns
             assert [c.column_index for c in sc] == [0]
+
+
+def test_sorting_columns_nested_name_not_shadowed(tmp_path):
+    """A nested leaf named like a top-level column (map value) must not
+    steal the ordinal (regression: first-match leaf resolution)."""
+    t = pa.table({
+        "attrs": pa.array([[("k", 1)], [("k", 2)]],
+                          pa.map_(pa.string(), pa.int64())),
+        "value": pa.array([2.0, 1.0]),
+    }).sort_by("value")
+    p = _write(tmp_path, t,
+               WriteOptions(sorting_columns=[("value", False, False)]))
+    sc = pq.ParquetFile(p).metadata.row_group(0).sorting_columns
+    # leaf order: attrs.key=0, attrs.value=1, value=2
+    assert [c.column_index for c in sc] == [2]

@@ -118,3 +118,45 @@ def test_bigram_model_min_count_prunes_pairs_not_totals(ray_session):
         model.column("c12").to_pylist(), model.column("c1").to_pylist())}
     # (a,c) pruned, but c1 still counts it: P(b|a) stays 2/3-shaped
     assert rows == {("a", "b"): (2, 3)}
+
+
+def test_bigram_model_empty_and_short_docs(ray_session):
+    """Blocks whose docs all have <=1 token (or are empty) must not
+    crash the model build (regression: empty-lexsort IndexError)."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.lm import bigram_model
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["one", "two", "a b", "three"]),
+    })
+    model = _collect(bigram_model(
+        ray.data.from_arrow(docs).repartition(4)))
+    assert model.num_rows == 1  # only ("a","b")
+    assert model.column("c12").to_pylist() == [1]
+
+
+def test_lm_score_tokens_with_control_bytes(ray_session):
+    """Tokens containing arbitrary bytes (e.g. 0x1f) must not collide
+    (regression: joined-string bigram keys)."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.lm import (
+        bigram_model, lm_score, vocab_size)
+
+    # "a\x1fb c" vs "a b\x1fc": same joined form under '\x1f', but
+    # genuinely different bigrams
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a\x1fb c", "a b\x1fc"]),
+    })
+    ds = ray.data.from_arrow(docs)
+    model = _collect(bigram_model(ds))
+    assert model.num_rows == 2
+    got = _collect(lm_score(ds, model, vocab_size(ds))).sort_by("doc_id")
+    import numpy as np
+    V = 4
+    # each bigram occurs once with c1=1: lp = ln(1.5 / (1 + 0.5*V))
+    exp = -np.log(1.5 / (1 + 0.5 * V))
+    assert np.allclose(got.column("xent").to_pylist(), [exp, exp])

@@ -220,11 +220,15 @@ def test_count_min_sketch_bounds(ray_session):
     est = cms_estimate(cms, qvals)
     errs = est - np.array([true[k] for k in qvals.to_pylist()])
     assert (errs >= 0).all(), "CMS underestimated"
-    assert errs.max() <= 2 * cms["n"] / cms["width"], errs.max()
+    bound = 2 * cms["n"] / cms["width"]
+    # the 2n/width bound is PER-VALUE probabilistic (holds w.p.
+    # 1 - 2^-depth): gate the violation fraction, not the max
+    assert (errs > bound).mean() <= 2.0 * 2.0 ** -cms["depth"]
+    assert errs.mean() <= bound
     # the single heaviest token should be essentially exact
     top = max(true, key=true.get)
     top_est = cms_estimate(cms, pa.array([top]))[0]
-    assert abs(top_est - true[top]) <= 2 * cms["n"] / cms["width"]
+    assert abs(top_est - true[top]) <= bound
 
 
 def test_count_min_deterministic_and_mergeable(ray_session):
@@ -239,3 +243,17 @@ def test_count_min_deterministic_and_mergeable(ray_session):
     b = count_min_sketch(ray.data.from_arrow(t).repartition(7), "v")
     assert np.array_equal(a["sketch"], b["sketch"]), \
         "sketch depends on partitioning"
+
+
+def test_cms_estimate_rejects_nulls(ray_session):
+    import pytest
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.sketches import (
+        cms_estimate, count_min_sketch)
+
+    t = pa.table({"v": pa.array([1, 2, 3], pa.int64())})
+    cms = count_min_sketch(ray.data.from_arrow(t), "v")
+    with pytest.raises(ValueError, match="null"):
+        cms_estimate(cms, pa.array([1, None], pa.int64()))
