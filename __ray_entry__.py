@@ -1173,6 +1173,44 @@ def _q_shuffle_export(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_weighted_sample(sf_dir: str) -> pa.Table:
+    """Deterministic Efraimidis-Spirakis weighted sampling (the
+    data-mixture primitive): 50 docs drawn without replacement with
+    probability proportional to text length, reproducible across
+    runs/partitionings — no shuffle, per-batch argpartition top-k,
+    driver merges k x n_batches candidates. Gate: the full expected
+    top-50 (ids, weights, keys) re-derived in-driver from the raw
+    parquet with the pure key formula."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from hyparquet_writer_ray.functions.shuffle import (
+        _unit_uniform, weighted_sample)
+
+    def add_weight(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "n_chars", pc.cast(pc.utf8_length(
+                pc.fill_null(b.column("text"), "")), pa.float64()))
+
+    ds = _docs_ds(sf_dir).select_columns(["doc_id", "text"]) \
+        .map_batches(add_weight, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    got = weighted_sample(ds, weight_col="n_chars", id_col="doc_id",
+                          k=50, seed=13)
+    raw = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    ids = raw.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    w = pc.cast(pc.utf8_length(pc.fill_null(raw.column("text"), "")),
+                pa.float64()).to_numpy(zero_copy_only=False)
+    ok = np.isfinite(w) & (w > 0)
+    key = _unit_uniform(ids[ok], 13) ** (1.0 / w[ok])
+    top = np.argsort(key)[::-1][:50]
+    assert got.column("doc_id").to_pylist() == ids[ok][top].tolist(), \
+        "weighted sample differs from the pure-formula derivation"
+    assert np.allclose(got.column("es_key").to_pylist(), key[top])
+    return got
+
+
 def _q_cms_freq(sf_dir: str) -> pa.Table:
     """Count-min sketch frequency profile of events.user_id: each
     batch collapses to one depth x width count matrix, partials merge
@@ -1808,6 +1846,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_histogram"] = _q_histogram
     q["shuffle_export"] = _q_shuffle_export  # rows-only: order is the
     # result; full permutation re-derived and asserted in-driver
+    q["weighted_sample"] = _q_weighted_sample  # rows-only: expected
+    # top-k re-derived in-driver from the raw parquet + pure formula
     q["text_top_tokens"] = _q_top_tokens
     q["curate_pipeline"] = _q_curate
     q["stratified_sample"] = _q_stratified_sample

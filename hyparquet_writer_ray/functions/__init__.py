@@ -28,7 +28,7 @@ from .sketches import (
     hll_estimate,
 )
 from .lm import LMScorer, bigram_model, lm_score, vocab_size
-from .shuffle import deterministic_shuffle, shuffle_key
+from .shuffle import deterministic_shuffle, shuffle_key, weighted_sample
 from .text import (
     LangIdModel,
     bpe_token_counts,
@@ -75,7 +75,7 @@ __all__ = [
     "hll_distinct", "hll_estimate", "grouped_hll_distinct",
     "count_min_sketch", "cms_estimate",
     "LMScorer", "bigram_model", "lm_score", "vocab_size",
-    "deterministic_shuffle", "shuffle_key", "histogram",
+    "deterministic_shuffle", "shuffle_key", "weighted_sample", "histogram",
     "exact_quantiles", "group_topk", "grouped_quantiles",
     "LangIdModel", "bpe_token_counts", "fingerprints", "lang_ids",
     "quality_scores", "Decontaminator", "benchmark_grams", "decontaminate",

@@ -46,3 +46,53 @@ def deterministic_shuffle(ds, *, id_col: str = "doc_id", seed: int = 0,
     if keep_key:
         return out
     return out.drop_columns(["__shuffle_key"])
+
+
+def _unit_uniform(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic u in (0,1): top 53 bits of the shuffle key."""
+    k = shuffle_key(ids, seed)
+    return ((k >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0 ** -53
+
+
+def weighted_sample(ds, *, weight_col: str, id_col: str = "doc_id",
+                    k: int = 100, seed: int = 0):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis 2006): row i gets key ``u_i ** (1/w_i)`` with
+    ``u_i`` derived from ``splitmix64(id ^ mix(seed))``, and the k
+    largest keys win — inclusion probability proportional to weight,
+    reproducible across runs/partitionings (the data-mixture primitive:
+    upweight a domain/quality score, draw the same sample every epoch).
+
+    Scale shape: each batch reduces to its local top-k (one argpartition
+    — no sort of the full batch), so the driver merges only
+    k x n_batches candidate rows; no shuffle at all. Rows with
+    non-positive or null weights are excluded (P=0). Returns
+    ``(id, weight, es_key)`` sorted by key descending, truncated to k.
+    """
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = single_chunk(batch.column(id_col)).cast(pa.int64())
+        w = single_chunk(batch.column(weight_col)).cast(pa.float64())
+        idv = ids.to_numpy(zero_copy_only=False)
+        wv = w.to_numpy(zero_copy_only=False)
+        ok = np.isfinite(wv) & (wv > 0)
+        idv, wv = idv[ok], wv[ok]
+        if len(idv) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.float64()),
+                             "es_key": pa.array([], pa.float64())})
+        key = _unit_uniform(idv, seed) ** (1.0 / wv)
+        if len(key) > k:
+            part = np.argpartition(key, len(key) - k)[len(key) - k:]
+            idv, wv, key = idv[part], wv[part], key[part]
+        return pa.table({id_col: pa.array(idv),
+                         "weight": pa.array(wv),
+                         "es_key": pa.array(key)})
+
+    cands = ds.map_batches(local_topk, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    merged = pa.concat_tables(
+        b for b in cands.iter_batches(batch_size=None,
+                                      batch_format="pyarrow"))
+    order = np.argsort(merged.column("es_key").to_numpy(
+        zero_copy_only=False))[::-1][:k]
+    return merged.take(pa.array(order))

@@ -469,3 +469,41 @@ def test_inverted_index_empty_blocks(ray_session):
     ).sort_by("token")
     assert got.column("token").to_pylist() == ["a", "b", "c"]
     assert got.column("doc_ids").to_pylist() == [[0], [0, 1], [1]]
+
+
+def test_weighted_sample_deterministic_and_weight_biased(ray_session):
+    """Same seed+data -> identical sample at any partitioning; heavier
+    rows appear with visibly higher frequency across seeds; zero/null
+    weights never selected."""
+    import numpy as np
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.shuffle import weighted_sample
+
+    n = 2000
+    t = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        # first half weight 1, second half weight 20, a few zero/null
+        "w": pa.array(
+            [None if i % 500 == 0 else (0.0 if i % 501 == 0 else
+             (20.0 if i >= n // 2 else 1.0)) for i in range(n)]),
+    })
+
+    def run(parts, seed):
+        return weighted_sample(
+            ray.data.from_arrow(t).repartition(parts),
+            weight_col="w", id_col="doc_id", k=100, seed=seed)
+
+    a, b = run(3, 7), run(11, 7)
+    assert a.column("doc_id").to_pylist() == b.column("doc_id").to_pylist()
+    assert a.column("es_key").to_pylist() == b.column("es_key").to_pylist()
+    excluded = {i for i in range(n) if i % 500 == 0 or i % 501 == 0}
+    assert not excluded & set(a.column("doc_id").to_pylist())
+    # bias check across 20 seeds: heavy rows should dominate ~20:1
+    heavy = 0
+    for seed in range(20):
+        ids = run(2, seed).column("doc_id").to_pylist()
+        heavy += sum(1 for i in ids if i >= n // 2)
+    frac = heavy / (20 * 100)
+    assert frac > 0.85, f"heavy-weight fraction only {frac}"
