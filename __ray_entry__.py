@@ -1211,6 +1211,67 @@ def _q_weighted_sample(sf_dir: str) -> pa.Table:
     return got
 
 
+def _q_mixture_export(sf_dir: str) -> pa.Table:
+    """End-to-end pretraining mixture export (pipelines/mixture.py):
+    LM-score -> keep best 75% by cross-entropy -> big-x-big hash join
+    back to corpus rows -> deterministic seeded shuffle ->
+    CRC-checksummed part output + token-budgeted packing manifest.
+    Gates: every output page CRC-verified on re-read; the exported
+    row set equals the surviving score set exactly; the epoch order is
+    recoverable by construction — rows ascend by the pure shuffle key
+    WITHIN every part and part key-ranges are pairwise disjoint (parts
+    are content-hash-named, so a consumer reconstructs global order by
+    part min-key); every doc packed exactly once with bin token sums
+    consistent and within budget unless flagged oversize."""
+    import shutil
+
+    import numpy as np
+
+    from hyparquet_writer_ray.functions.shuffle import shuffle_key
+    from hyparquet_writer_ray.pipelines.mixture import (
+        export_training_mixture, verify_mixture_output)
+
+    ds = _docs_ds(sf_dir).select_columns(["doc_id", "text"])
+    out = _outpath(sf_dir, "mixture_parts")
+    shutil.rmtree(out, ignore_errors=True)
+    survivors, packs, stats = export_training_mixture(
+        ds, out, keep_quantile=0.75, pack_budget=512, seed=29)
+
+    part_tables = verify_mixture_output(out)  # raises on CRC mismatch
+    surv_ids = np.sort(
+        survivors.column("doc_id").to_numpy(zero_copy_only=False))
+    got_ids = np.concatenate([
+        p.column("doc_id").to_numpy(zero_copy_only=False)
+        for p in part_tables])
+    assert np.array_equal(np.sort(got_ids), surv_ids), \
+        "exported rows differ from the surviving score set"
+    ranges = []
+    for p in part_tables:
+        k = shuffle_key(
+            p.column("doc_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64), 29)
+        assert (k[1:] >= k[:-1]).all(), "rows out of order within part"
+        ranges.append((int(k[0]), int(k[-1])))
+    ranges.sort()
+    assert all(ranges[i][1] < ranges[i + 1][0]
+               for i in range(len(ranges) - 1)), \
+        "part shuffle-key ranges overlap: epoch order not recoverable"
+
+    packed = [d for ids in packs.column("doc_ids").to_pylist()
+              for d in ids]
+    assert sorted(packed) == surv_ids.tolist(), \
+        "packing lost or duplicated documents"
+    tok = dict(zip(survivors.column("doc_id").to_pylist(),
+                   survivors.column("n_bigrams").to_pylist()))
+    for ids, n_tok, over in zip(packs.column("doc_ids").to_pylist(),
+                                packs.column("n_tokens").to_pylist(),
+                                packs.column("oversize").to_pylist()):
+        assert n_tok == sum(tok[d] for d in ids), "bin token sum wrong"
+        assert over or n_tok <= 512, "bin over budget but not flagged"
+    assert stats["rows"] == len(surv_ids)
+    return survivors.sort_by("doc_id")
+
+
 def _q_cms_freq(sf_dir: str) -> pa.Table:
     """Count-min sketch frequency profile of events.user_id: each
     batch collapses to one depth x width count matrix, partials merge
@@ -1848,6 +1909,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # result; full permutation re-derived and asserted in-driver
     q["weighted_sample"] = _q_weighted_sample  # rows-only: expected
     # top-k re-derived in-driver from the raw parquet + pure formula
+    q["mixture_export"] = _q_mixture_export  # rows-only: five-gate
+    # in-driver verification of the full composition (CRC re-read,
+    # set equality, epoch order, pack integrity, writer stats)
     q["text_top_tokens"] = _q_top_tokens
     q["curate_pipeline"] = _q_curate
     q["stratified_sample"] = _q_stratified_sample

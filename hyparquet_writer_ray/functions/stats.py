@@ -17,22 +17,33 @@ import pyarrow as pa
 
 from ..core.arrays import single_chunk
 
-_PART_SCHEMA = pa.schema([("v", pa.int64()), ("n", pa.int64())])
-
 
 def exact_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99)) -> pa.Table:
-    """(q:double, value:int64) table of exact discrete quantiles of
-    ``ds[col]`` (nulls ignored), matching SQL ``quantile_disc``."""
+    """(q:double, value) table of exact discrete quantiles of
+    ``ds[col]`` (nulls ignored), matching SQL ``quantile_disc``.
+    Integer columns return int64 values; floating columns float64
+    (NaNs ignored like nulls). The per-batch partial collapses to
+    distinct (value, count) pairs, so the exchange is bounded by the
+    column's distinct-value count — exact float quantiles on a
+    continuous column degrade to value-sized movement by nature; use a
+    histogram/sketch when that is too much."""
+    base = ds.schema()
+    base = getattr(base, "base_schema", base)
+    is_float = pa.types.is_floating(base.field(col).type)
+    vt = pa.float64() if is_float else pa.int64()
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
-            return _PART_SCHEMA.empty_table()
+            return pa.table({"v": pa.array([], vt),
+                             "n": pa.array([], pa.int64())})
         arr = single_chunk(batch.column(col))
         if arr.null_count:
             arr = arr.drop_null()
-        vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = arr.cast(vt).to_numpy(zero_copy_only=False)
+        if is_float:
+            vals = vals[~np.isnan(vals)]
         uniq, cnt = np.unique(vals, return_counts=True)
-        return pa.table({"v": pa.array(uniq, pa.int64()),
+        return pa.table({"v": pa.array(uniq, vt),
                          "n": pa.array(cnt.astype(np.int64), pa.int64())})
 
     hist = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -43,7 +54,7 @@ def exact_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99)) -> pa.Table:
     ]
     if not parts:
         return pa.table({"q": pa.array([], pa.float64()),
-                         "value": pa.array([], pa.int64())})
+                         "value": pa.array([], vt)})
     t = pa.concat_tables(parts)
     v = t.column("v").to_numpy(zero_copy_only=False)
     n = t.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -59,9 +70,9 @@ def exact_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99)) -> pa.Table:
         idx = max(int(np.ceil(float(q) * total)) - 1, 0)
         k = int(np.searchsorted(cum, idx + 1))
         out_q.append(float(q))
-        out_v.append(int(v[k]))
+        out_v.append(float(v[k]) if is_float else int(v[k]))
     return pa.table({"q": pa.array(out_q, pa.float64()),
-                     "value": pa.array(out_v, pa.int64())})
+                     "value": pa.array(out_v, vt)})
 
 
 def _topk_kernel(keys: pa.Array, vals: np.ndarray, ids: np.ndarray,

@@ -160,3 +160,35 @@ def test_lm_score_tokens_with_control_bytes(ray_session):
     # each bigram occurs once with c1=1: lp = ln(1.5 / (1 + 0.5*V))
     exp = -np.log(1.5 / (1 + 0.5 * V))
     assert np.allclose(got.column("xent").to_pylist(), [exp, exp])
+
+
+def test_mixture_export_composition(ray_session, corpus, tmp_path):
+    """The full mixture pipeline composes: quantile filter size, CRC
+    re-read, within-part order, disjoint part ranges, pack integrity."""
+    import os
+
+    import numpy as np
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.shuffle import shuffle_key
+    from hyparquet_writer_ray.pipelines.mixture import (
+        export_training_mixture, verify_mixture_output)
+
+    out = os.path.join(str(tmp_path), "mix")
+    survivors, packs, stats = export_training_mixture(
+        ray.data.from_arrow(corpus).repartition(3), out,
+        keep_quantile=0.5, pack_budget=64, seed=5)
+    assert survivors.num_rows >= 1
+    parts = verify_mixture_output(out)
+    got = np.concatenate([p.column("doc_id").to_numpy(
+        zero_copy_only=False) for p in parts])
+    assert sorted(got.tolist()) == sorted(
+        survivors.column("doc_id").to_pylist())
+    for p in parts:
+        k = shuffle_key(p.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64), 5)
+        assert (k[1:] >= k[:-1]).all()
+    packed = [d for ids in packs.column("doc_ids").to_pylist() for d in ids]
+    assert sorted(packed) == sorted(survivors.column("doc_id").to_pylist())
+    assert stats["rows"] == survivors.num_rows
