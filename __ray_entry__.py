@@ -1312,6 +1312,36 @@ def _q_cms_freq(sf_dir: str) -> pa.Table:
     }).sort_by("user_id")
 
 
+def _q_dd_quantiles(sf_dir: str) -> pa.Table:
+    """DDSketch relative-error quantiles of events.value (the scale
+    path for continuous float columns, where exact quantiles would
+    move every distinct value): bounded (bucket, count) partials per
+    batch, driver merges a few-thousand-bucket histogram. Gate: every
+    estimate within relative error alpha=0.01 of the exact DuckDB
+    quantile_disc value (ranks are exact in DDSketch; only the
+    within-bucket value approximates)."""
+    import duckdb
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.sketches import (
+        dd_quantile_estimate, dd_quantile_sketch)
+
+    qs = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+    sk = dd_quantile_sketch(ds, "value", alpha=0.01)
+    est = dd_quantile_estimate(sk, qs)
+    for q, e in zip(qs, est):
+        true = duckdb.sql(
+            f"SELECT quantile_disc(value, {q}) FROM "
+            f"'{os.path.join(sf_dir, 'events.parquet')}'").fetchone()[0]
+        assert abs(e - true) <= 0.01 * abs(true) + 1e-12, \
+            f"DDSketch q={q}: {e} vs exact {true}"
+    return pa.table({"q": pa.array(list(qs), pa.float64()),
+                     "value_est": pa.array(est, pa.float64())})
+
+
 def _q_web_extract(sf_dir: str) -> pa.Table:
     """End-to-end webtext extraction over the north-rule input table:
     synthesize the deterministic Common-Crawl-style webtable, strip
@@ -1901,6 +1931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sketch; every key gated in-driver vs exact count(DISTINCT)
     q["text_inverted_index"] = _q_inverted_index
     q["text_lm_score"] = _q_lm_score
+    q["dd_quantiles_value"] = _q_dd_quantiles  # rows-only: sketch;
+    # every estimate gated in-driver within alpha of exact quantile_disc
     q["cms_user_freq"] = _q_cms_freq  # rows-only: approximate sketch;
     # every distinct user gated in-driver vs exact counts (no under-
     # estimate, error <= 2n/width)

@@ -23,6 +23,8 @@ from .similarity import (
 from .sketches import (
     cms_estimate,
     count_min_sketch,
+    dd_quantile_estimate,
+    dd_quantile_sketch,
     grouped_hll_distinct,
     hll_distinct,
     hll_estimate,
@@ -73,7 +75,7 @@ __all__ = [
     "lsh_bucket_pairs", "topk_cosine",
     "asof_join", "broadcast_join", "hash_join", "interval_join",
     "hll_distinct", "hll_estimate", "grouped_hll_distinct",
-    "count_min_sketch", "cms_estimate",
+    "count_min_sketch", "cms_estimate", "dd_quantile_sketch", "dd_quantile_estimate",
     "LMScorer", "bigram_model", "lm_score", "vocab_size",
     "deterministic_shuffle", "shuffle_key", "weighted_sample", "histogram",
     "exact_quantiles", "group_topk", "grouped_quantiles",

@@ -283,3 +283,96 @@ def cms_estimate(cms: dict, values: pa.Array) -> np.ndarray:
     ests = np.stack([cms["sketch"][d][idx[d]]
                      for d in range(cms["depth"])])
     return ests.min(axis=0).astype(np.int64)
+
+
+def _dd_buckets(x: np.ndarray, gamma_ln: float) -> np.ndarray:
+    """DDSketch bucket index ceil(ln(x)/ln(gamma)) for positive x."""
+    return np.ceil(np.log(x) / gamma_ln).astype(np.int64)
+
+
+def dd_quantile_sketch(ds, col: str, *, alpha: float = 0.01):
+    """Mergeable relative-error quantile sketch (DDSketch, Masson et
+    al. VLDB 2019): any quantile of the sketched column is answered
+    within relative error ``alpha``, with memory O(log(range)/alpha)
+    REGARDLESS of the distinct-value count — the scale path where
+    ``exact_quantiles`` on a continuous column would move every
+    distinct value. Negative values use a mirrored store, zeros an
+    exact counter; counts (and therefore ranks) are exact, only the
+    within-bucket value is approximated.
+
+    Scale shape: each batch collapses to its (bucket, count) pairs via
+    one log + bincount-over-unique pass; the driver merges bounded
+    histograms (a few thousand buckets at alpha=0.01). Deterministic.
+    Returns ``{"alpha", "gamma", "neg", "zero", "pos", "n"}`` with
+    neg/pos as {bucket: count} dicts."""
+    import pyarrow.compute as pc
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    gamma_ln = float(np.log(gamma))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = single_chunk(batch.column(col)).cast(pa.float64())
+        x = v.to_numpy(zero_copy_only=False)
+        x = x[~np.isnan(x)]
+        n_zero = int((x == 0).sum())
+        out_b, out_c, out_s = [], [], []
+        for sign, vals in ((1, x[x > 0]), (-1, -x[x < 0])):
+            if len(vals):
+                b = _dd_buckets(vals, gamma_ln)
+                uniq, cnt = np.unique(b, return_counts=True)
+                out_b.append(uniq)
+                out_c.append(cnt.astype(np.int64))
+                out_s.append(np.full(len(uniq), sign, np.int64))
+        if n_zero:
+            out_b.append(np.zeros(1, np.int64))
+            out_c.append(np.array([n_zero], np.int64))
+            out_s.append(np.zeros(1, np.int64))
+        if not out_b:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        return pa.table({"b": pa.array(np.concatenate(out_b)),
+                         "c": pa.array(np.concatenate(out_c)),
+                         "s": pa.array(np.concatenate(out_s))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    neg: dict = {}
+    pos: dict = {}
+    zero = 0
+    for t in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for b, c, s in zip(t.column("b").to_pylist(),
+                           t.column("c").to_pylist(),
+                           t.column("s").to_pylist()):
+            if s == 0:
+                zero += c
+            elif s > 0:
+                pos[b] = pos.get(b, 0) + c
+            else:
+                neg[b] = neg.get(b, 0) + c
+    n = zero + sum(pos.values()) + sum(neg.values())
+    return {"alpha": alpha, "gamma": gamma, "neg": neg, "zero": zero,
+            "pos": pos, "n": n}
+
+
+def dd_quantile_estimate(sk: dict, qs) -> list[float]:
+    """Quantile estimates from a DDSketch (rank rule ceil(q*n)-1,
+    matching ``exact_quantiles``/``quantile_disc``; rank walk is over
+    exact counts, so only the within-bucket midpoint approximates)."""
+    gamma = sk["gamma"]
+    # global ascending order: negatives by descending bucket (most
+    # negative first), then zeros, then positives by ascending bucket
+    entries = []
+    for b in sorted(sk["neg"], reverse=True):
+        entries.append((-2.0 * gamma ** b / (gamma + 1.0), sk["neg"][b]))
+    if sk["zero"]:
+        entries.append((0.0, sk["zero"]))
+    for b in sorted(sk["pos"]):
+        entries.append((2.0 * gamma ** b / (gamma + 1.0), sk["pos"][b]))
+    cum = np.cumsum([c for _, c in entries])
+    out = []
+    for q in qs:
+        idx = max(int(np.ceil(float(q) * sk["n"])) - 1, 0)
+        k = int(np.searchsorted(cum, idx + 1))
+        out.append(float(entries[k][0]))
+    return out

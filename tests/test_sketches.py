@@ -257,3 +257,41 @@ def test_cms_estimate_rejects_nulls(ray_session):
     cms = count_min_sketch(ray.data.from_arrow(t), "v")
     with pytest.raises(ValueError, match="null"):
         cms_estimate(cms, pa.array([1, None], pa.int64()))
+
+
+def test_dd_quantile_sketch_relative_error(ray_session):
+    """DDSketch estimates are within relative error alpha of the exact
+    quantile_disc values for mixed negative/zero/positive data with
+    nulls, at any partitioning."""
+    import duckdb
+    import numpy as np
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.sketches import (
+        dd_quantile_estimate, dd_quantile_sketch)
+
+    rng = np.random.default_rng(5)
+    vals = rng.normal(0, 3, 40000)
+    vals[::100] = 0.0
+    t = pa.table({"v": pa.array(
+        [None if i % 97 == 0 else float(x) for i, x in enumerate(vals)],
+        pa.float64())})
+    qs = (0.01, 0.25, 0.5, 0.75, 0.99)
+    sk = dd_quantile_sketch(
+        ray.data.from_arrow(t).repartition(6), "v", alpha=0.01)
+    est = dd_quantile_estimate(sk, qs)
+    con = duckdb.connect()
+    con.register("t", t)
+    for q, e in zip(qs, est):
+        true = con.sql(
+            f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        assert abs(e - true) <= 0.01 * abs(true) + 1e-12, (q, e, true)
+    # deterministic across partitionings
+    sk2 = dd_quantile_sketch(
+        ray.data.from_arrow(t).repartition(13), "v", alpha=0.01)
+    assert dd_quantile_estimate(sk2, qs) == est
+    # exact-zero quantile: rank landing in the zero store returns 0.0
+    tz = pa.table({"v": pa.array([0.0] * 50 + [1.0] * 10, pa.float64())})
+    skz = dd_quantile_sketch(ray.data.from_arrow(tz), "v", alpha=0.01)
+    assert dd_quantile_estimate(skz, (0.5,)) == [0.0]
