@@ -1068,16 +1068,14 @@ def _q_lm_score(sf_dir: str) -> pa.Table:
     counts over the corpus (one constant-bucket shuffle produces both
     c12 and the left-context total c1), broadcast the
     vocabulary-bounded model once, score each document's per-token
-    cross-entropy in an actor pool (functions/lm.py). The SQL oracle
-    re-derives the entire train+score composition."""
-    from hyparquet_writer_ray.functions.lm import (
-        bigram_model, lm_score, vocab_size)
+    cross-entropy in an actor pool (functions/lm.py). Training is the
+    FUSED single-scan path (train_bigram_lm: model + exact vocab from
+    one shuffle — one corpus scan, not two). The SQL oracle re-derives
+    the entire train+score composition."""
+    from hyparquet_writer_ray.functions.lm import lm_score, train_bigram_lm
 
     ds = _docs_ds(sf_dir).select_columns(["doc_id", "text"])
-    model = _collect(bigram_model(ds), pa.schema([
-        ("w1", pa.string()), ("w2", pa.string()),
-        ("c12", pa.int64()), ("c1", pa.int64())]))
-    V = vocab_size(ds)
+    model, V = train_bigram_lm(ds)
     out = lm_score(ds, model, V)
     return _collect(out, pa.schema([
         ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),

@@ -29,7 +29,7 @@ from .sketches import (
     hll_distinct,
     hll_estimate,
 )
-from .lm import LMScorer, bigram_model, lm_score, vocab_size
+from .lm import LMScorer, bigram_model, lm_score, train_bigram_lm, vocab_size
 from .shuffle import deterministic_shuffle, shuffle_key, weighted_sample
 from .text import (
     LangIdModel,
@@ -76,7 +76,7 @@ __all__ = [
     "asof_join", "broadcast_join", "hash_join", "interval_join",
     "hll_distinct", "hll_estimate", "grouped_hll_distinct",
     "count_min_sketch", "cms_estimate", "dd_quantile_sketch", "dd_quantile_estimate",
-    "LMScorer", "bigram_model", "lm_score", "vocab_size",
+    "LMScorer", "bigram_model", "lm_score", "train_bigram_lm", "vocab_size",
     "deterministic_shuffle", "shuffle_key", "weighted_sample", "histogram",
     "exact_quantiles", "group_topk", "grouped_quantiles",
     "LangIdModel", "bpe_token_counts", "fingerprints", "lang_ids",

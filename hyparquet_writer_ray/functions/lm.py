@@ -65,6 +65,40 @@ def _pair_counts(w1: pa.Array, w2: pa.Array):
             n.astype(np.int64))
 
 
+def _resolve_pairs(group: pa.Table, min_count: int) -> pa.Table:
+    """Bucket finalizer shared by ``bigram_model`` / ``train_bigram_lm``:
+    sum pre-aggregated (w1, w2, n) rows into (w1, w2, c12, c1)."""
+    w1a = single_chunk(group.column("w1"))
+    if len(w1a) == 0:
+        return pa.table({
+            "w1": pa.array([], w1a.type),
+            "w2": pa.array([], w1a.type),
+            "c12": pa.array([], pa.int64()),
+            "c1": pa.array([], pa.int64()),
+        })
+    d1 = pc.dictionary_encode(w1a)
+    d2 = pc.dictionary_encode(single_chunk(group.column("w2")))
+    c1 = d1.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    c2 = d2.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = group.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((c2, c1))
+    s1, s2, sn = c1[order], c2[order], n[order]
+    pair_starts = np.nonzero(
+        np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])])[0]
+    c12 = np.add.reduceat(sn, pair_starts)
+    p1 = s1[pair_starts]
+    w1_starts = np.nonzero(np.r_[True, p1[1:] != p1[:-1]])[0]
+    totals = np.add.reduceat(c12, w1_starts)
+    c1_of_pair = np.repeat(totals, np.diff(np.r_[w1_starts, len(p1)]))
+    keep = c12 >= min_count
+    return pa.table({
+        "w1": d1.dictionary.take(pa.array(p1[keep])),
+        "w2": d2.dictionary.take(pa.array(s2[pair_starts][keep])),
+        "c12": pa.array(c12[keep].astype(np.int64)),
+        "c1": pa.array(c1_of_pair[keep].astype(np.int64)),
+    })
+
+
 def bigram_model(ds, *, text_col: str = "text", num_buckets: int = 64,
                  min_count: int = 1):
     """Corpus bigram model: ``(w1, w2, c12:int64, c1:int64)`` rows,
@@ -85,34 +119,77 @@ def bigram_model(ds, *, text_col: str = "text", num_buckets: int = 64,
         return pa.table({"w1": u1, "w2": u2, "n": pa.array(n),
                          "__bucket": pa.array(bucket)})
 
-    def resolve(group: pa.Table) -> pa.Table:
-        d1 = pc.dictionary_encode(single_chunk(group.column("w1")))
-        d2 = pc.dictionary_encode(single_chunk(group.column("w2")))
-        c1 = d1.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        c2 = d2.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        n = group.column("n").to_numpy(zero_copy_only=False)
-        order = np.lexsort((c2, c1))
-        s1, s2, sn = c1[order], c2[order], n[order]
-        pair_starts = np.nonzero(
-            np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])])[0]
-        c12 = np.add.reduceat(sn, pair_starts)
-        p1 = s1[pair_starts]
-        w1_starts = np.nonzero(np.r_[True, p1[1:] != p1[:-1]])[0]
-        totals = np.add.reduceat(c12, w1_starts)
-        c1_of_pair = np.repeat(totals,
-                               np.diff(np.r_[w1_starts, len(p1)]))
-        keep = c12 >= min_count
-        return pa.table({
-            "w1": d1.dictionary.take(pa.array(p1[keep])),
-            "w2": d2.dictionary.take(pa.array(s2[pair_starts][keep])),
-            "c12": pa.array(c12[keep].astype(np.int64)),
-            "c1": pa.array(c1_of_pair[keep].astype(np.int64)),
-        })
-
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
     return parts.groupby("__bucket").map_groups(
+        lambda g: _resolve_pairs(g, min_count), batch_format="pyarrow")
+
+
+def train_bigram_lm(ds, *, text_col: str = "text", num_buckets: int = 64,
+                    min_count: int = 1) -> tuple[pa.Table, int]:
+    """Fused training: the bigram model AND the exact vocabulary size
+    from ONE corpus scan + one shuffle (``bigram_model`` then
+    ``vocab_size`` separately would scan the text twice — at 100 TB a
+    whole extra pass). Each batch's DISTINCT tokens ride the same
+    bucket exchange as sentinel rows (``w2`` null, bucketed by token
+    hash, a distinct-tokens-per-batch overhead on top of the pair
+    rows); each bucket resolves its model rows plus one
+    ``(w1=null, w2=null, c12=<distinct tokens in bucket>)`` summary
+    row — disjoint across buckets because the bucket is a pure token
+    hash. Returns ``(model_table, vocab)``."""
+    from .dedup import _segmented_poly_hash
+    from .sketches import _splitmix64
+
+    NB = max(int(num_buckets), 1)
+
+    def tok_bucket(arr: pa.Array) -> np.ndarray:
+        lens, data = byte_array_values(arr)
+        return (_splitmix64(_segmented_poly_hash(lens, data))
+                .astype(np.int64) % NB)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w1, w2, _ = _doc_bigrams(batch, text_col)
+        u1, u2, n = _pair_counts(w1, w2)
+        text = single_chunk(batch.column(text_col))
+        toks = pc.unique(single_chunk(pc.list_flatten(
+            pc.split_pattern(pc.fill_null(text, ""), " "))))
+        return pa.table({
+            "w1": pa.concat_arrays([u1.combine_chunks()
+                                    if isinstance(u1, pa.ChunkedArray)
+                                    else u1, toks]),
+            "w2": pa.concat_arrays(
+                [u2.combine_chunks() if isinstance(u2, pa.ChunkedArray)
+                 else u2, pa.nulls(len(toks), toks.type)]),
+            "n": pa.array(np.r_[n, np.zeros(len(toks), np.int64)]),
+            "__bucket": pa.array(np.r_[tok_bucket(u1), tok_bucket(toks)]),
+        })
+
+    def resolve(group: pa.Table) -> pa.Table:
+        w2 = single_chunk(group.column("w2"))
+        is_tok = pc.is_null(w2)
+        toks = single_chunk(group.column("w1")).filter(is_tok)
+        n_vocab = len(pc.unique(toks))
+        pairs = group.filter(pc.invert(is_tok))
+        model = _resolve_pairs(pairs, min_count)
+        summary = pa.table({
+            "w1": pa.nulls(1, model.column("w1").type),
+            "w2": pa.nulls(1, model.column("w2").type),
+            "c12": pa.array([n_vocab], pa.int64()),
+            "c1": pa.array([0], pa.int64()),
+        })
+        return pa.concat_tables([model, summary])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = parts.groupby("__bucket").map_groups(
         resolve, batch_format="pyarrow")
+    t = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"))
+    is_summary = pc.is_null(t.column("w1"))
+    vocab = int(pc.sum(t.filter(is_summary).column("c12")).as_py() or 0)
+    model = t.filter(pc.invert(is_summary)).combine_chunks()
+    return model, vocab
 
 
 def vocab_size(ds, *, text_col: str = "text",

@@ -44,7 +44,7 @@ def export_training_mixture(
 
     from ..core.options import WriteOptions
     from ..functions.joins import hash_join
-    from ..functions.lm import bigram_model, lm_score, vocab_size
+    from ..functions.lm import lm_score, train_bigram_lm
     from ..functions.packing import pack_sequences
     from ..functions.shuffle import deterministic_shuffle
     from ..functions.stats import exact_quantiles
@@ -55,9 +55,8 @@ def export_training_mixture(
             b for b in d.iter_batches(batch_size=None,
                                       batch_format="pyarrow"))
 
-    # 1. quality model + scores (one bucket shuffle; broadcast model)
-    model = collect(bigram_model(ds, text_col=text_col))
-    V = vocab_size(ds, text_col=text_col)
+    # 1. quality model + exact vocab, fused into ONE corpus scan
+    model, V = train_bigram_lm(ds, text_col=text_col)
     scored = lm_score(ds, model, V, text_col=text_col, id_col=id_col)
     scored_t = collect(scored)
 

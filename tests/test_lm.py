@@ -192,3 +192,22 @@ def test_mixture_export_composition(ray_session, corpus, tmp_path):
     packed = [d for ids in packs.column("doc_ids").to_pylist() for d in ids]
     assert sorted(packed) == sorted(survivors.column("doc_id").to_pylist())
     assert stats["rows"] == survivors.num_rows
+
+
+def test_train_bigram_lm_equals_separate_passes(ray_session, corpus):
+    """The fused single-scan trainer must produce exactly the same
+    model and vocabulary as bigram_model + vocab_size run separately,
+    including on over-partitioned input with short docs."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.lm import (
+        bigram_model, train_bigram_lm, vocab_size)
+
+    ds = ray.data.from_arrow(corpus).repartition(9)
+    model_f, v_f = train_bigram_lm(ds, num_buckets=5)
+    model_s = _collect(bigram_model(ds, num_buckets=5))
+    v_s = vocab_size(ds, num_buckets=5)
+    key = [("w1", "ascending"), ("w2", "ascending")]
+    assert v_f == v_s
+    assert model_f.sort_by(key).equals(model_s.sort_by(key).cast(
+        model_f.schema))
