@@ -1201,7 +1201,7 @@ def _q_weighted_sample(sf_dir: str) -> pa.Table:
     w = pc.cast(pc.utf8_length(pc.fill_null(raw.column("text"), "")),
                 pa.float64()).to_numpy(zero_copy_only=False)
     ok = np.isfinite(w) & (w > 0)
-    key = _unit_uniform(ids[ok], 13) ** (1.0 / w[ok])
+    key = np.log(_unit_uniform(ids[ok], 13)) / w[ok]
     top = np.argsort(key)[::-1][:50]
     assert got.column("doc_id").to_pylist() == ids[ok][top].tolist(), \
         "weighted sample differs from the pure-formula derivation"
@@ -1232,8 +1232,10 @@ def _q_mixture_export(sf_dir: str) -> pa.Table:
     ds = _docs_ds(sf_dir).select_columns(["doc_id", "text"])
     out = _outpath(sf_dir, "mixture_parts")
     shutil.rmtree(out, ignore_errors=True)
-    survivors, packs, stats = export_training_mixture(
+    survivors_ds, packs_ds, stats = export_training_mixture(
         ds, out, keep_quantile=0.75, pack_budget=512, seed=29)
+    survivors = _collect(survivors_ds).sort_by("doc_id")
+    packs = _collect(packs_ds)
 
     part_tables = verify_mixture_output(out)  # raises on CRC mismatch
     surv_ids = np.sort(

@@ -30,9 +30,11 @@ from ..core.arrays import byte_array_values, single_chunk
 
 
 def _doc_bigrams(batch: pa.Table, text_col: str):
-    """(w1, w2, doc_row_index) for all within-document adjacent token
-    pairs of a batch; single-space tokenization (SQL string_split
-    parity)."""
+    """(w1, w2, doc_row_index, flat_tokens) for all within-document
+    adjacent token pairs of a batch; single-space tokenization (SQL
+    string_split parity). ``flat_tokens`` is the full token stream so
+    callers that also need unigrams (the fused trainer's vocabulary
+    sentinels) don't tokenize the text a second time."""
     text = single_chunk(batch.column(text_col))
     toks = pc.split_pattern(pc.fill_null(text, ""), " ")
     nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
@@ -40,11 +42,11 @@ def _doc_bigrams(batch: pa.Table, text_col: str):
     doc_idx = np.repeat(np.arange(len(nper), dtype=np.int64), nper)
     if len(doc_idx) < 2:
         empty = pa.array([], flat.type)
-        return empty, empty, np.zeros(0, np.int64)
+        return empty, empty, np.zeros(0, np.int64), flat
     mask = pa.array(doc_idx[1:] == doc_idx[:-1])
     w1 = flat.slice(0, len(flat) - 1).filter(mask)
     w2 = flat.slice(1).filter(mask)
-    return w1, w2, doc_idx[:-1][np.asarray(mask)]
+    return w1, w2, doc_idx[:-1][np.asarray(mask)], flat
 
 
 def _pair_counts(w1: pa.Array, w2: pa.Array):
@@ -111,7 +113,7 @@ def bigram_model(ds, *, text_col: str = "text", num_buckets: int = 64,
     NB = max(int(num_buckets), 1)
 
     def partial(batch: pa.Table) -> pa.Table:
-        w1, w2, _ = _doc_bigrams(batch, text_col)
+        w1, w2, _, _ = _doc_bigrams(batch, text_col)
         u1, u2, n = _pair_counts(w1, w2)
         lens, data = byte_array_values(u1)
         bucket = (_splitmix64(_segmented_poly_hash(lens, data))
@@ -148,11 +150,9 @@ def train_bigram_lm(ds, *, text_col: str = "text", num_buckets: int = 64,
                 .astype(np.int64) % NB)
 
     def partial(batch: pa.Table) -> pa.Table:
-        w1, w2, _ = _doc_bigrams(batch, text_col)
+        w1, w2, _, flat = _doc_bigrams(batch, text_col)
         u1, u2, n = _pair_counts(w1, w2)
-        text = single_chunk(batch.column(text_col))
-        toks = pc.unique(single_chunk(pc.list_flatten(
-            pc.split_pattern(pc.fill_null(text, ""), " "))))
+        toks = pc.unique(flat)  # tokenized once — reuse the stream
         return pa.table({
             "w1": pa.concat_arrays([u1.combine_chunks()
                                     if isinstance(u1, pa.ChunkedArray)
@@ -251,7 +251,7 @@ class LMScorer:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        w1, w2, doc_of = _doc_bigrams(batch, self.text_col)
+        w1, w2, doc_of, _ = _doc_bigrams(batch, self.text_col)
         ids = single_chunk(batch.column(self.id_col)).cast(pa.int64())
         a, V = self.alpha, self.vocab
         if len(doc_of) == 0:

@@ -57,11 +57,14 @@ def _unit_uniform(ids: np.ndarray, seed: int) -> np.ndarray:
 def weighted_sample(ds, *, weight_col: str, id_col: str = "doc_id",
                     k: int = 100, seed: int = 0):
     """Deterministic weighted sampling WITHOUT replacement
-    (Efraimidis-Spirakis 2006): row i gets key ``u_i ** (1/w_i)`` with
-    ``u_i`` derived from ``splitmix64(id ^ mix(seed))``, and the k
-    largest keys win — inclusion probability proportional to weight,
-    reproducible across runs/partitionings (the data-mixture primitive:
-    upweight a domain/quality score, draw the same sample every epoch).
+    (Efraimidis-Spirakis 2006): row i gets key ``ln(u_i) / w_i`` (the
+    log form of ``u_i ** (1/w_i)`` — same order, but it never
+    saturates to 1.0 at huge weights the way the power form does, so
+    determinism survives any weight magnitude) with ``u_i`` derived
+    from ``splitmix64(id ^ mix(seed))``; the k largest keys win —
+    inclusion probability proportional to weight, reproducible across
+    runs/partitionings (the data-mixture primitive: upweight a
+    domain/quality score, draw the same sample every epoch).
 
     Scale shape: each batch reduces to its local top-k (one argpartition
     — no sort of the full batch), so the driver merges only
@@ -80,7 +83,7 @@ def weighted_sample(ds, *, weight_col: str, id_col: str = "doc_id",
             return pa.table({id_col: pa.array([], pa.int64()),
                              "weight": pa.array([], pa.float64()),
                              "es_key": pa.array([], pa.float64())})
-        key = _unit_uniform(idv, seed) ** (1.0 / wv)
+        key = np.log(_unit_uniform(idv, seed)) / wv
         if len(key) > k:
             part = np.argpartition(key, len(key) - k)[len(key) - k:]
             idv, wv, key = idv[part], wv[part], key[part]

@@ -297,8 +297,9 @@ def dd_quantile_sketch(ds, col: str, *, alpha: float = 0.01):
     REGARDLESS of the distinct-value count — the scale path where
     ``exact_quantiles`` on a continuous column would move every
     distinct value. Negative values use a mirrored store, zeros an
-    exact counter; counts (and therefore ranks) are exact, only the
-    within-bucket value is approximated.
+    exact counter; nulls, NaN and +/-inf are excluded; counts (and
+    therefore ranks) are exact, only the within-bucket value is
+    approximated.
 
     Scale shape: each batch collapses to its (bucket, count) pairs via
     one log + bincount-over-unique pass; the driver merges bounded
@@ -313,7 +314,9 @@ def dd_quantile_sketch(ds, col: str, *, alpha: float = 0.01):
     def partial(batch: pa.Table) -> pa.Table:
         v = single_chunk(batch.column(col)).cast(pa.float64())
         x = v.to_numpy(zero_copy_only=False)
-        x = x[~np.isnan(x)]
+        # nulls, NaN AND +/-inf are excluded: log(inf) would cast to
+        # INT64_MIN and silently rank inf as the smallest positive
+        x = x[np.isfinite(x)]
         n_zero = int((x == 0).sum())
         out_b, out_c, out_s = [], [], []
         for sign, vals in ((1, x[x > 0]), (-1, -x[x < 0])):
@@ -358,7 +361,11 @@ def dd_quantile_sketch(ds, col: str, *, alpha: float = 0.01):
 def dd_quantile_estimate(sk: dict, qs) -> list[float]:
     """Quantile estimates from a DDSketch (rank rule ceil(q*n)-1,
     matching ``exact_quantiles``/``quantile_disc``; rank walk is over
-    exact counts, so only the within-bucket midpoint approximates)."""
+    exact counts, so only the within-bucket midpoint approximates).
+    Raises on an empty sketch (no finite values — SQL would say
+    NULL)."""
+    if sk["n"] == 0:
+        raise ValueError("dd_quantile_estimate: empty sketch")
     gamma = sk["gamma"]
     # global ascending order: negatives by descending bucket (most
     # negative first), then zeros, then positives by ascending bucket

@@ -34,13 +34,22 @@ def export_training_mixture(
     seed: int = 0,
 ):
     """Run the full mixture-export composition over a documents
-    dataset. Returns ``(survivors, packs, write_stats)``:
-    the surviving (id, n_bigrams, xent) table, the pack manifest
-    table, and the part-writer stats dict. ``out_dir`` receives
-    CRC-checksummed parquet parts of the shuffled surviving rows plus
-    the lineage manifest.
+    dataset. Returns ``(survivors_ds, packs_ds, write_stats)``: the
+    surviving (id, n_bigrams, xent) Dataset, the pack-manifest
+    Dataset, and the part-writer stats dict — both Datasets stay
+    distributed (the score table is corpus-sized at cluster scale;
+    only the quantile threshold and write stats touch the driver).
+
+    ``out_dir`` is OWNED by this export: any pre-existing parquet
+    parts and lineage manifest in it are removed first, because parts
+    are content-hash-named — a previous run with different parameters
+    would otherwise leave stale parts that silently pollute the
+    exported epoch. ``out_dir`` receives CRC-checksummed parts of the
+    shuffled surviving rows plus the lineage manifest.
     """
-    import ray.data
+    import glob as _glob
+
+    import ray.data  # noqa: F401  (Dataset inputs)
 
     from ..core.options import WriteOptions
     from ..functions.joins import hash_join
@@ -48,30 +57,44 @@ def export_training_mixture(
     from ..functions.packing import pack_sequences
     from ..functions.shuffle import deterministic_shuffle
     from ..functions.stats import exact_quantiles
+    from ..state.lineage import LineageLog
     from .write import write_parquet_dataset
 
-    def collect(d):
-        return pa.concat_tables(
-            b for b in d.iter_batches(batch_size=None,
-                                      batch_format="pyarrow"))
+    os.makedirs(out_dir, exist_ok=True)
+    for stale in _glob.glob(os.path.join(out_dir, "*.parquet")):
+        os.unlink(stale)
+    LineageLog(out_dir).clear()
 
-    # 1. quality model + exact vocab, fused into ONE corpus scan
+    # 1. quality model + exact vocab, fused into ONE corpus scan;
+    # scores materialize to the OBJECT STORE (distributed), not the
+    # driver — they feed three consumers below
     model, V = train_bigram_lm(ds, text_col=text_col)
-    scored = lm_score(ds, model, V, text_col=text_col, id_col=id_col)
-    scored_t = collect(scored)
+    scored = lm_score(ds, model, V, text_col=text_col,
+                      id_col=id_col).materialize()
+    n_scored = scored.count()
+    if n_scored == 0:  # no document had >= 2 tokens
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_bigrams": pa.array([], pa.int64()),
+                          "xent": pa.array([], pa.float64())})
+        return (ray.data.from_arrow(empty),
+                ray.data.from_arrow(pa.table({"pack_id": pa.array([], pa.int64())})),
+                {"rows": 0, "out_dir": out_dir})
 
     # 2. keep the best `keep_quantile` of documents by cross-entropy
-    # (exact distributed quantile; quantile_disc rank rule)
+    # (exact distributed quantile; quantile_disc rank rule); the
+    # filter runs as a map, scores never leave the cluster
     th = exact_quantiles(
-        ray.data.from_arrow(scored_t), "xent", qs=(keep_quantile,)
+        scored, "xent", qs=(keep_quantile,)
     ).column("value").to_pylist()[0]
-    survivors = scored_t.filter(
-        pc.less_equal(scored_t.column("xent"), pa.scalar(th)))
+    survivors = scored.map_batches(
+        lambda b: b.filter(pc.less_equal(b.column("xent"),
+                                         pa.scalar(th))),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     # 3. join scores back onto the corpus rows (big-x-big: at cluster
     # scale the score table is corpus-sized — no broadcast)
     joined = hash_join(
-        ds, ray.data.from_arrow(survivors), on=id_col,
+        ds, survivors, on=id_col,
         right_cols=["n_bigrams", "xent"], how="inner")
 
     # 4. reproducible epoch order, then CRC-checksummed part output
@@ -81,9 +104,8 @@ def export_training_mixture(
         concurrency=(1, 4))
 
     # 5. token-budgeted packing manifest over the survivors
-    packs = collect(pack_sequences(
-        ray.data.from_arrow(survivors), id_col=id_col,
-        tokens_col="n_bigrams", budget=pack_budget))
+    packs = pack_sequences(survivors, id_col=id_col,
+                           tokens_col="n_bigrams", budget=pack_budget)
     return survivors, packs, stats
 
 

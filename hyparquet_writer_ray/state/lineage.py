@@ -98,6 +98,17 @@ class LineageLog:
             self._fh.close()
             self._fh = None
 
+    def clear(self) -> None:
+        """Forget all completion records (fresh-export semantics: the
+        owning pipeline is about to rewrite the directory and stale
+        records would wrongly mark new work as done)."""
+        self.close()
+        import shutil
+        shutil.rmtree(self.parts_dir, ignore_errors=True)
+        shutil.rmtree(self.blob_dir, ignore_errors=True)
+        if os.path.exists(self.manifest_path):
+            os.unlink(self.manifest_path)
+
     # -- resume side ----------------------------------------------------
     def _validate(self, rec: PartRecord) -> bool:
         if self.store_blobs:

@@ -507,3 +507,30 @@ def test_weighted_sample_deterministic_and_weight_biased(ray_session):
         heavy += sum(1 for i in ids if i >= n // 2)
     frac = heavy / (20 * 100)
     assert frac > 0.85, f"heavy-weight fraction only {frac}"
+
+
+def test_weighted_sample_huge_weights_deterministic(ray_session):
+    """Log-form ES keys never saturate: 1e18-scale weights still give
+    a partitioning-invariant sample (regression: u**(1/w) rounded to
+    exactly 1.0 and the winner depended on batch arrival order)."""
+    import ray.data
+
+    from hyparquet_writer_ray.functions.shuffle import weighted_sample
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(500)), pa.int64()),
+        "w": pa.array([1e18 + i for i in range(500)], pa.float64()),
+    })
+
+    def run(parts):
+        return weighted_sample(
+            ray.data.from_arrow(t).repartition(parts),
+            weight_col="w", id_col="doc_id", k=20, seed=3
+        ).column("doc_id").to_pylist()
+
+    a = run(2)
+    assert a == run(11) == run(5)
+    keys = weighted_sample(
+        ray.data.from_arrow(t), weight_col="w", id_col="doc_id",
+        k=20, seed=3).column("es_key").to_pylist()
+    assert len(set(keys)) == 20, "saturated keys collapsed to ties"

@@ -176,9 +176,10 @@ def test_mixture_export_composition(ray_session, corpus, tmp_path):
         export_training_mixture, verify_mixture_output)
 
     out = os.path.join(str(tmp_path), "mix")
-    survivors, packs, stats = export_training_mixture(
+    survivors_ds, packs_ds, stats = export_training_mixture(
         ray.data.from_arrow(corpus).repartition(3), out,
         keep_quantile=0.5, pack_budget=64, seed=5)
+    survivors, packs = _collect(survivors_ds), _collect(packs_ds)
     assert survivors.num_rows >= 1
     parts = verify_mixture_output(out)
     got = np.concatenate([p.column("doc_id").to_numpy(
@@ -211,3 +212,42 @@ def test_train_bigram_lm_equals_separate_passes(ray_session, corpus):
     assert v_f == v_s
     assert model_f.sort_by(key).equals(model_s.sort_by(key).cast(
         model_f.schema))
+
+
+def test_mixture_export_owns_out_dir(ray_session, corpus, tmp_path):
+    """A rerun with different parameters into the same out_dir must not
+    leave stale parts from the previous run (regression: content-hash
+    part names never collide, so old parts survived silently)."""
+    import os
+
+    import ray.data
+
+    from hyparquet_writer_ray.pipelines.mixture import (
+        export_training_mixture, verify_mixture_output)
+
+    out = os.path.join(str(tmp_path), "mix")
+    ds = ray.data.from_arrow(corpus).repartition(3)
+    export_training_mixture(ds, out, keep_quantile=0.9, seed=1)
+    n1 = sum(p.num_rows for p in verify_mixture_output(out))
+    s2_ds, _, stats2 = export_training_mixture(ds, out,
+                                               keep_quantile=0.25, seed=2)
+    n2 = sum(p.num_rows for p in verify_mixture_output(out))
+    assert n2 == stats2["rows"] < n1, (n1, n2, stats2["rows"])
+
+
+def test_mixture_export_empty_corpus(ray_session, tmp_path):
+    """All-short-doc corpora (no bigrams anywhere) export cleanly."""
+    import os
+
+    import ray.data
+
+    from hyparquet_writer_ray.pipelines.mixture import (
+        export_training_mixture)
+
+    docs = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                     "text": pa.array(["one", "two"])})
+    out = os.path.join(str(tmp_path), "mix")
+    s, p, stats = export_training_mixture(
+        ray.data.from_arrow(docs), out)
+    assert stats["rows"] == 0
+    assert s.count() == 0

@@ -295,3 +295,35 @@ def test_dd_quantile_sketch_relative_error(ray_session):
     tz = pa.table({"v": pa.array([0.0] * 50 + [1.0] * 10, pa.float64())})
     skz = dd_quantile_sketch(ray.data.from_arrow(tz), "v", alpha=0.01)
     assert dd_quantile_estimate(skz, (0.5,)) == [0.0]
+
+
+def test_dd_sketch_ignores_inf_and_rejects_empty(ray_session):
+    """+/-inf are excluded like nulls (regression: log(inf) cast to
+    INT64_MIN ranked inf as the smallest positive); an empty sketch
+    raises instead of crashing with IndexError."""
+    import duckdb
+    import numpy as np
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.sketches import (
+        dd_quantile_estimate, dd_quantile_sketch)
+
+    vals = np.linspace(1.0, 100.0, 1000)
+    t = pa.table({"v": pa.array(
+        vals.tolist() + [float("inf"), float("-inf")], pa.float64())})
+    sk = dd_quantile_sketch(ray.data.from_arrow(t), "v", alpha=0.01)
+    assert sk["n"] == 1000
+    est = dd_quantile_estimate(sk, (0.99,))[0]
+    con = duckdb.connect()
+    tf = pa.table({"v": pa.array(vals, pa.float64())})
+    con.register("t", tf)
+    true = con.sql("SELECT quantile_disc(v, 0.99) FROM t").fetchone()[0]
+    assert abs(est - true) <= 0.01 * true
+    import pytest
+
+    empty = dd_quantile_sketch(
+        ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())})),
+        "v")
+    with pytest.raises(ValueError, match="empty"):
+        dd_quantile_estimate(empty, (0.5,))
