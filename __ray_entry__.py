@@ -1272,6 +1272,41 @@ def _q_mixture_export(sf_dir: str) -> pa.Table:
     return survivors.sort_by("doc_id")
 
 
+def _q_grouped_dd(sf_dir: str) -> pa.Table:
+    """Per-key DDSketch quantiles (events.value by event_type): each
+    key's state is O(log(range)/alpha) log-buckets, never its distinct
+    values — the per-domain latency/quality-profile op at corpus
+    scale. Gate: every (key, q) estimate within relative error
+    alpha=0.01 of the exact DuckDB per-key quantile_disc."""
+    import duckdb
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.sketches import grouped_dd_quantiles
+
+    qs = (0.1, 0.5, 0.9)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    out = grouped_dd_quantiles(ds, key_col="event_type", col="value",
+                               qs=qs, alpha=0.01)
+    got = _collect(out, pa.schema([
+        ("event_type", pa.string()), ("q", pa.float64()),
+        ("value_est", pa.float64())]))
+    got_map = {(k, q): v for k, q, v in zip(
+        got.column("event_type").to_pylist(),
+        got.column("q").to_pylist(),
+        got.column("value_est").to_pylist())}
+    src = os.path.join(sf_dir, "events.parquet")
+    for q in qs:
+        for k, true in duckdb.sql(
+                f"SELECT event_type, quantile_disc(value, {q}) FROM "
+                f"'{src}' WHERE value IS NOT NULL GROUP BY 1").fetchall():
+            est = got_map[(k, q)]
+            assert abs(est - true) <= 0.01 * abs(true) + 1e-9, \
+                f"grouped DDSketch ({k}, {q}): {est} vs exact {true}"
+    return got.sort_by([("event_type", "ascending"), ("q", "ascending")])
+
+
 def _q_cms_freq(sf_dir: str) -> pa.Table:
     """Count-min sketch frequency profile of events.user_id: each
     batch collapses to one depth x width count matrix, partials merge
@@ -1933,6 +1968,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["text_lm_score"] = _q_lm_score
     q["dd_quantiles_value"] = _q_dd_quantiles  # rows-only: sketch;
     # every estimate gated in-driver within alpha of exact quantile_disc
+    q["dd_quantiles_by_type"] = _q_grouped_dd  # rows-only: per-key
+    # sketch; every (key, q) gated within alpha of exact per-key
+    # quantile_disc
     q["cms_user_freq"] = _q_cms_freq  # rows-only: approximate sketch;
     # every distinct user gated in-driver vs exact counts (no under-
     # estimate, error <= 2n/width)

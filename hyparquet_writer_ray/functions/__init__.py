@@ -25,6 +25,7 @@ from .sketches import (
     count_min_sketch,
     dd_quantile_estimate,
     dd_quantile_sketch,
+    grouped_dd_quantiles,
     grouped_hll_distinct,
     hll_distinct,
     hll_estimate,
@@ -75,7 +76,7 @@ __all__ = [
     "lsh_bucket_pairs", "topk_cosine",
     "asof_join", "broadcast_join", "hash_join", "interval_join",
     "hll_distinct", "hll_estimate", "grouped_hll_distinct",
-    "count_min_sketch", "cms_estimate", "dd_quantile_sketch", "dd_quantile_estimate",
+    "count_min_sketch", "cms_estimate", "dd_quantile_sketch", "dd_quantile_estimate", "grouped_dd_quantiles",
     "LMScorer", "bigram_model", "lm_score", "train_bigram_lm", "vocab_size",
     "deterministic_shuffle", "shuffle_key", "weighted_sample", "histogram",
     "exact_quantiles", "group_topk", "grouped_quantiles",

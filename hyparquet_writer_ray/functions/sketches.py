@@ -383,3 +383,123 @@ def dd_quantile_estimate(sk: dict, qs) -> list[float]:
         k = int(np.searchsorted(cum, idx + 1))
         out.append(float(entries[k][0]))
     return out
+
+
+def grouped_dd_quantiles(ds, *, key_col: str, col: str, qs=(0.5, 0.9),
+                         alpha: float = 0.01, num_buckets: int = 64):
+    """Per-key relative-error quantiles (grouped DDSketch) — the scale
+    complement to ``grouped_quantiles`` exactly as ``dd_quantile_sketch``
+    is to ``exact_quantiles``: every key's quantiles within relative
+    error ``alpha`` while each key's state is O(log(range)/alpha)
+    buckets, never its distinct values. Returns one row per (key, q):
+    ``(key, q:double, value_est:double)``.
+
+    Scale shape: each batch collapses to (key, sign, bucket, count)
+    partials via one lexsort/run-length pass over ALL keys at once
+    (no Python per key); one constant-bucket shuffle on hash(key)
+    co-locates each key's whole histogram and the bucket task
+    estimates all its keys vectorized per key group. Nulls/NaN/inf
+    values excluded; null keys form one group."""
+    import pyarrow.compute as pc
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    gamma_ln = float(np.log(gamma))
+    NB = max(int(num_buckets), 1)
+    qs = [float(q) for q in qs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = single_chunk(batch.column(key_col))
+        vals = single_chunk(batch.column(col)).cast(pa.float64())
+        x = vals.to_numpy(zero_copy_only=False)
+        ok = np.isfinite(x)
+        keys = keys.filter(pa.array(ok))
+        x = x[ok]
+        denc = pc.dictionary_encode(keys)
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        nulls = np.isnan(codes) if codes.dtype.kind == "f" else \
+            np.zeros(len(codes), bool)
+        nk = len(denc.dictionary)
+        codes = np.where(nulls, nk, codes).astype(np.int64)
+        sign = np.sign(x).astype(np.int64)
+        b = np.zeros(len(x), np.int64)
+        nz = sign != 0
+        b[nz] = np.ceil(np.log(np.abs(x[nz])) / gamma_ln).astype(np.int64)
+        order = np.lexsort((b, sign, codes))
+        ck, cs, cb = codes[order], sign[order], b[order]
+        starts = np.nonzero(np.r_[True, (ck[1:] != ck[:-1]) |
+                                  (cs[1:] != cs[:-1]) |
+                                  (cb[1:] != cb[:-1])])[0]
+        cnt = np.diff(np.r_[starts, len(ck)])
+        u_codes = ck[starts]
+        key_arr = denc.dictionary
+        if nulls.any():
+            key_arr = pa.concat_arrays(
+                [key_arr, pa.nulls(1, key_arr.type)])
+        out_keys = key_arr.take(pa.array(u_codes))
+        kb = _splitmix64(_hash_column_aligned(out_keys)).astype(
+            np.int64) % NB
+        kb[pc.is_null(out_keys).to_numpy(zero_copy_only=False)
+           .astype(bool)] = 0
+        return pa.table({
+            key_col: out_keys,
+            "__s": pa.array(cs[starts]),
+            "__b": pa.array(cb[starts]),
+            "__n": pa.array(cnt.astype(np.int64)),
+            "__bucket": pa.array(kb),
+        })
+
+    def resolve(group: pa.Table) -> pa.Table:
+        keys = single_chunk(group.column(key_col))
+        denc = pc.dictionary_encode(keys)
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        nulls = np.isnan(codes) if codes.dtype.kind == "f" else \
+            np.zeros(len(codes), bool)
+        nk = len(denc.dictionary)
+        codes = np.where(nulls, nk, codes).astype(np.int64)
+        s = group.column("__s").to_numpy(zero_copy_only=False)
+        b = group.column("__b").to_numpy(zero_copy_only=False)
+        n = group.column("__n").to_numpy(zero_copy_only=False)
+        # global ascending value order WITHIN each key: sign asc, then
+        # bucket asc for positives but DESC for negatives -> order by
+        # (sign, sign*bucket)
+        order = np.lexsort((s * b, s, codes))
+        ck, cs, cb, cn = codes[order], s[order], b[order], n[order]
+        key_starts = np.nonzero(np.r_[True, ck[1:] != ck[:-1]])[0]
+        key_arr = denc.dictionary
+        if nulls.any():
+            key_arr = pa.concat_arrays(
+                [key_arr, pa.nulls(1, key_arr.type)])
+        out_k, out_q, out_v = [], [], []
+        for gi, st in enumerate(key_starts):
+            en = key_starts[gi + 1] if gi + 1 < len(key_starts) else len(ck)
+            # merge duplicate (sign,bucket) runs from different batches
+            gs, gb, gn = cs[st:en], cb[st:en], cn[st:en]
+            runs = np.nonzero(np.r_[True, (gs[1:] != gs[:-1]) |
+                                    (gb[1:] != gb[:-1])])[0]
+            rs, rb = gs[runs], gb[runs]
+            rn = np.add.reduceat(gn, runs)
+            # rb is the MAGNITUDE bucket for both signs; the sign only
+            # mirrors the value (the sort key above uses rs*rb purely
+            # for ordering)
+            est = np.where(
+                rs == 0, 0.0,
+                rs * 2.0 * gamma ** rb / (gamma + 1.0))
+            cum = np.cumsum(rn)
+            total = int(cum[-1])
+            kv = key_arr[int(ck[st])].as_py() if int(ck[st]) != nk else None
+            for q in qs:
+                idx = max(int(np.ceil(q * total)) - 1, 0)
+                k = int(np.searchsorted(cum, idx + 1))
+                out_k.append(kv)
+                out_q.append(q)
+                out_v.append(float(est[k]))
+        return pa.table({
+            key_col: pa.array(out_k, key_arr.type),
+            "q": pa.array(out_q, pa.float64()),
+            "value_est": pa.array(out_v, pa.float64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return parts.groupby("__bucket").map_groups(
+        resolve, batch_format="pyarrow")

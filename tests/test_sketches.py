@@ -327,3 +327,46 @@ def test_dd_sketch_ignores_inf_and_rejects_empty(ray_session):
         "v")
     with pytest.raises(ValueError, match="empty"):
         dd_quantile_estimate(empty, (0.5,))
+
+
+def test_grouped_dd_quantiles_within_alpha(ray_session):
+    """Per-key DDSketch quantiles track exact per-key quantile_disc
+    within relative error alpha for every key and q, on mixed
+    negative/zero/positive data with null keys and values."""
+    import duckdb
+    import numpy as np
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.sketches import (
+        grouped_dd_quantiles)
+
+    rng = np.random.default_rng(17)
+    n = 30000
+    ks = [None if i % 301 == 0 else f"d{int(x)}"
+          for i, x in enumerate(rng.integers(0, 6, n))]
+    vs = rng.normal(0, 5, n)
+    vs[::120] = 0.0
+    vs_l = [None if i % 97 == 0 else float(x) for i, x in enumerate(vs)]
+    t = pa.table({"k": pa.array(ks, pa.string()),
+                  "v": pa.array(vs_l, pa.float64())})
+    qs = (0.1, 0.5, 0.9)
+    out = grouped_dd_quantiles(
+        ray.data.from_arrow(t).repartition(7), key_col="k", col="v",
+        qs=qs, alpha=0.01, num_buckets=4)
+    got = pa.concat_tables(
+        out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    got_map = {(k, q): v for k, q, v in zip(
+        got.column("k").to_pylist(), got.column("q").to_pylist(),
+        got.column("value_est").to_pylist())}
+    con = duckdb.connect()
+    con.register("t", t)
+    for q in qs:
+        want = con.sql(
+            f"SELECT k, quantile_disc(v, {q}) FROM t "
+            "WHERE v IS NOT NULL GROUP BY k").fetchall()
+        for k, true in want:
+            est = got_map[(k, q)]
+            assert abs(est - true) <= 0.01 * abs(true) + 1e-9, \
+                (k, q, est, true)
+    assert len(got_map) == len(want) * len(qs)
