@@ -1220,7 +1220,11 @@ def _q_mixture_export(sf_dir: str) -> pa.Table:
     WITHIN every part and part key-ranges are pairwise disjoint (parts
     are content-hash-named, so a consumer reconstructs global order by
     part min-key); every doc packed exactly once with bin token sums
-    consistent and within budget unless flagged oversize."""
+    consistent and within budget unless flagged oversize; and the
+    default DDSketch threshold deviates from the exact quantile_disc
+    value by its documented relative-error bound — every doc clearly
+    below the exact threshold kept, none clearly above it kept
+    (re-derived here from the durable score checkpoint)."""
     import shutil
 
     import numpy as np
@@ -1256,6 +1260,29 @@ def _q_mixture_export(sf_dir: str) -> pa.Table:
     assert all(ranges[i][1] < ranges[i + 1][0]
                for i in range(len(ranges) - 1)), \
         "part shuffle-key ranges overlap: epoch order not recoverable"
+
+    # threshold-accuracy gate: the DDSketch threshold th satisfies
+    # v_true*(1-a^2) <= th <= v_true*(1+a)^2 (estimate within relative
+    # a of the exact quantile value, then inflated by (1+a)), so the
+    # surviving set must include every doc with xent <= v_true*(1-a^2)
+    # and exclude every doc with xent > v_true*(1+a)^2
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    sc = pa.concat_tables(
+        _pq.read_table(f, columns=["doc_id", "xent"])
+        for f in sorted(_glob.glob(os.path.join(out, "_scores", "*.parquet"))))
+    xs = np.sort(sc.column("xent").to_numpy(zero_copy_only=False))
+    v_true = float(xs[max(int(np.ceil(0.75 * len(xs))) - 1, 0)])
+    a = 0.005  # export_training_mixture's default threshold_alpha
+    kept_mask = np.isin(sc.column("doc_id").to_numpy(zero_copy_only=False),
+                        surv_ids)
+    x_all = sc.column("xent").to_numpy(zero_copy_only=False)
+    assert kept_mask[x_all <= v_true * (1 - a * a) - 1e-12].all(), \
+        "sketch threshold dropped a doc clearly below the exact quantile"
+    assert not kept_mask[x_all > v_true * (1 + a) ** 2 + 1e-12].any(), \
+        "sketch threshold kept a doc clearly above the exact quantile"
 
     packed = [d for ids in packs.column("doc_ids").to_pylist()
               for d in ids]

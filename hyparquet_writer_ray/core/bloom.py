@@ -280,18 +280,38 @@ def bloom_might_contain(source, column: str, value) -> list[bool]:
     )
 
 
+def _resolve_top_level_leaf(schema_elems, column: str):
+    """(chunk_index, physical_type, type_length) of the TOP-LEVEL
+    primitive column named ``column``. Column chunks are ordered by DFS
+    leaf order, but the name must resolve only among direct children of
+    the root — a nested leaf sharing a bare name (e.g. a map's 'value')
+    must not shadow or shift the chunk index and probe the wrong
+    column's bloom offsets."""
+    leaf = []  # (name, ptype, tlen, is_top_level) in DFS leaf order
+    stack = [int(schema_elems[0].get(5) or 0)]  # children left per depth
+    for el in schema_elems[1:]:
+        depth = len(stack)
+        if stack:
+            stack[-1] -= 1
+        nch = el.get(5)
+        if el.get(1) is not None and not nch:
+            nm = el[4].decode() if isinstance(el[4], bytes) else el[4]
+            leaf.append((nm, el[1], el.get(2), depth == 1))
+        if nch:
+            stack.append(int(nch))
+        while stack and stack[-1] == 0:
+            stack.pop()
+    hits = [i for i, (n, _, _, top) in enumerate(leaf) if top and n == column]
+    if not hits:
+        raise KeyError(f"no top-level primitive column named {column!r}")
+    if len(hits) > 1:
+        raise KeyError(f"ambiguous column name {column!r}")
+    _, ptype, tlen, _ = leaf[hits[0]]
+    return hits[0], ptype, tlen
+
+
 def _bloom_probe(fmeta, read_range, column: str, value, _struct) -> list[bool]:
-    schema_elems = fmeta[2]
-    # leaf order: schema elements with a physical type, skipping root/groups
-    leaf_names = [
-        el[4].decode() if isinstance(el[4], bytes) else el[4]
-        for el in schema_elems if el.get(1) is not None
-    ]
-    leaf_types = [el[1] for el in schema_elems if el.get(1) is not None]
-    if column not in leaf_names:
-        raise KeyError(f"no leaf column named {column!r}")
-    ci = leaf_names.index(column)
-    ptype = leaf_types[ci]
+    ci, ptype, _ = _resolve_top_level_leaf(fmeta[2], column)
     # encode the probe by the COLUMN's physical type (parquet bloom
     # hashes the stored representation): 1=INT32 2=INT64 4=FLOAT
     # 5=DOUBLE 6=BYTE_ARRAY 7=FLBA
@@ -350,14 +370,7 @@ def load_bloom_words(path: str, column: str):
         flen = int.from_bytes(f.read(4), "little")
         f.seek(size - 8 - flen)
         fmeta = CompactReader(f.read(flen)).read_struct()
-        schema_elems = fmeta[2]
-        leaf = [(el[4].decode() if isinstance(el[4], bytes) else el[4],
-                 el[1], el.get(2)) for el in schema_elems if el.get(1) is not None]
-        names = [n for n, _, _ in leaf]
-        if column not in names:
-            raise KeyError(f"no leaf column named {column!r} in {path}")
-        ci = names.index(column)
-        ptype, tlen = leaf[ci][1], leaf[ci][2]
+        ci, ptype, tlen = _resolve_top_level_leaf(fmeta[2], column)
         out = []
         for rg in fmeta[4]:
             md = rg[1][ci][3]

@@ -739,6 +739,24 @@ def _band_rows(batch: pa.Table, bands: int, id_col: str, num_perm: int,
     })
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Default location for operator checkpoints (minhash signatures,
+    gram sets, vector blocks) — the ONE shared knob for all of them.
+    Set ``HPW_SCRATCH_DIR`` to shared storage (s3 / nfs mount) on a
+    multi-node cluster so every worker sees the checkpoint namespace;
+    unset, this falls back to a node-local tempdir, which is correct
+    single-node ONLY. Pass the operator's ``*_dir`` parameter
+    explicitly instead when you want a deterministic, resumable path."""
+    import os
+    import tempfile
+
+    base = os.environ.get("HPW_SCRATCH_DIR")
+    if base:
+        os.makedirs(base, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=base)
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def _checkpoint_dataset(ds, out_dir: str) -> None:
     """Write ``ds`` to ``out_dir`` as a resumable checkpoint: a dir
     carrying the ``_DONE`` marker is reused as-is (true resume — the
@@ -755,8 +773,11 @@ def _checkpoint_dataset(ds, out_dir: str) -> None:
         return
     if _glob.glob(os.path.join(out_dir, "*.parquet")):
         shutil.rmtree(out_dir)
-        os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
     ds.write_parquet(out_dir)
+    # an empty dataset writes no files (and would not create the dir);
+    # the marker must still land so a resume knows scoring completed
+    os.makedirs(out_dir, exist_ok=True)
     with open(marker, "w") as f:
         f.write("ok")
 
@@ -811,12 +832,9 @@ def minhash_lsh_pairs(
         batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
     )
     if sig_dir is None:
-        # NOTE: the default tempdir is correct single-node only — on a
-        # multi-node cluster pass sig_dir on SHARED storage (s3/nfs), as
-        # write_parquet/read_parquet must see one namespace.
-        import tempfile
-
-        sig_dir = tempfile.mkdtemp(prefix="minhash_sigs_")
+        # default routes through HPW_SCRATCH_DIR (shared storage on a
+        # multi-node cluster); node-local tempdir only when unset
+        sig_dir = _scratch_dir("minhash_sigs_")
     _checkpoint_dataset(sigs, sig_dir)
 
     def _sig_ds():
@@ -1104,10 +1122,9 @@ def ngram_jaccard_pairs(
         batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
     )
     if grams_dir is None:
-        # single-node default; use shared storage on a real cluster
-        import tempfile
-
-        grams_dir = tempfile.mkdtemp(prefix="ngram_sets_")
+        # default routes through HPW_SCRATCH_DIR (shared storage on a
+        # multi-node cluster); node-local tempdir only when unset
+        grams_dir = _scratch_dir("ngram_sets_")
     _checkpoint_dataset(sets, grams_dir)
 
     # shared bucketed tag-union hash join; exact per-pair Jaccard in

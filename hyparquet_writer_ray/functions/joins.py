@@ -53,7 +53,8 @@ def _bucket_of(col: pa.Array, nb: int) -> np.ndarray:
 
         lens, data = byte_array_values(col)
         return (_segmented_poly_hash(lens, data) % np.uint64(nb)).astype(np.int64)
-    raise TypeError(f"asof_join: unsupported key type {t}")
+    raise TypeError(f"shuffle bucket: unsupported key type {t} "
+                    "(int / string / binary keys only)")
 
 
 def asof_join(

@@ -67,9 +67,16 @@ def _pair_counts(w1: pa.Array, w2: pa.Array):
             n.astype(np.int64))
 
 
-def _resolve_pairs(group: pa.Table, min_count: int) -> pa.Table:
+def _resolve_pairs(group: pa.Table, min_count: int,
+                   left_totals: bool = False) -> pa.Table:
     """Bucket finalizer shared by ``bigram_model`` / ``train_bigram_lm``:
-    sum pre-aggregated (w1, w2, n) rows into (w1, w2, c12, c1)."""
+    sum pre-aggregated (w1, w2, n) rows into (w1, w2, c12, c1).
+
+    With ``left_totals=True`` also appends one UNPRUNED
+    ``(w1, w2=null, c12=0, c1=total)`` row per distinct w1 so scorers
+    keep the exact left-context denominator even when every pair of a
+    w1 was pruned by ``min_count`` / a model-size cap (the side table
+    is vocabulary-bounded, never corpus-bounded)."""
     w1a = single_chunk(group.column("w1"))
     if len(w1a) == 0:
         return pa.table({
@@ -93,20 +100,36 @@ def _resolve_pairs(group: pa.Table, min_count: int) -> pa.Table:
     totals = np.add.reduceat(c12, w1_starts)
     c1_of_pair = np.repeat(totals, np.diff(np.r_[w1_starts, len(p1)]))
     keep = c12 >= min_count
-    return pa.table({
+    out = pa.table({
         "w1": d1.dictionary.take(pa.array(p1[keep])),
         "w2": d2.dictionary.take(pa.array(s2[pair_starts][keep])),
         "c12": pa.array(c12[keep].astype(np.int64)),
         "c1": pa.array(c1_of_pair[keep].astype(np.int64)),
     })
+    if not left_totals:
+        return out
+    lefts = pa.table({
+        "w1": d1.dictionary.take(pa.array(p1[w1_starts])),
+        "w2": pa.nulls(len(w1_starts), d2.dictionary.type),
+        "c12": pa.array(np.zeros(len(w1_starts), np.int64)),
+        "c1": pa.array(totals.astype(np.int64)),
+    })
+    return pa.concat_tables([out, lefts])
 
 
 def bigram_model(ds, *, text_col: str = "text", num_buckets: int = 64,
-                 min_count: int = 1):
+                 min_count: int = 1, left_totals: bool = False):
     """Corpus bigram model: ``(w1, w2, c12:int64, c1:int64)`` rows,
     where c1 = total bigram occurrences with left context w1 (so the
     conditional is c12/c1). ``min_count`` prunes rare PAIRS from the
-    output but after c1 is computed, so probabilities stay exact."""
+    output but after c1 is computed, so probabilities stay exact.
+
+    ``left_totals=True`` additionally emits one
+    ``(w1, w2=null, c12=0, c1=total)`` row per distinct w1 (unpruned):
+    pass it whenever ``min_count > 1`` and the model will feed
+    ``lm_score``, so unseen-bigram fallbacks use the true c1 even for
+    a w1 whose every pair was pruned (``LMScorer`` reads the side rows
+    natively; without them a fully-pruned w1 falls back to c1=0)."""
     from .dedup import _segmented_poly_hash
     from .sketches import _splitmix64
 
@@ -124,11 +147,13 @@ def bigram_model(ds, *, text_col: str = "text", num_buckets: int = 64,
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
     return parts.groupby("__bucket").map_groups(
-        lambda g: _resolve_pairs(g, min_count), batch_format="pyarrow")
+        lambda g: _resolve_pairs(g, min_count, left_totals),
+        batch_format="pyarrow")
 
 
 def train_bigram_lm(ds, *, text_col: str = "text", num_buckets: int = 64,
-                    min_count: int = 1) -> tuple[pa.Table, int]:
+                    min_count: int = 1,
+                    max_model_rows: int | None = None) -> tuple[pa.Table, int]:
     """Fused training: the bigram model AND the exact vocabulary size
     from ONE corpus scan + one shuffle (``bigram_model`` then
     ``vocab_size`` separately would scan the text twice — at 100 TB a
@@ -138,7 +163,21 @@ def train_bigram_lm(ds, *, text_col: str = "text", num_buckets: int = 64,
     rows); each bucket resolves its model rows plus one
     ``(w1=null, w2=null, c12=<distinct tokens in bucket>)`` summary
     row — disjoint across buckets because the bucket is a pure token
-    hash. Returns ``(model_table, vocab)``."""
+    hash. Returns ``(model_table, vocab)``.
+
+    **Bounded-memory contract**: the broadcast model is O(distinct
+    surviving bigrams). ``max_model_rows=K`` caps it at the K
+    highest-count pairs (ties broken by (w1, w2) so the cap is
+    deterministic); whenever pruning can drop pairs (``min_count > 1``
+    or a binding cap) the model also carries the UNPRUNED
+    vocabulary-bounded ``(w1, w2=null, c1)`` left-total side rows, so
+    a pruned pair scores as an unseen bigram with its TRUE
+    denominator: ``ln(a / (c1 + a*V))`` instead of
+    ``ln((c12 + a) / (c1 + a*V))``. The per-bigram log-prob error is
+    therefore at most ``ln((c_cut + a) / a)`` where ``c_cut`` is the
+    largest pruned count (≤ the (K+1)-th largest c12), and it applies
+    only to occurrences of pruned pairs; an unbinding cap changes no
+    score by even 1 ulp (gated in tests/test_lm.py)."""
     from .dedup import _segmented_poly_hash
     from .sketches import _splitmix64
 
@@ -170,7 +209,9 @@ def train_bigram_lm(ds, *, text_col: str = "text", num_buckets: int = 64,
         toks = single_chunk(group.column("w1")).filter(is_tok)
         n_vocab = len(pc.unique(toks))
         pairs = group.filter(pc.invert(is_tok))
-        model = _resolve_pairs(pairs, min_count)
+        model = _resolve_pairs(pairs, min_count,
+                               left_totals=(min_count > 1
+                                            or max_model_rows is not None))
         summary = pa.table({
             "w1": pa.nulls(1, model.column("w1").type),
             "w2": pa.nulls(1, model.column("w2").type),
@@ -189,6 +230,16 @@ def train_bigram_lm(ds, *, text_col: str = "text", num_buckets: int = 64,
     is_summary = pc.is_null(t.column("w1"))
     vocab = int(pc.sum(t.filter(is_summary).column("c12")).as_py() or 0)
     model = t.filter(pc.invert(is_summary)).combine_chunks()
+    if max_model_rows is not None:
+        is_left = pc.is_null(model.column("w2"))
+        pairs_t = model.filter(pc.invert(is_left))
+        if pairs_t.num_rows > int(max_model_rows):
+            order = pc.sort_indices(pairs_t, sort_keys=[
+                ("c12", "descending"), ("w1", "ascending"),
+                ("w2", "ascending")])
+            kept = pairs_t.take(order.slice(0, int(max_model_rows)))
+            model = pa.concat_tables(
+                [kept, model.filter(is_left)]).combine_chunks()
     return model, vocab
 
 
@@ -237,12 +288,25 @@ class LMScorer:
                  text_col: str, id_col: str) -> None:
         import ray
         model: pa.Table = ray.get(model_ref)
+        # (w1, w2=null) rows are the unpruned left-total side table a
+        # min_count>1 / max_model_rows trainer ships; split them out so
+        # unseen-bigram fallbacks use the TRUE c1 even when every pair
+        # of a w1 was pruned (ADVICE r3: surviving-row totals deviate
+        # from the documented add-alpha formula otherwise).
+        is_left = pc.is_null(model.column("w2"))
+        if pc.any(is_left).as_py():
+            lefts = model.filter(is_left)
+            model = model.filter(pc.invert(is_left))
+            self.left = dict(zip(
+                lefts.column("w1").to_pylist(),
+                lefts.column("c1").to_numpy(zero_copy_only=False).tolist()))
+        else:
+            self.left = {}
         c12 = model.column("c12").to_numpy(zero_copy_only=False)
         c1 = model.column("c1").to_numpy(zero_copy_only=False)
         w1l = model.column("w1").to_pylist()
         self.pair = dict(zip(zip(w1l, model.column("w2").to_pylist()),
                              zip(c12.tolist(), c1.tolist())))
-        self.left = {}
         for w1, c in zip(w1l, c1.tolist()):
             self.left.setdefault(w1, c)
         self.vocab = int(vocab)

@@ -255,9 +255,11 @@ def exact_cosine_pairs(ds, *, threshold: float = 0.9,
     from .sketches import _splitmix64
 
     if block_dir is None:
-        import tempfile
+        # default routes through HPW_SCRATCH_DIR (shared storage on a
+        # multi-node cluster); node-local tempdir only when unset
+        from .dedup import _scratch_dir
 
-        block_dir = tempfile.mkdtemp(prefix="cospairs_blocks_")
+        block_dir = _scratch_dir("cospairs_blocks_")
 
     import glob as _glob
     import os

@@ -157,16 +157,25 @@ def grouped_quantiles(ds, *, key_col: str, col: str, qs=(0.5, 0.9, 0.99),
     constant group count — and each bucket finishes ALL its keys
     vectorized (one cumsum + searchsorted per quantile over the
     bucket's sorted histogram). Bytes shuffled are O(distinct
-    (key, value) pairs), never O(rows); no per-key Python anywhere."""
+    (key, value) pairs), never O(rows); no per-key Python anywhere.
+
+    The key keeps its ORIGINAL Arrow type in the output (int / string /
+    binary — anything ``_bucket_of`` can hash); it is never stringified
+    (ADVICE r3: the old large_string cast turned integer keys into
+    digit strings)."""
     import pyarrow.compute as pc
 
     from .joins import _bucket_of
 
     NB = max(int(num_buckets), 1)
     qs = [float(q) for q in qs]
+    sch = ds.schema()
+    ktype = dict(zip(sch.names, sch.types))[key_col]
+    if not isinstance(ktype, pa.DataType):  # ray Schema may wrap numpy
+        ktype = pa.large_string()
 
     def partial(batch: pa.Table) -> pa.Table:
-        empty = pa.table({"__k": pa.array([], pa.large_string()),
+        empty = pa.table({"__k": pa.array([], ktype),
                           "v": pa.array([], pa.int64()),
                           "n": pa.array([], pa.int64())})
         if batch.num_columns == 0 or batch.num_rows == 0:
@@ -189,7 +198,7 @@ def grouped_quantiles(ds, *, key_col: str, col: str, qs=(0.5, 0.9, 0.99),
         starts = np.nonzero(new)[0]
         cnt = np.diff(np.append(starts, len(order)))
         return pa.table({
-            "__k": denc.dictionary.take(pa.array(c_s[starts])).cast(pa.large_string()),
+            "__k": denc.dictionary.take(pa.array(c_s[starts])).cast(ktype),
             "v": pa.array(v_s[starts], pa.int64()),
             "n": pa.array(cnt.astype(np.int64), pa.int64()),
         })
@@ -202,7 +211,7 @@ def grouped_quantiles(ds, *, key_col: str, col: str, qs=(0.5, 0.9, 0.99),
             pa.array(_bucket_of(single_chunk(batch.column("__k")), NB)))
 
     def finish(group: pa.Table) -> pa.Table:
-        empty = pa.table({key_col: pa.array([], pa.large_string()),
+        empty = pa.table({key_col: pa.array([], ktype),
                           "q": pa.array([], pa.float64()),
                           "value": pa.array([], pa.int64())})
         if group.num_columns == 0 or group.num_rows == 0:
@@ -236,7 +245,7 @@ def grouped_quantiles(ds, *, key_col: str, col: str, qs=(0.5, 0.9, 0.99),
                 out_q.append(q)
                 out_v.append(int(v_u[s:e][np.searchsorted(cum, idx + 1)]))
         return pa.table({
-            key_col: denc.dictionary.take(pa.array(out_k, pa.int64())).cast(pa.large_string()),
+            key_col: denc.dictionary.take(pa.array(out_k, pa.int64())).cast(ktype),
             "q": pa.array(out_q, pa.float64()),
             "value": pa.array(out_v, pa.int64()),
         })
@@ -420,6 +429,11 @@ def histogram(ds, col: str, *, lo: float, hi: float, bins: int = 64):
     import pyarrow.compute as pc
 
     nb = int(bins)
+    if nb < 1:
+        raise ValueError(f"histogram: bins must be >= 1, got {bins}")
+    if not (float(hi) > float(lo)):
+        raise ValueError(
+            f"histogram: need hi > lo, got lo={lo!r} hi={hi!r}")
     width = (float(hi) - float(lo)) / nb
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -32,6 +32,9 @@ def export_training_mixture(
     keep_quantile: float = 0.75,
     pack_budget: int = 512,
     seed: int = 0,
+    exact_threshold: bool = False,
+    threshold_alpha: float = 0.005,
+    resume: bool = False,
 ):
     """Run the full mixture-export composition over a documents
     dataset. Returns ``(survivors_ds, packs_ds, write_stats)``: the
@@ -40,38 +43,60 @@ def export_training_mixture(
     distributed (the score table is corpus-sized at cluster scale;
     only the quantile threshold and write stats touch the driver).
 
+    The quantile threshold defaults to the repo's DDSketch
+    (``threshold_alpha`` relative error on the threshold VALUE, ranks
+    exact, O(log-range/alpha) driver state) — on a continuous xent
+    column every double is distinct, so the exact value-histogram
+    path would shuffle one row per document. Pass
+    ``exact_threshold=True`` to opt back into ``exact_quantiles``.
+
     ``out_dir`` is OWNED by this export: any pre-existing parquet
-    parts and lineage manifest in it are removed first, because parts
-    are content-hash-named — a previous run with different parameters
-    would otherwise leave stale parts that silently pollute the
-    exported epoch. ``out_dir`` receives CRC-checksummed parts of the
-    shuffled surviving rows plus the lineage manifest.
-    """
+    parts, lineage manifest and score checkpoint in it are removed
+    first, because parts are content-hash-named — a previous run with
+    different parameters would otherwise leave stale state that
+    silently pollutes the exported epoch. ``resume=True`` skips that
+    cleanup and resumes a KILLED run of the SAME input/parameters:
+    the score table is checkpointed to ``out_dir/_scores`` as parquet
+    (durable, ``_DONE``-marked), so a rerun skips the train+score
+    corpus scans, and the part writer's lineage manifest skips parts
+    already on disk."""
     import glob as _glob
+    import shutil as _shutil
 
     import ray.data  # noqa: F401  (Dataset inputs)
 
     from ..core.options import WriteOptions
+    from ..functions.dedup import _checkpoint_dataset
     from ..functions.joins import hash_join
     from ..functions.lm import lm_score, train_bigram_lm
     from ..functions.packing import pack_sequences
     from ..functions.shuffle import deterministic_shuffle
+    from ..functions.sketches import dd_quantile_estimate, dd_quantile_sketch
     from ..functions.stats import exact_quantiles
     from ..state.lineage import LineageLog
     from .write import write_parquet_dataset
 
     os.makedirs(out_dir, exist_ok=True)
-    for stale in _glob.glob(os.path.join(out_dir, "*.parquet")):
-        os.unlink(stale)
-    LineageLog(out_dir).clear()
+    score_dir = os.path.join(out_dir, "_scores")
+    if not resume:
+        for stale in _glob.glob(os.path.join(out_dir, "*.parquet")):
+            os.unlink(stale)
+        LineageLog(out_dir).clear()
+        if os.path.isdir(score_dir):
+            _shutil.rmtree(score_dir)
 
     # 1. quality model + exact vocab, fused into ONE corpus scan;
-    # scores materialize to the OBJECT STORE (distributed), not the
-    # driver — they feed three consumers below
-    model, V = train_bigram_lm(ds, text_col=text_col)
-    scored = lm_score(ds, model, V, text_col=text_col,
-                      id_col=id_col).materialize()
-    n_scored = scored.count()
+    # scores are checkpointed to PARQUET (durable, resumable — a
+    # killed run rerun with resume=True skips the corpus scans), and
+    # the checkpoint feeds the three consumers below
+    if not os.path.exists(os.path.join(score_dir, "_DONE")):
+        model, V = train_bigram_lm(ds, text_col=text_col)
+        _checkpoint_dataset(
+            lm_score(ds, model, V, text_col=text_col, id_col=id_col),
+            score_dir)
+    score_files = _glob.glob(os.path.join(score_dir, "*.parquet"))
+    scored = ray.data.read_parquet(score_files) if score_files else None
+    n_scored = scored.count() if scored is not None else 0
     if n_scored == 0:  # no document had >= 2 tokens
         empty = pa.table({id_col: pa.array([], pa.int64()),
                           "n_bigrams": pa.array([], pa.int64()),
@@ -80,12 +105,21 @@ def export_training_mixture(
                 ray.data.from_arrow(pa.table({"pack_id": pa.array([], pa.int64())})),
                 {"rows": 0, "out_dir": out_dir})
 
-    # 2. keep the best `keep_quantile` of documents by cross-entropy
-    # (exact distributed quantile; quantile_disc rank rule); the
-    # filter runs as a map, scores never leave the cluster
-    th = exact_quantiles(
-        scored, "xent", qs=(keep_quantile,)
-    ).column("value").to_pylist()[0]
+    # 2. keep the best `keep_quantile` of documents by cross-entropy.
+    # Default: DDSketch threshold (rank rule exact, threshold value
+    # within threshold_alpha relative of the exact quantile_disc
+    # value); exact_threshold opts into the exact value histogram
+    # (O(distinct xent) shuffle rows — on continuous data, O(rows)).
+    if exact_threshold:
+        th = exact_quantiles(
+            scored, "xent", qs=(keep_quantile,)
+        ).column("value").to_pylist()[0]
+    else:
+        sk = dd_quantile_sketch(scored, "xent", alpha=threshold_alpha)
+        # inflate by alpha so sketch underestimation can only ADMIT a
+        # few extra near-threshold docs, never drop a clear keeper
+        th = dd_quantile_estimate(sk, (keep_quantile,))[0] \
+            * (1.0 + threshold_alpha)
     survivors = scored.map_batches(
         lambda b: b.filter(pc.less_equal(b.column("xent"),
                                          pa.scalar(th))),

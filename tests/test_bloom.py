@@ -180,3 +180,49 @@ def test_filter_seen_requires_blooms(ray_session, tmp_path):
     write_table(prior, str(pdir / "p.parquet"))  # no bloom
     with pytest.raises(ValueError):
         filter_seen(ray.data.from_arrow(prior), str(pdir), "k")
+
+
+def test_bloom_name_resolution_skips_nested_leaves(tmp_path):
+    """A nested leaf sharing a top-level column's bare name (here a
+    struct field 'k' sitting BEFORE the real 'k' in DFS leaf order)
+    must not shadow or shift the chunk index: both the footer-only
+    probe and load_bloom_words must land on the top-level column's
+    bloom (ADVICE r3)."""
+    from hyparquet_writer_ray import ColumnSpec, WriteOptions, write_table
+    from hyparquet_writer_ray.core.bloom import (
+        bloom_might_contain, load_bloom_words, sbbf_check)
+
+    t = pa.table({
+        "s": pa.array([{"k": i * 1000} for i in range(50)],
+                      pa.struct([("k", pa.int64())])),
+        "k": pa.array(list(range(50)), pa.int64()),
+    })
+    p = str(tmp_path / "shadow.parquet")
+    write_table(t, p, WriteOptions(column_specs={
+        "k": ColumnSpec(bloom_filter=True)}))
+    # top-level k holds 0..49; the decoy nested leaf holds 0,1000,...
+    assert bloom_might_contain(p, "k", 7) == [True]
+    assert bloom_might_contain(p, "k", 7000) == [False]
+    ptype, _, words = load_bloom_words(p, "k")
+    assert ptype == 2  # INT64
+    h7 = bloom.xxhash64((7).to_bytes(8, "little", signed=True))
+    h7000 = bloom.xxhash64((7000).to_bytes(8, "little", signed=True))
+    assert sbbf_check(words[0], h7) and not sbbf_check(words[0], h7000)
+
+
+def test_bloom_name_resolution_rejects_nested_only_name(tmp_path):
+    """A name that exists ONLY as a nested leaf raises instead of
+    silently probing the wrong chunk."""
+    import pytest
+
+    from hyparquet_writer_ray import write_table
+    from hyparquet_writer_ray.core.bloom import bloom_might_contain
+
+    t = pa.table({
+        "s": pa.array([{"inner": 1}], pa.struct([("inner", pa.int64())])),
+        "x": pa.array([1], pa.int64()),
+    })
+    p = str(tmp_path / "nested_only.parquet")
+    write_table(t, p)
+    with pytest.raises(KeyError):
+        bloom_might_contain(p, "inner", 1)

@@ -411,3 +411,21 @@ def test_exact_dedup_normalize_collapses_case_and_whitespace(ray_session):
             batch_size=None, batch_format="pyarrow")
     ).column("doc_id").to_pylist())
     assert got_raw == [1, 2, 3, 4, 5]
+
+
+def test_scratch_dir_knob_routes_all_checkpoints(monkeypatch, tmp_path):
+    """HPW_SCRATCH_DIR is the ONE shared-scratch knob: with it set, the
+    minhash/ngram/cosine checkpoint defaults all land under it (never
+    a bare node-local tempdir)."""
+    from hyparquet_writer_ray.functions.dedup import _scratch_dir
+
+    base = tmp_path / "shared_scratch"
+    monkeypatch.setenv("HPW_SCRATCH_DIR", str(base))
+    for prefix in ("minhash_sigs_", "ngram_sets_", "cospairs_blocks_"):
+        d = _scratch_dir(prefix)
+        assert d.startswith(str(base)), d
+        import os
+        assert os.path.isdir(d)
+    monkeypatch.delenv("HPW_SCRATCH_DIR")
+    d = _scratch_dir("minhash_sigs_")
+    assert not d.startswith(str(base))

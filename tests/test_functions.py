@@ -534,3 +534,17 @@ def test_weighted_sample_huge_weights_deterministic(ray_session):
         ray.data.from_arrow(t), weight_col="w", id_col="doc_id",
         k=20, seed=3).column("es_key").to_pylist()
     assert len(set(keys)) == 20, "saturated keys collapsed to ties"
+
+
+def test_histogram_rejects_degenerate_range(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from hyparquet_writer_ray.functions.stats import histogram
+
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([1.0, 2.0])}))
+    with pytest.raises(ValueError):
+        histogram(ds, "v", lo=3.0, hi=3.0, bins=4)
+    with pytest.raises(ValueError):
+        histogram(ds, "v", lo=0.0, hi=1.0, bins=0)

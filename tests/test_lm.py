@@ -251,3 +251,184 @@ def test_mixture_export_empty_corpus(ray_session, tmp_path):
         ray.data.from_arrow(docs), out)
     assert stats["rows"] == 0
     assert s.count() == 0
+
+
+def _score_table(docs, model, V, alpha=0.5):
+    import ray.data
+
+    from hyparquet_writer_ray.functions.lm import lm_score
+
+    out = lm_score(ray.data.from_arrow(docs), model, V, alpha=alpha)
+    return _collect(out).sort_by("doc_id")
+
+
+def test_lm_score_pruned_model_uses_true_left_totals(ray_session):
+    """min_count>1: a w1 whose EVERY pair was pruned must still score
+    unseen bigrams with its TRUE c1 via the unpruned left-total side
+    rows, matching the documented add-alpha formula over the true
+    trained counts (ADVICE r3: surviving-row totals fell back to c1=0
+    for a fully-pruned w1)."""
+    import math
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.lm import train_bigram_lm
+
+    train = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a b", "a b", "a c", "x y"]),
+    })
+    model, V = train_bigram_lm(
+        ray.data.from_arrow(train), min_count=2, num_buckets=3)
+    assert V == 5
+    # only (a,b) survives min_count=2; left totals a:3, x:1 unpruned
+    pairs = {(w1, w2): (c12, c1) for w1, w2, c12, c1 in zip(
+        model.column("w1").to_pylist(), model.column("w2").to_pylist(),
+        model.column("c12").to_pylist(), model.column("c1").to_pylist())
+        if w2 is not None}
+    lefts = {w1: c1 for w1, w2, c1 in zip(
+        model.column("w1").to_pylist(), model.column("w2").to_pylist(),
+        model.column("c1").to_pylist()) if w2 is None}
+    assert pairs == {("a", "b"): (2, 3)}
+    assert lefts == {"a": 3, "x": 1}
+
+    a = 0.5
+    docs = pa.table({"doc_id": pa.array([0], pa.int64()),
+                     "text": pa.array(["a c x y"])})
+    got = _score_table(docs, model, V, alpha=a)
+    # (a,c) pruned -> ln(a/(3+aV)); (c,x) unseen w1 -> ln(a/(0+aV));
+    # (x,y) pruned -> ln(a/(1+aV))
+    exp = -(math.log(a / (3 + a * V)) + math.log(a / (a * V))
+            + math.log(a / (1 + a * V))) / 3
+    assert math.isclose(got.column("xent")[0].as_py(), exp, rel_tol=1e-12)
+
+
+def test_lm_max_model_rows_cap(ray_session):
+    """Unbinding max_model_rows changes no score by even 1 ulp; a
+    binding cap keeps exactly the top-K pairs by count and scores
+    pruned pairs as unseen bigrams with their true denominators."""
+    import math
+
+    import ray.data
+
+    from hyparquet_writer_ray.functions.lm import train_bigram_lm
+
+    rng = np.random.default_rng(5)
+    texts = [" ".join(rng.choice(list("abcdefg"), 12)) for _ in range(80)]
+    train = pa.table({"doc_id": pa.array(range(80), pa.int64()),
+                      "text": pa.array(texts)})
+    ds = ray.data.from_arrow(train)
+    model_full, V = train_bigram_lm(ds, num_buckets=4)
+    model_loose, V2 = train_bigram_lm(ds, num_buckets=4,
+                                      max_model_rows=10_000)
+    assert V2 == V
+    docs = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                     "text": pa.array(texts[:10])})
+    s_full = _score_table(docs, model_full, V)
+    s_loose = _score_table(docs, model_loose, V2)
+    assert s_full.column("xent").to_pylist() == s_loose.column("xent").to_pylist()
+
+    K = 12
+    model_cap, V3 = train_bigram_lm(ds, num_buckets=4, max_model_rows=K)
+    kept_pairs = {(w1, w2): (c12, c1) for w1, w2, c12, c1 in zip(
+        model_cap.column("w1").to_pylist(), model_cap.column("w2").to_pylist(),
+        model_cap.column("c12").to_pylist(), model_cap.column("c1").to_pylist())
+        if w2 is not None}
+    assert len(kept_pairs) == K
+    full = {(w1, w2): (c12, c1) for w1, w2, c12, c1 in zip(
+        model_full.column("w1").to_pylist(), model_full.column("w2").to_pylist(),
+        model_full.column("c12").to_pylist(), model_full.column("c1").to_pylist())}
+    # deterministic top-K by (c12 desc, w1, w2)
+    want_kept = dict(sorted(full.items(),
+                            key=lambda kv: (-kv[1][0], kv[0]))[:K])
+    assert kept_pairs == want_kept
+    lefts = {w1: c1 for w1, w2, c1 in zip(
+        model_cap.column("w1").to_pylist(), model_cap.column("w2").to_pylist(),
+        model_cap.column("c1").to_pylist()) if w2 is None}
+    a = 0.5
+    got = _score_table(docs, model_cap, V3, alpha=a)
+    for row_id, xent in zip(got.column("doc_id").to_pylist(),
+                            got.column("xent").to_pylist()):
+        toks = texts[row_id].split(" ")
+        lps = []
+        for w1, w2 in zip(toks, toks[1:]):
+            c12, c1 = kept_pairs.get((w1, w2), (0, lefts.get(w1, 0)))
+            lps.append(math.log((c12 + a) / (c1 + a * V3)))
+        assert math.isclose(xent, -sum(lps) / len(lps), rel_tol=1e-12)
+
+
+def test_mixture_sketch_threshold_matches_exact_bounds(ray_session, tmp_path):
+    """Default (sketch) threshold keeps every doc clearly below the
+    exact quantile_disc threshold and none clearly above it; with
+    exact_threshold=True the surviving set equals the exact rule."""
+    import os
+
+    import ray.data
+
+    from hyparquet_writer_ray.pipelines.mixture import export_training_mixture
+
+    rng = np.random.default_rng(23)
+    n = 400
+    texts = [" ".join(rng.choice(list("abcdefghij"), rng.integers(3, 20)))
+             for _ in range(n)]
+    docs = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                     "text": pa.array(texts)})
+    ds = ray.data.from_arrow(docs).repartition(4)
+
+    out_e = os.path.join(str(tmp_path), "mix_exact")
+    s_exact, _, _ = export_training_mixture(
+        ds, out_e, keep_quantile=0.6, seed=3, exact_threshold=True)
+    exact_t = _collect(s_exact)
+    xs = np.sort(exact_t.column("xent").to_numpy(zero_copy_only=False))
+
+    out_s = os.path.join(str(tmp_path), "mix_sketch")
+    a = 0.005
+    s_sk, _, _ = export_training_mixture(
+        ds, out_s, keep_quantile=0.6, seed=3, threshold_alpha=a)
+    sk_t = _collect(s_sk)
+    # exact survivors' max xent IS the exact quantile_disc threshold
+    v_true = float(xs[-1])
+    kept = set(sk_t.column("doc_id").to_pylist())
+    for d, x in zip(exact_t.column("doc_id").to_pylist(),
+                    exact_t.column("xent").to_pylist()):
+        if x <= v_true * (1 - a * a) - 1e-12:
+            assert d in kept, (d, x, v_true)
+    for x in sk_t.column("xent").to_pylist():
+        assert x <= v_true * (1 + a) ** 2 + 1e-12, (x, v_true)
+
+
+def test_mixture_resume_skips_scoring_scan(ray_session, corpus, tmp_path):
+    """Kill-resume over the composition: a rerun with resume=True
+    reuses the _DONE-marked score checkpoint (train+score corpus scans
+    skipped — checkpoint files untouched) and re-fills the killed part
+    output to the identical row set."""
+    import glob
+    import os
+
+    import ray.data
+
+    from hyparquet_writer_ray.pipelines.mixture import (
+        export_training_mixture, verify_mixture_output)
+
+    out = os.path.join(str(tmp_path), "mix")
+    ds = ray.data.from_arrow(corpus).repartition(3)
+    s1, _, stats1 = export_training_mixture(ds, out, keep_quantile=0.5, seed=7)
+    rows1 = sorted(sum((p.column("doc_id").to_pylist()
+                        for p in verify_mixture_output(out)), []))
+    score_files = sorted(glob.glob(os.path.join(out, "_scores", "*.parquet")))
+    assert score_files and os.path.exists(
+        os.path.join(out, "_scores", "_DONE"))
+    sig = [(f, os.stat(f).st_mtime_ns, os.path.getsize(f))
+           for f in score_files]
+
+    # simulate a kill after scoring: the exported parts are gone, the
+    # durable score checkpoint survives
+    for p in glob.glob(os.path.join(out, "*.parquet")):
+        os.unlink(p)
+    s2, _, stats2 = export_training_mixture(
+        ds, out, keep_quantile=0.5, seed=7, resume=True)
+    rows2 = sorted(sum((p.column("doc_id").to_pylist()
+                        for p in verify_mixture_output(out)), []))
+    assert rows2 == rows1
+    assert [(f, os.stat(f).st_mtime_ns, os.path.getsize(f))
+            for f in score_files] == sig, "score checkpoint was rewritten"

@@ -370,3 +370,33 @@ def test_grouped_dd_quantiles_within_alpha(ray_session):
             assert abs(est - true) <= 0.01 * abs(true) + 1e-9, \
                 (k, q, est, true)
     assert len(got_map) == len(want) * len(qs)
+
+
+def test_grouped_quantiles_integer_keys_keep_type(ray_session):
+    """Integer key columns come back as int64 (not digit strings) with
+    exact per-key quantiles (ADVICE r3: the old large_string cast
+    changed the key type and its sort order)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hyparquet_writer_ray.functions.stats import grouped_quantiles
+
+    rng = np.random.default_rng(13)
+    t = pa.table({"k": pa.array(rng.integers(0, 12, 4000).astype("int64")),
+                  "v": pa.array(rng.integers(0, 500, 4000).astype("int64"))})
+    out = grouped_quantiles(ray.data.from_arrow(t), key_col="k", col="v",
+                            qs=(0.5, 0.9), num_buckets=3)
+    got = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by([("k", "ascending"), ("q", "ascending")]).combine_chunks()
+    assert got.column("k").type == pa.int64()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT k, CAST(0.5 AS DOUBLE) AS q, CAST(quantile_disc(v, 0.5) AS "
+        "BIGINT) AS value FROM t GROUP BY k UNION ALL SELECT k, 0.9, "
+        "CAST(quantile_disc(v, 0.9) AS BIGINT) FROM t GROUP BY k "
+        "ORDER BY k, q").arrow().combine_chunks()
+    assert got.cast(want.schema).equals(want)
