@@ -234,3 +234,90 @@ def test_filter_domains_canonical_host_matching(ray_session):
         .iter_batches(batch_size=None, batch_format="pyarrow")
     ).sort_by("i")
     assert kept.column("i").to_pylist() == [3, 4]
+
+
+def _webtable_reference_batch(start: int, count: int, skew_every: int = 5000):
+    """Independent per-row re-derivation of the webtable spec (the
+    original scalar implementation, kept verbatim as the oracle for
+    the vectorized synthesize_batch)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hyparquet_writer_ray.sources.webtable import (
+        EPOCH_MS, LANGS, _WORDS, _mix)
+
+    idx = np.arange(start, start + count, dtype=np.int64)
+    h0, h1, h2 = _mix(idx, 0), _mix(idx, 1), _mix(idx, 2)
+    host = (idx % 1000).astype(np.int64)
+    urls = [f"https://host{h}.example.org/path/{i:010d}"
+            for h, i in zip(host, idx)]
+    warc_ts = EPOCH_MS + idx * 1000 + (h0 % 750).astype(np.int64)
+    lang_rank = (np.log2((h1 % 4096) + 1).astype(np.int64)) % len(LANGS)
+    langs = [LANGS[r] for r in lang_rank]
+    n_words = 20 + (h2 % 60).astype(np.int64)
+    text_null = (h2 % 100) < 2
+    texts = []
+    nw = len(_WORDS)
+    for i in range(count):
+        if text_null[i]:
+            texts.append(None)
+            continue
+        k, seed = int(n_words[i]), int(h0[i])
+        words = [_WORDS[(seed + 7 * j) % nw] for j in range(k)]
+        words.append(f"tok_{seed & 0xFFFF:04x}")
+        texts.append(" ".join(words))
+    html_null = (h1 % 100) < 1
+    pad_len = 100 + (h0 % 2000).astype(np.int64)
+    htmls = []
+    for i in range(count):
+        if html_null[i]:
+            htmls.append(None)
+            continue
+        body = texts[i] or ""
+        pad = int(pad_len[i])
+        if skew_every and (start + i) % skew_every == 0:
+            # exact integer mod (a numpy uint64 SCALAR % python int
+            # promotes to float64 and loses low bits — the original
+            # generator carried that artifact; the canonical spec is
+            # exact integer arithmetic)
+            pad = 100_000 + int(h2[i]) % 50_000
+        filler = (b"<div class=x>" * (pad // 13 + 1))[:pad]
+        htmls.append(b"<html><body>" + filler + body.encode() + b"</body></html>")
+    return pa.table({
+        "url": pa.array(urls, type=pa.string()),
+        "warc_ts": pa.array(warc_ts, type=pa.timestamp("ms")),
+        "html": pa.array(htmls, type=pa.binary()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(langs, type=pa.string()),
+    })
+
+
+def test_webtable_vectorized_equals_reference():
+    """The vectorized generator is row-identical to the independent
+    per-row spec implementation — including skew rows, null rows and
+    non-zero starts (VERDICT r3 item 7)."""
+    from hyparquet_writer_ray.sources.webtable import synthesize_batch
+
+    for start, count in ((0, 3000), (4998, 300), (123_456, 2000)):
+        got = synthesize_batch(start, count)
+        want = _webtable_reference_batch(start, count)
+        assert got.cast(want.schema).equals(want), (start, count)
+    got = synthesize_batch(0, 500, skew_every=0)
+    want = _webtable_reference_batch(0, 500, skew_every=0)
+    assert got.cast(want.schema).equals(want)
+
+
+def test_webtable_dataset_streams_pyarrow(ray_session):
+    """webtable_dataset produces the same rows distributed (pyarrow
+    batches, no pandas) as the direct table synthesis."""
+    import pyarrow as pa
+
+    from hyparquet_writer_ray.sources.webtable import (
+        synthesize_table, webtable_dataset)
+
+    ds = webtable_dataset(4096, rows_per_block=1000)
+    got = pa.concat_tables(
+        b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("url").combine_chunks()
+    want = synthesize_table(4096).sort_by("url").combine_chunks()
+    assert got.cast(want.schema).equals(want)
