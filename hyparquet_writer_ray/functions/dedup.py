@@ -742,16 +742,25 @@ def _band_rows(batch: pa.Table, bands: int, id_col: str, num_perm: int,
 def _scratch_dir(prefix: str) -> str:
     """Default location for operator checkpoints (minhash signatures,
     gram sets, vector blocks) — the ONE shared knob for all of them.
-    Set ``HPW_SCRATCH_DIR`` to shared storage (s3 / nfs mount) on a
-    multi-node cluster so every worker sees the checkpoint namespace;
-    unset, this falls back to a node-local tempdir, which is correct
-    single-node ONLY. Pass the operator's ``*_dir`` parameter
+    Set ``HPW_SCRATCH_DIR`` to a shared FILESYSTEM mount (nfs, or
+    object storage through a fuse mount) on a multi-node cluster so
+    every worker sees the checkpoint namespace; unset, this falls back
+    to a node-local tempdir, which is correct single-node ONLY. Raw
+    object-store URIs are rejected: the checkpoint marker protocol
+    uses local file semantics, so an ``s3://`` value would silently
+    scatter node-local directories named ``s3:/...`` instead of
+    sharing one namespace. Pass the operator's ``*_dir`` parameter
     explicitly instead when you want a deterministic, resumable path."""
     import os
     import tempfile
 
     base = os.environ.get("HPW_SCRATCH_DIR")
     if base:
+        if "://" in base:
+            raise ValueError(
+                f"HPW_SCRATCH_DIR={base!r}: URIs are not supported — "
+                "mount the bucket (fuse/nfs) and point the knob at the "
+                "mount path")
         os.makedirs(base, exist_ok=True)
         return tempfile.mkdtemp(prefix=prefix, dir=base)
     return tempfile.mkdtemp(prefix=prefix)

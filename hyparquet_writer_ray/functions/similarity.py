@@ -248,7 +248,9 @@ def exact_cosine_pairs(ds, *, threshold: float = 0.9,
        memory: O(1); output: the true pair set, streamed.
 
     On a multi-node cluster pass ``block_dir`` on SHARED storage
-    (s3/nfs) — every scorer actor must see the checkpoint namespace.
+    (an nfs or fuse MOUNT — the marker protocol uses local file
+    semantics, so raw s3:// URIs are not supported) — every scorer
+    actor must see the checkpoint namespace.
     """
     import ray.data
 

@@ -159,10 +159,11 @@ def grouped_quantiles(ds, *, key_col: str, col: str, qs=(0.5, 0.9, 0.99),
     bucket's sorted histogram). Bytes shuffled are O(distinct
     (key, value) pairs), never O(rows); no per-key Python anywhere.
 
-    The key keeps its ORIGINAL Arrow type in the output (int / string /
-    binary — anything ``_bucket_of`` can hash); it is never stringified
-    (ADVICE r3: the old large_string cast turned integer keys into
-    digit strings)."""
+    The key keeps its ORIGINAL Arrow type in the output; it is never
+    stringified (ADVICE r3: the old large_string cast turned integer
+    keys into digit strings). Int / string / binary keys hash natively;
+    any other type (dates, timestamps, floats, bools) is cast to string
+    for BUCKETING ONLY — the emitted key column is untouched."""
     import pyarrow.compute as pc
 
     from .joins import _bucket_of
@@ -206,9 +207,14 @@ def grouped_quantiles(ds, *, key_col: str, col: str, qs=(0.5, 0.9, 0.99),
     def add_bucket(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
             return batch
-        return batch.append_column(
-            "__bucket",
-            pa.array(_bucket_of(single_chunk(batch.column("__k")), NB)))
+        keys = single_chunk(batch.column("__k"))
+        t = keys.type
+        if not (pa.types.is_integer(t) or pa.types.is_string(t)
+                or pa.types.is_large_string(t) or pa.types.is_binary(t)
+                or pa.types.is_large_binary(t)):
+            keys = keys.cast(pa.large_string())  # bucketing only
+        return batch.append_column("__bucket",
+                                   pa.array(_bucket_of(keys, NB)))
 
     def finish(group: pa.Table) -> pa.Table:
         empty = pa.table({key_col: pa.array([], ktype),

@@ -94,9 +94,12 @@ def export_training_mixture(
         _checkpoint_dataset(
             lm_score(ds, model, V, text_col=text_col, id_col=id_col),
             score_dir)
-    score_files = _glob.glob(os.path.join(score_dir, "*.parquet"))
-    scored = ray.data.read_parquet(score_files) if score_files else None
-    n_scored = scored.count() if scored is not None else 0
+    score_files = sorted(_glob.glob(os.path.join(score_dir, "*.parquet")))
+    # row count from the checkpoint FOOTERS — no data scan
+    import pyarrow.parquet as _pq
+
+    n_scored = sum(_pq.ParquetFile(f).metadata.num_rows
+                   for f in score_files)
     if n_scored == 0:  # no document had >= 2 tokens
         empty = pa.table({id_col: pa.array([], pa.int64()),
                           "n_bigrams": pa.array([], pa.int64()),
@@ -110,16 +113,23 @@ def export_training_mixture(
     # within threshold_alpha relative of the exact quantile_disc
     # value); exact_threshold opts into the exact value histogram
     # (O(distinct xent) shuffle rows — on continuous data, O(rows)).
+    # the threshold pass reads ONLY the xent column of the checkpoint
+    # (column-pruned); the full 3-column read streams to the two
+    # downstream consumers. Re-reading the narrow checkpoint beats
+    # pinning a corpus-sized score table in the object store at scale;
+    # durability (kill-resume) comes from the parquet files themselves.
+    xent_only = ray.data.read_parquet(score_files, columns=["xent"])
     if exact_threshold:
         th = exact_quantiles(
-            scored, "xent", qs=(keep_quantile,)
+            xent_only, "xent", qs=(keep_quantile,)
         ).column("value").to_pylist()[0]
     else:
-        sk = dd_quantile_sketch(scored, "xent", alpha=threshold_alpha)
+        sk = dd_quantile_sketch(xent_only, "xent", alpha=threshold_alpha)
         # inflate by alpha so sketch underestimation can only ADMIT a
         # few extra near-threshold docs, never drop a clear keeper
         th = dd_quantile_estimate(sk, (keep_quantile,))[0] \
             * (1.0 + threshold_alpha)
+    scored = ray.data.read_parquet(score_files)
     survivors = scored.map_batches(
         lambda b: b.filter(pc.less_equal(b.column("xent"),
                                          pa.scalar(th))),

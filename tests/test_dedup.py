@@ -429,3 +429,15 @@ def test_scratch_dir_knob_routes_all_checkpoints(monkeypatch, tmp_path):
     monkeypatch.delenv("HPW_SCRATCH_DIR")
     d = _scratch_dir("minhash_sigs_")
     assert not d.startswith(str(base))
+
+
+def test_scratch_dir_rejects_uris(monkeypatch):
+    """An s3:// value would silently scatter node-local 's3:/...' dirs
+    (the marker protocol is local-file-semantics only) — reject it."""
+    import pytest
+
+    from hyparquet_writer_ray.functions.dedup import _scratch_dir
+
+    monkeypatch.setenv("HPW_SCRATCH_DIR", "s3://bucket/scratch")
+    with pytest.raises(ValueError):
+        _scratch_dir("minhash_sigs_")

@@ -400,3 +400,32 @@ def test_grouped_quantiles_integer_keys_keep_type(ray_session):
         "CAST(quantile_disc(v, 0.9) AS BIGINT) FROM t GROUP BY k "
         "ORDER BY k, q").arrow().combine_chunks()
     assert got.cast(want.schema).equals(want)
+
+
+def test_grouped_quantiles_timestamp_keys(ray_session):
+    """Non-hashable key types (timestamps) are stringified for
+    BUCKETING only; the emitted key keeps its original type (the r4
+    type-preserving fix must not narrow the accepted key domain)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hyparquet_writer_ray.functions.stats import grouped_quantiles
+
+    rng = np.random.default_rng(3)
+    days = rng.integers(0, 5, 1500).astype("int64") * 86_400_000
+    t = pa.table({"k": pa.array(days).cast(pa.timestamp("ms")),
+                  "v": pa.array(rng.integers(0, 100, 1500).astype("int64"))})
+    out = grouped_quantiles(ray.data.from_arrow(t), key_col="k", col="v",
+                            qs=(0.5,), num_buckets=3)
+    got = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by([("k", "ascending")]).combine_chunks()
+    assert pa.types.is_timestamp(got.column("k").type)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT k, CAST(0.5 AS DOUBLE) AS q, CAST(quantile_disc(v, 0.5) AS "
+        "BIGINT) AS value FROM t GROUP BY k ORDER BY k").arrow().combine_chunks()
+    assert got.cast(want.schema).equals(want)
