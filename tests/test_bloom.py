@@ -226,3 +226,22 @@ def test_bloom_name_resolution_rejects_nested_only_name(tmp_path):
     write_table(t, p)
     with pytest.raises(KeyError):
         bloom_might_contain(p, "inner", 1)
+
+
+def test_bloom_name_resolution_map_value_leaf(tmp_path):
+    """The ADVICE scenario verbatim: a map column's 'value' leaf shares
+    the bare name of a top-level 'value' column — the probe must land
+    on the top-level column's bloom (map leaves sit at depth >= 2)."""
+    from hyparquet_writer_ray import ColumnSpec, WriteOptions, write_table
+    from hyparquet_writer_ray.core.bloom import bloom_might_contain
+
+    t = pa.table({
+        "m": pa.array([[("k", i * 777)] for i in range(40)],
+                      pa.map_(pa.string(), pa.int64())),
+        "value": pa.array(list(range(40)), pa.int64()),
+    })
+    p = str(tmp_path / "mapshadow.parquet")
+    write_table(t, p, WriteOptions(column_specs={
+        "value": ColumnSpec(bloom_filter=True)}))
+    assert bloom_might_contain(p, "value", 7) == [True]
+    assert bloom_might_contain(p, "value", 7 * 777) == [False]
