@@ -183,9 +183,13 @@ def hash_values(values: pa.Array, element: SchemaElement) -> Optional[np.ndarray
     t = element.type
     if t == ParquetType.INT64:
         v = A.fixed_values(values)
+        if v.dtype.itemsize != 8:  # e.g. arrow uint32 stored as INT64
+            v = v.astype(np.int64 if v.dtype.kind == "i" else np.uint64)
         return xxhash64_u64(v.view(np.uint64))
     if t == ParquetType.INT32:
         v = A.fixed_values(values)
+        if v.dtype.itemsize != 4:  # int8/16 sign-extend, uint8/16 zero-extend
+            v = v.astype(np.int32 if v.dtype.kind == "i" else np.uint32)
         return xxhash64_u32(v.view(np.uint32))
     if t == ParquetType.DOUBLE:
         return xxhash64_u64(A.fixed_values(values).view(np.uint64))
@@ -318,7 +322,10 @@ def _bloom_probe(fmeta, read_range, column: str, value, _struct) -> list[bool]:
     if ptype == 0:
         raise TypeError("bloom probe on BOOLEAN is unsupported (as in parquet)")
     if ptype in (1, 2):
-        data = int(value).to_bytes(4 if ptype == 1 else 8, "little", signed=True)
+        # two's-complement masked encode: covers negatives AND unsigned
+        # values with the high bit set (signed=True would overflow there)
+        width = 4 if ptype == 1 else 8
+        data = (int(value) & ((1 << (8 * width)) - 1)).to_bytes(width, "little")
     elif ptype in (4, 5):
         data = _struct.pack("<f" if ptype == 4 else "<d", float(value))
     else:  # BYTE_ARRAY / FIXED_LEN_BYTE_ARRAY

@@ -223,20 +223,33 @@ def _page_bounds(lv: LeveledValues, leaf: LeafInfo, page_size: int) -> tuple[lis
 def _try_dictionary(values: pa.Array, leaf: LeafInfo, spec: ColumnSpec, opts: WriteOptions):
     """Reference dictionary decision (src/dictionary.js:72-135)."""
     el = leaf.element
-    if spec.encoding is not None and spec.encoding != Encoding.RLE_DICTIONARY:
+    forced = spec.encoding == Encoding.RLE_DICTIONARY
+    if spec.encoding is not None and not forced:
         return None
     if el.type == ParquetType.BOOLEAN:
+        if forced:
+            raise TypeError(
+                "ColumnSpec(encoding=RLE_DICTIONARY) is unsupported for "
+                "BOOLEAN columns"
+            )
         return None
-    sample = values.slice(0, DICT_SAMPLE)
-    n_sample = len(sample)
-    if n_sample == 0:
-        return None
-    distinct = pc.count_distinct(sample).as_py()
-    if distinct == 0 or distinct / n_sample > DICT_MAX_RATIO:
-        return None
+    if not forced:
+        # sample-based auto decision; an explicit request bypasses it
+        sample = values.slice(0, DICT_SAMPLE)
+        n_sample = len(sample)
+        if n_sample == 0:
+            return None
+        distinct = pc.count_distinct(sample).as_py()
+        if distinct == 0 or distinct / n_sample > DICT_MAX_RATIO:
+            return None
     try:
         dict_arr = pc.dictionary_encode(values)
     except pa.ArrowNotImplementedError:
+        if forced:
+            raise TypeError(
+                f"ColumnSpec(encoding=RLE_DICTIONARY) requested but type "
+                f"{values.type} cannot be dictionary-encoded"
+            )
         return None
     dictionary = dict_arr.dictionary
     if el.type == ParquetType.BYTE_ARRAY:
@@ -245,7 +258,7 @@ def _try_dictionary(values: pa.Array, leaf: LeafInfo, spec: ColumnSpec, opts: Wr
         dict_bytes = len(dictionary) * (el.type_length or 0)
     else:
         dict_bytes = len(dictionary) * FIXED_WIDTH.get(el.type, 8)
-    if opts.page_size and dict_bytes > opts.page_size:
+    if not forced and opts.page_size and dict_bytes > opts.page_size:
         return None
     if opts.dict_sort_frequency and len(dictionary):
         dict_arr = _sort_dict_by_frequency(dict_arr)

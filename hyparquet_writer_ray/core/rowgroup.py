@@ -37,9 +37,8 @@ def encode_row_group(
     # leaves are in schema (preorder) order; top-level column name is path[0]
     leaf_arrays = _leaf_arrays(table, leaves)
     for leaf, arr_and_levels in zip(leaves, leaf_arrays):
-        spec = opts.spec(".".join(leaf.path))
-        if spec is None or ".".join(leaf.path) not in opts.column_specs:
-            spec = opts.spec(leaf.path[0])
+        key = ".".join(leaf.path)
+        spec = opts.column_specs.get(key) or opts.spec(leaf.path[0])
         blob, meta = encode_chunk(arr_and_levels, leaf, spec, opts)
         parts.append(blob)
         chunks.append((pos, meta))
@@ -58,6 +57,10 @@ def _leaf_arrays(table: pa.Table, leaves: list[LeafInfo]):
     """Resolve each leaf to its values array (+ levels for nested columns)."""
     out = []
     cols_by_name = {name: col for name, col in zip(table.column_names, table.columns)}
+    if len(cols_by_name) != table.num_columns:
+        # a name-keyed lookup would silently write one column's data into
+        # every same-named chunk
+        raise ValueError("duplicate top-level column names are unsupported")
     nested_cache: dict[str, list] = {}
     li = 0
     for leaf in leaves:

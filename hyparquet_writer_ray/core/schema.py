@@ -91,6 +91,13 @@ def _leaf_elements(name: str, t: pa.DataType, nullable: bool) -> list[SchemaElem
             el.converted_type = ConvertedType.TIME_MICROS
         el.logical_type = LogicalType("TIME", {"unit": unit, "isAdjustedToUTC": False})
     elif pa.types.is_decimal(t):
+        if t.byte_width != 16:
+            # decimal256 nested inside list/struct/map is not rewritten by
+            # normalize_table; refuse rather than write a corrupt 16-byte FLBA
+            raise TypeError(
+                f"unsupported decimal storage width {t.byte_width} for {t}; "
+                "only 16-byte decimal128 leaves can be written"
+            )
         el.type = ParquetType.FIXED_LEN_BYTE_ARRAY
         el.type_length = 16
         el.converted_type = ConvertedType.DECIMAL
@@ -186,18 +193,30 @@ def normalize_table(table: pa.Table) -> pa.Table:
         new_cols.append(col)
     if not changed:
         return table
+    # preserve field nullability and schema/field metadata across the cast
+    fields = [f.with_type(c.type) for f, c in zip(table.schema, new_cols)]
     return pa.table(
-        {f.name: c for f, c in zip(table.schema, new_cols)},
+        new_cols, schema=pa.schema(fields, metadata=table.schema.metadata)
     )
 
 
 def _normalize_type(t: pa.DataType):
     if pa.types.is_timestamp(t) and t.unit == "s":
         return pa.timestamp("ms", t.tz)
+    if pa.types.is_time32(t) and t.unit == "s":
+        # parquet TIME has no seconds unit: store milliseconds
+        return pa.time32("ms")
     if pa.types.is_date64(t):
         return pa.date32()
     if pa.types.is_dictionary(t):
         return t.value_type
     if pa.types.is_null(t):
         return pa.binary()
+    if pa.types.is_decimal256(t):
+        if t.precision <= 38:
+            return pa.decimal128(t.precision, t.scale)
+        raise TypeError(
+            f"decimal256 precision {t.precision} > 38 is unsupported: "
+            "FLBA decimal storage and statistics are 16-byte"
+        )
     return None

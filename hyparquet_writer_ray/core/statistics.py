@@ -70,6 +70,10 @@ def _serialize(value, element: SchemaElement, is_max: bool):
         else:
             data = bytes(value)
         out = truncate_statistic(data, is_max)
+        if out is None:
+            # first 16 bytes all 0xFF: no shorter upper bound exists —
+            # fall back to the exact untruncated value (always a valid bound)
+            return data, None
         exact = False if len(data) > STATS_TRUNCATE_LENGTH else None
         return out, exact
     raise TypeError(f"unsupported stats type {t}")
@@ -103,6 +107,13 @@ def compute_statistics(arr: pa.Array, element: SchemaElement, null_count: int = 
         vals = arr.cast(pa.float32())
         mm = pc.min_max(vals)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None:  # all-NaN column
+            return Stats(None, None, null_count, None, None)
+        # parquet spec: a zero min is written -0.0, a zero max +0.0
+        if lo == 0:
+            lo = -0.0
+        if hi == 0:
+            hi = 0.0
         lo_b = np.float16(lo).tobytes()
         hi_b = np.float16(hi).tobytes()
         return Stats(lo_b, hi_b, null_count, None, None, lo, hi)
