@@ -15,6 +15,8 @@ driver byte path); the stats aggregate moves one row per
 """
 from __future__ import annotations
 
+import os
+from functools import partial
 from typing import Optional
 
 import pyarrow as pa
@@ -24,6 +26,22 @@ from ..core.options import WriteOptions
 from ..functions.dedup import exact_dedup_rows
 from ..functions.text import quality_score_batch
 from .write import write_parquet_dataset
+
+
+
+def _quality_filter(batch: pa.Table, text_col: str, min_tokens: int,
+                    max_token_len: int) -> pa.Table:
+    """Vectorized quality filter shared by both curation entry points.
+    0-row blocks still get the quality columns appended so every
+    downstream block carries one schema."""
+    if batch.num_columns == 0:
+        return batch
+    scored = quality_score_batch(batch, text_col)
+    keep = pc.and_(
+        pc.greater_equal(scored.column("n_tokens"), min_tokens),
+        pc.less_equal(scored.column("max_token_len"), max_token_len),
+    )
+    return scored.filter(pc.fill_null(keep, False))
 
 
 def curate_documents(
@@ -44,18 +62,22 @@ def curate_documents(
     # the single content-hash shuffle
     survivors = exact_dedup_rows(ds, key=text_col, id_col=id_col)
 
-    def qfilter(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0 or batch.num_rows == 0:
-            return batch
-        scored = quality_score_batch(batch, text_col)
-        keep = pc.and_(
-            pc.greater_equal(scored.column("n_tokens"), min_tokens),
-            pc.less_equal(scored.column("max_token_len"), max_token_len),
-        )
-        return scored.filter(pc.fill_null(keep, False))
-
-    curated = survivors.map_batches(qfilter, batch_format="pyarrow", zero_copy_batch=True)
+    curated = survivors.map_batches(
+        partial(_quality_filter, text_col=text_col, min_tokens=min_tokens,
+                max_token_len=max_token_len),
+        batch_format="pyarrow", zero_copy_batch=True)
     if out_dir is not None:
+        # fresh (resume=False) semantics: parts are content-hash named,
+        # so a rerun with different parameters would otherwise leave the
+        # previous run's parts polluting the returned read_parquet
+        import glob as _glob
+
+        from ..state.lineage import LineageLog
+
+        os.makedirs(out_dir, exist_ok=True)
+        for stale in _glob.glob(os.path.join(out_dir, "*.parquet")):
+            os.unlink(stale)
+        LineageLog(out_dir).clear()
         write_parquet_dataset(
             curated, out_dir, opts or WriteOptions(auto_codec="smart"), resume=False
         )
@@ -90,27 +112,23 @@ def curate_near_duplicates(
     survivors = drop_near_duplicates(ds, pairs, id_col=id_col,
                                      num_buckets=num_buckets)
 
-    def qfilter(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0 or batch.num_rows == 0:
-            return batch
-        scored = quality_score_batch(batch, text_col)
-        keep = pc.and_(
-            pc.greater_equal(scored.column("n_tokens"), min_tokens),
-            pc.less_equal(scored.column("max_token_len"), max_token_len),
-        )
-        return scored.filter(pc.fill_null(keep, False))
-
-    return survivors.map_batches(qfilter, batch_format="pyarrow",
-                                 zero_copy_batch=True)
+    return survivors.map_batches(
+        partial(_quality_filter, text_col=text_col, min_tokens=min_tokens,
+                max_token_len=max_token_len),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def lang_stats(curated) -> "object":
     """Per-language (count, token sum) over a curated Dataset — the
     partial collapses each batch before the tiny lang-keyed shuffle."""
 
-    def partial(batch: pa.Table) -> pa.Table:
-        langs = batch.column("lang")
-        toks = batch.column("n_tokens")
+    def partial_fn(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.large_string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        langs = batch.column("lang").cast(pa.large_string())
+        toks = batch.column("n_tokens").cast(pa.int64())
         agg = pa.table({"lang": langs, "n_tokens": toks}).group_by("lang").aggregate(
             [("lang", "count"), ("n_tokens", "sum")]
         )
@@ -120,7 +138,7 @@ def lang_stats(curated) -> "object":
             "n_tokens": agg.column("n_tokens_sum"),
         })
 
-    partials = curated.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = curated.map_batches(partial_fn, batch_format="pyarrow", zero_copy_batch=True)
     agg = partials.groupby("lang").sum(["n_docs", "n_tokens"])
 
     def rename(batch: pa.Table) -> pa.Table:

@@ -43,6 +43,10 @@ def export_training_mixture(
     distributed (the score table is corpus-sized at cluster scale;
     only the quantile threshold and write stats touch the driver).
 
+    ``id_col`` must be int64-castable: ``lm_score`` emits int64 doc
+    ids, so the survivors/packs Datasets carry int64 ids regardless of
+    the corpus column's exact integer width.
+
     The quantile threshold defaults to the repo's DDSketch
     (``threshold_alpha`` relative error on the threshold VALUE, ranks
     exact, O(log-range/alpha) driver state) — on a continuous xent
@@ -101,6 +105,9 @@ def export_training_mixture(
     n_scored = sum(_pq.ParquetFile(f).metadata.num_rows
                    for f in score_files)
     if n_scored == 0:  # no document had >= 2 tokens
+        # int64 matches the non-empty path: survivors come from the
+        # scores checkpoint, whose ids lm_score emits as int64 (the
+        # pipeline-wide id contract — see the docstring)
         empty = pa.table({id_col: pa.array([], pa.int64()),
                           "n_bigrams": pa.array([], pa.int64()),
                           "xent": pa.array([], pa.float64())})

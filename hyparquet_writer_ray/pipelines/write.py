@@ -91,6 +91,66 @@ def _default_concurrency(concurrency):
     return (1, max(1, cpus - 2))
 
 
+def _task_concurrency(concurrency):
+    """Map an actor-style concurrency spec to the int ceiling task-mode
+    ``map_batches`` accepts — a (min, max) tuple would otherwise be
+    silently dropped by the non-actor branches."""
+    if isinstance(concurrency, tuple):
+        return concurrency[1]
+    return concurrency
+
+
+def _tmp_name(fpath: str) -> str:
+    """Unique in-progress name: two concurrent tasks producing the same
+    content-addressed part must not interleave into one tmp inode (the
+    loser's os.replace would also raise FileNotFoundError)."""
+    return f"{fpath}.inprogress-{os.getpid()}-{os.urandom(4).hex()}"
+
+
+def _clean_stale_tmps(out_dir: str) -> None:
+    """Remove .inprogress-* leftovers from previous killed runs (the
+    current run's tmps don't exist yet when this is called)."""
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(out_dir, "**", "*.inprogress-*"),
+                        recursive=True):
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+
+
+# compaction keeps its own lineage namespace: its stale-part GC must
+# only ever see parts compaction itself recorded (write_parquet_dataset
+# parts in the same out_dir share the default "_lineage")
+COMPACT_LINEAGE = "_lineage_compact"
+
+
+
+def _drain_manifests(manifest_ds, lineage, total: dict) -> dict:
+    """Shared driver loop for the part-file writers: aggregate manifest
+    rows into ``total`` and persist lineage records. ONE semantics for
+    all writers: skipped (resumed) parts count their true rows and
+    on-disk compressed bytes; their uncompressed size is unknown and
+    contributes 0."""
+    for batch in manifest_ds.iter_batches(batch_size=None,
+                                          batch_format="pyarrow"):
+        for row in range(batch.num_rows):
+            total["parts"] += 1
+            total["rows"] += batch.column("rows")[row].as_py()
+            total["compressed_bytes"] += \
+                batch.column("compressed_bytes")[row].as_py()
+            if batch.column("skipped")[row].as_py():
+                total["skipped_parts"] += 1
+                continue
+            total["uncompressed_bytes"] += \
+                batch.column("uncompressed_bytes")[row].as_py()
+            for rec in pickle.loads(batch.column("manifest")[row].as_py()):
+                lineage.append(rec)
+    lineage.close()
+    return total
+
+
 @contextmanager
 def _preserve_order():
     import ray.data
@@ -149,9 +209,10 @@ def write_parquet_single_file(
         encoded = ds.map_batches(
             partial(_encode_groups_fn, **enc_kwargs),
             batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+            concurrency=_task_concurrency(concurrency),
         )
 
-    schema_ir = schema_from_arrow(arrow_schema)
+    schema_ir = schema_from_arrow(arrow_schema, opts.schema_overrides)
     total_comp = 0
     total_raw = 0
     n_parts = 0
@@ -217,7 +278,7 @@ class PartFileWriter:
         sort_by=None,
     ) -> None:
         self.opts = opts
-        self.schema_ir = schema_from_arrow(arrow_schema)
+        self.schema_ir = schema_from_arrow(arrow_schema, opts.schema_overrides)
         self.leaves = leaf_columns(self.schema_ir)
         self.out_dir = out_dir
         self.max_group_rows = max_group_rows
@@ -268,7 +329,7 @@ class PartFileWriter:
                 "manifest": pa.array([None], type=pa.large_binary()),
             })
             return
-        tmp = fpath + ".inprogress"
+        tmp = _tmp_name(fpath)
         raw = comp = 0
         recs = []
         with open(tmp, "wb") as sink:
@@ -332,7 +393,7 @@ class PartitionedPartWriter:
         self.partition_col = partition_col
         data_schema = _pa.schema(
             [f for f in arrow_schema if f.name != partition_col])
-        self.schema_ir = schema_from_arrow(data_schema)
+        self.schema_ir = schema_from_arrow(data_schema, opts.schema_overrides)
         self.leaves = leaf_columns(self.schema_ir)
         self.out_dir = out_dir
         self.max_group_rows = max_group_rows
@@ -381,7 +442,7 @@ class PartitionedPartWriter:
                     "manifest": pa.array([None], type=pa.large_binary()),
                 })
                 continue
-            tmp = fpath + ".inprogress"
+            tmp = _tmp_name(fpath)
             raw = comp = 0
             recs = []
             with open(tmp, "wb") as sink:
@@ -437,6 +498,7 @@ def write_parquet_partitioned(
     string unless the reader configures a hive null fallback."""
     opts = opts or WriteOptions()
     os.makedirs(out_dir, exist_ok=True)
+    _clean_stale_tmps(out_dir)
     arrow_schema = _normalized_arrow_schema(ds)
     if partition_col not in arrow_schema.names:
         raise ValueError(f"partition_col {partition_col!r} not in schema")
@@ -465,22 +527,11 @@ def write_parquet_partitioned(
             partial(_encode_partitioned_fn, **part_kwargs),
             batch_format="pyarrow", batch_size=part_rows,
             zero_copy_batch=True,
+            concurrency=_task_concurrency(concurrency),
         )
-    total = {"parts": 0, "rows": 0, "compressed_bytes": 0,
-             "uncompressed_bytes": 0, "skipped_parts": 0}
-    for batch in manifest_ds.iter_batches(batch_size=None,
-                                          batch_format="pyarrow"):
-        for row in range(batch.num_rows):
-            total["parts"] += 1
-            total["rows"] += batch.column("rows")[row].as_py()
-            total["compressed_bytes"] += batch.column("compressed_bytes")[row].as_py()
-            total["uncompressed_bytes"] += batch.column("uncompressed_bytes")[row].as_py()
-            if batch.column("skipped")[row].as_py():
-                total["skipped_parts"] += 1
-                continue
-            for rec in pickle.loads(batch.column("manifest")[row].as_py()):
-                lineage.append(rec)
-    lineage.close()
+    total = _drain_manifests(manifest_ds, lineage, {
+        "parts": 0, "rows": 0, "compressed_bytes": 0,
+        "uncompressed_bytes": 0, "skipped_parts": 0})
     total["out_dir"] = out_dir
     return total
 
@@ -495,12 +546,18 @@ def _encode_files_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
 
     for path in batch.column("path").to_pylist():
         base = os.path.splitext(os.path.basename(path))[0]
+        # suffix with a hash of the absolute path: two inputs sharing a
+        # basename in different directories must not collide on one
+        # output part (resume stays keyed on input identity)
+        base = f"{base}-{hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:8]}"
         fname = f"part-{base}.parquet"
         fpath = os.path.join(out_dir, fname)
         if base in skip_names and os.path.exists(fpath):
             yield pa.table({
                 "part_id": [base], "file": [fname],
-                "rows": pa.array([-1], type=pa.int64()),
+                # footer-only read: resumed runs report true row counts
+                "rows": pa.array([pq.ParquetFile(fpath).metadata.num_rows],
+                                 type=pa.int64()),
                 "compressed_bytes": pa.array([os.path.getsize(fpath)], type=pa.int64()),
                 "uncompressed_bytes": pa.array([0], type=pa.int64()),
                 "skipped": [True],
@@ -510,7 +567,7 @@ def _encode_files_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
         table = normalize_table(pq.read_table(path, columns=columns))
         schema_ir = schema_from_arrow(table.schema, opts.schema_overrides)
         leaves = leaf_columns(schema_ir)
-        tmp = fpath + ".inprogress"
+        tmp = _tmp_name(fpath)
         raw = comp = 0
         recs = []
         with open(tmp, "wb") as sink:
@@ -552,6 +609,7 @@ def write_parquet_files(
 
     opts = opts or WriteOptions()
     os.makedirs(out_dir, exist_ok=True)
+    _clean_stale_tmps(out_dir)
     lineage = LineageLog(out_dir)
     skip: frozenset[str] = frozenset()
     if resume:
@@ -571,19 +629,9 @@ def write_parquet_files(
         ),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
-    total = {"parts": 0, "rows": 0, "compressed_bytes": 0, "uncompressed_bytes": 0, "skipped_parts": 0}
-    for batch in manifest_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for row in range(batch.num_rows):
-            total["parts"] += 1
-            total["compressed_bytes"] += batch.column("compressed_bytes")[row].as_py()
-            if batch.column("skipped")[row].as_py():
-                total["skipped_parts"] += 1
-                continue
-            total["rows"] += batch.column("rows")[row].as_py()
-            total["uncompressed_bytes"] += batch.column("uncompressed_bytes")[row].as_py()
-            for rec in pickle.loads(batch.column("manifest")[row].as_py()):
-                lineage.append(rec)
-    lineage.close()
+    total = _drain_manifests(manifest_ds, lineage, {
+        "parts": 0, "rows": 0, "compressed_bytes": 0,
+        "uncompressed_bytes": 0, "skipped_parts": 0})
     total["out_dir"] = out_dir
     return total
 
@@ -623,6 +671,7 @@ def write_parquet_dataset(
     if repartition_blocks:
         ds = ds.repartition(repartition_blocks)
     os.makedirs(out_dir, exist_ok=True)
+    _clean_stale_tmps(out_dir)
     arrow_schema = _normalized_arrow_schema(ds)
     lineage = LineageLog(out_dir)
     skip: frozenset[str] = frozenset()
@@ -654,21 +703,12 @@ def write_parquet_dataset(
         manifest_ds = ds.map_batches(
             partial(_encode_part_fn, **part_kwargs),
             batch_format="pyarrow", batch_size=part_rows, zero_copy_batch=True,
+            concurrency=_task_concurrency(concurrency),
         )
 
-    total = {"parts": 0, "rows": 0, "compressed_bytes": 0, "uncompressed_bytes": 0, "skipped_parts": 0}
-    for batch in manifest_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for row in range(batch.num_rows):
-            total["parts"] += 1
-            total["rows"] += batch.column("rows")[row].as_py()
-            total["compressed_bytes"] += batch.column("compressed_bytes")[row].as_py()
-            total["uncompressed_bytes"] += batch.column("uncompressed_bytes")[row].as_py()
-            if batch.column("skipped")[row].as_py():
-                total["skipped_parts"] += 1
-                continue
-            for rec in pickle.loads(batch.column("manifest")[row].as_py()):
-                lineage.append(rec)
-    lineage.close()
+    total = _drain_manifests(manifest_ds, lineage, {
+        "parts": 0, "rows": 0, "compressed_bytes": 0,
+        "uncompressed_bytes": 0, "skipped_parts": 0})
     total["out_dir"] = out_dir
     return total
 
@@ -687,7 +727,9 @@ def _compact_group_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
         if gid in skip_ids and os.path.exists(fpath):
             yield pa.table({
                 "part_id": [gid], "file": [fname],
-                "rows": pa.array([-1], type=pa.int64()),
+                # footer-only read: resumed runs report true row counts
+                "rows": pa.array([pq.ParquetFile(fpath).metadata.num_rows],
+                                 type=pa.int64()),
                 "compressed_bytes": pa.array([os.path.getsize(fpath)], type=pa.int64()),
                 "uncompressed_bytes": pa.array([0], type=pa.int64()),
                 "skipped": [True],
@@ -699,7 +741,7 @@ def _compact_group_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
         )
         schema_ir = schema_from_arrow(table.schema, opts.schema_overrides)
         leaves = leaf_columns(schema_ir)
-        tmp = fpath + ".inprogress"
+        tmp = _tmp_name(fpath)
         raw = comp = 0
         recs = []
         with open(tmp, "wb") as sink:
@@ -715,7 +757,7 @@ def _compact_group_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
         checksum = hashlib.sha1(open(fpath, "rb").read(1 << 16)).hexdigest()[:12]
         for r in recs:
             r.checksum = checksum
-        LineageLog(out_dir).write_part_record(gid, recs)
+        LineageLog(out_dir, name=COMPACT_LINEAGE).write_part_record(gid, recs)
         yield pa.table({
             "part_id": [gid], "file": [fname],
             "rows": pa.array([table.num_rows], type=pa.int64()),
@@ -791,7 +833,8 @@ def compact_parquet_dataset(
             )
 
     os.makedirs(out_dir, exist_ok=True)
-    lineage = LineageLog(out_dir)
+    _clean_stale_tmps(out_dir)
+    lineage = LineageLog(out_dir, name=COMPACT_LINEAGE)
     prior = [rec.file for rec in lineage.completed_parts().values() if rec.file]
     skip: frozenset[str] = frozenset()
     if resume:
@@ -807,20 +850,10 @@ def compact_parquet_dataset(
         ),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
-    total = {"parts": 0, "rows": 0, "compressed_bytes": 0,
-             "uncompressed_bytes": 0, "skipped_parts": 0, "input_files": len(files)}
-    for batch in manifest_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for row in range(batch.num_rows):
-            total["parts"] += 1
-            total["compressed_bytes"] += batch.column("compressed_bytes")[row].as_py()
-            if batch.column("skipped")[row].as_py():
-                total["skipped_parts"] += 1
-                continue
-            total["rows"] += batch.column("rows")[row].as_py()
-            total["uncompressed_bytes"] += batch.column("uncompressed_bytes")[row].as_py()
-            for rec in pickle.loads(batch.column("manifest")[row].as_py()):
-                lineage.append(rec)
-    lineage.close()
+    total = _drain_manifests(manifest_ds, lineage, {
+        "parts": 0, "rows": 0, "compressed_bytes": 0,
+        "uncompressed_bytes": 0, "skipped_parts": 0,
+        "input_files": len(files)})
     # garbage-collect parts from superseded bucket layouts: a changed
     # input produces a NEW bucket id, and without cleanup the stale
     # part would keep serving the old rows alongside the new ones.

@@ -98,7 +98,7 @@ class RowGroupEncoder:
         skip_part_ids: Optional[frozenset[str]] = None,
     ) -> None:
         self.opts = opts
-        self.schema_ir = schema_from_arrow(arrow_schema)
+        self.schema_ir = schema_from_arrow(arrow_schema, opts.schema_overrides)
         self.leaves = leaf_columns(self.schema_ir)
         self.max_group_rows = max_group_rows
         self.max_group_bytes = max_group_bytes

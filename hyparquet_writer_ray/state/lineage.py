@@ -59,8 +59,12 @@ class LineageLog:
     driver-side ``manifest.jsonl`` is a convenience consolidation.
     """
 
-    def __init__(self, base_dir: str, *, store_blobs: bool = False) -> None:
-        self.dir = os.path.join(base_dir, "_lineage")
+    def __init__(self, base_dir: str, *, store_blobs: bool = False,
+                 name: str = "_lineage") -> None:
+        # ``name`` namespaces independent writers sharing one out_dir
+        # (e.g. compaction keeps its own manifest so its stale-part GC
+        # can never see — or delete — parts another writer recorded)
+        self.dir = os.path.join(base_dir, name)
         self.blob_dir = os.path.join(self.dir, "blobs")
         self.parts_dir = os.path.join(self.dir, "parts")
         self.manifest_path = os.path.join(self.dir, "manifest.jsonl")

@@ -140,8 +140,12 @@ def test_write_parquet_files_shard_mode(ray_data, tmp_path):
     # resume skips everything
     s2 = write_parquet_files(paths, out_dir, columns=["url", "lang"])
     assert s2["skipped_parts"] == 4
-    # delete one part -> only that shard re-encodes
-    os.remove(glob.glob(f"{out_dir}/part-shard1.parquet")[0])
+    # resumed runs report true row counts (read from the part footers)
+    assert s2["rows"] == 4000
+    # delete one part -> only that shard re-encodes (part names carry a
+    # path-hash suffix so same-named inputs from different dirs cannot
+    # collide)
+    os.remove(glob.glob(f"{out_dir}/part-shard1-*.parquet")[0])
     s3 = write_parquet_files(paths, out_dir, columns=["url", "lang"])
     assert s3["skipped_parts"] == 3
     got = duckdb.sql(f"select count(*) from '{out_dir}/part-*.parquet'").fetchone()
