@@ -792,6 +792,15 @@ def _checkpoint_dataset(ds, out_dir: str) -> None:
         f.write("ok")
 
 
+def _checkpoint_is_empty(out_dir: str) -> bool:
+    """True when a _DONE-marked checkpoint contains no parquet files
+    (the upstream dataset was empty — write_parquet wrote nothing)."""
+    import glob as _glob
+    import os
+
+    return not _glob.glob(os.path.join(out_dir, "*.parquet"))
+
+
 def minhash_lsh_pairs(
     ds,
     *,
@@ -846,6 +855,14 @@ def minhash_lsh_pairs(
         # multi-node cluster); node-local tempdir only when unset
         sig_dir = _scratch_dir("minhash_sigs_")
     _checkpoint_dataset(sigs, sig_dir)
+    if _checkpoint_is_empty(sig_dir):
+        # empty corpus: the checkpoint holds only the _DONE marker and
+        # read_parquet would fail on a dir with no parquet files
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "jaccard_est": pa.array([], pa.float64()),
+            "from_oversized": pa.array([], pa.bool_()),
+        }))
 
     def _sig_ds():
         return ray.data.read_parquet(sig_dir)
@@ -1057,9 +1074,7 @@ class NGramSetBuilder:
             return np.zeros(0, np.uint64), np.zeros(nd, np.int64)
         with np.errstate(over="ignore"):
             maxlen = int(lens.max()) if len(lens) else 0
-            powers = np.ones(maxlen + 2, dtype=np.uint64)
-            for i in range(1, maxlen + 2):
-                powers[i] = powers[i - 1] * _POLY
+            powers = _powers(_POLY, maxlen + 2)
             space = np.uint64(ord(" "))
             # fold: h(acc + ' ' + w) = acc * P^(1+len(w)) + 32*P^len(w) + h(w)
             acc = th[: T - k + 1].copy()
@@ -1136,6 +1151,12 @@ def ngram_jaccard_pairs(
         # multi-node cluster); node-local tempdir only when unset
         grams_dir = _scratch_dir("ngram_sets_")
     _checkpoint_dataset(sets, grams_dir)
+    if _checkpoint_is_empty(grams_dir):
+        # empty corpus (see minhash_lsh_pairs): nothing to verify
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }))
 
     # shared bucketed tag-union hash join; exact per-pair Jaccard in
     # the combine kernel (python loop ONLY over candidate pairs —

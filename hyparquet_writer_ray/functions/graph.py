@@ -223,12 +223,17 @@ def drop_near_duplicates(ds, pairs, *, id_col: str = "doc_id",
                              zero_copy_batch=True)
 
     def doc_rows(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0 or batch.num_rows == 0:
-            return batch
-        ids = single_chunk(batch.column(id_col)).cast(pa.int64())
+        # empty batches still get the aux columns: a block missing the
+        # __bucket key would break the union's groupby schema
+        if batch.num_columns == 0:
+            batch = pa_schema.empty_table()
+        if batch.num_rows == 0:
+            ids_np = np.zeros(0, np.int64)
+        else:
+            ids_np = single_chunk(batch.column(id_col)).cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
         return batch.append_column(
-            "__bucket",
-            pa.array(ids.to_numpy(zero_copy_only=False) % NB, pa.int64()),
+            "__bucket", pa.array(ids_np % NB, pa.int64()),
         ).append_column(_MARK, pa.array(np.zeros(batch.num_rows, bool)))
 
     docs_tagged = ds.map_batches(doc_rows, batch_format="pyarrow",
@@ -258,7 +263,8 @@ def drop_near_duplicates(ds, pairs, *, id_col: str = "doc_id",
 
     def filter_bucket(group: pa.Table) -> pa.Table:
         if group.num_columns == 0 or group.num_rows == 0:
-            return group
+            return group.drop_columns(
+                [c for c in ("__bucket", _MARK) if c in group.column_names])
         mark = group.column(_MARK).to_numpy(zero_copy_only=False).astype(bool)
         ids = pc.fill_null(
             group.column(id_col).cast(pa.int64()), -1

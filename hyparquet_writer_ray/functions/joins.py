@@ -57,6 +57,63 @@ def _bucket_of(col: pa.Array, nb: int) -> np.ndarray:
                     "(int / string / binary keys only)")
 
 
+
+def _tag_union(left, right, *, left_key, right_key, right_cols, nb,
+               op_name, left_ts=None, right_ts=None):
+    """Shared tag-union scaffolding for the bucketed shuffle joins
+    (asof_join / hash_join): schema introspection, payload-collision
+    check, null-padded left/right row taggers, union. Returns
+    ``(left_pa, rfields, out_schema, tagged)``; the caller supplies the
+    per-bucket join kernel."""
+    left_schema = left.schema()
+    left_pa = getattr(left_schema, "base_schema", left_schema)
+    right_schema = right.schema()
+    right_pa = getattr(right_schema, "base_schema", right_schema)
+    if right_cols is None:
+        drop = {right_key, right_ts} if right_ts else {right_key}
+        right_cols = [n for n in right_pa.names if n not in drop]
+    clash = set(right_cols) & set(left_pa.names)
+    if clash:
+        raise ValueError(
+            f"{op_name}: right_cols collide with left columns: {clash}")
+    rfields = [right_pa.field(c) for c in right_cols]
+    out_schema = pa.schema(list(left_pa) + rfields)
+    key_type = left_pa.field(left_key).type
+
+    def left_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = single_chunk(batch.column(left_key))
+        cols: dict = {f.name: batch.column(f.name) for f in left_pa}
+        for f in rfields:
+            cols[f.name] = pa.nulls(n, f.type)
+        cols["__key"] = key
+        if left_ts is not None:
+            cols["__ts"] = single_chunk(batch.column(left_ts)).cast(pa.int64())
+        cols["__side"] = pa.array(np.ones(n, np.int64))
+        cols["__bucket"] = pa.array(_bucket_of(key, nb))
+        return pa.table(cols)
+
+    def right_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = single_chunk(batch.column(right_key)).cast(key_type)
+        cols = {f.name: pa.nulls(n, f.type) for f in left_pa}
+        for f in rfields:
+            cols[f.name] = batch.column(f.name)
+        cols["__key"] = key
+        if right_ts is not None:
+            cols["__ts"] = single_chunk(batch.column(right_ts)).cast(pa.int64())
+        cols["__side"] = pa.array(np.zeros(n, np.int64))
+        cols["__bucket"] = pa.array(_bucket_of(key, nb))
+        return pa.table(cols)
+
+    tagged = left.map_batches(
+        left_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(right.map_batches(
+        right_rows, batch_format="pyarrow", zero_copy_batch=True
+    ))
+    return left_pa, rfields, out_schema, tagged
+
+
 def asof_join(
     left,
     right,
@@ -78,48 +135,10 @@ def asof_join(
     right_by = right_by or by
     right_on = right_on or on
     NB = max(int(num_buckets), 1)
-
-    left_schema = left.schema()
-    left_pa = getattr(left_schema, "base_schema", left_schema)
-    right_schema = right.schema()
-    right_pa = getattr(right_schema, "base_schema", right_schema)
-    if right_cols is None:
-        right_cols = [n for n in right_pa.names if n not in (right_by, right_on)]
-    clash = set(right_cols) & set(left_pa.names)
-    if clash:
-        raise ValueError(f"asof_join: right_cols collide with left columns: {clash}")
-    rfields = [right_pa.field(c) for c in right_cols]
-
-    # shared union schema: left cols + right payload + key/ts/side/bucket
-    out_fields = list(left_pa) + rfields
-
-    def left_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        key = single_chunk(batch.column(by))
-        cols: dict = {f.name: batch.column(f.name) for f in left_pa}
-        for f in rfields:
-            cols[f.name] = pa.nulls(n, f.type)
-        cols["__key"] = key
-        cols["__ts"] = single_chunk(batch.column(on)).cast(pa.int64())
-        cols["__side"] = pa.array(np.ones(n, np.int64))
-        cols["__bucket"] = pa.array(_bucket_of(key, NB))
-        return pa.table(cols)
-
-    key_type = left_pa.field(by).type
-
-    def right_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        key = single_chunk(batch.column(right_by)).cast(key_type)
-        cols = {f.name: pa.nulls(n, f.type) for f in left_pa}
-        for f in rfields:
-            cols[f.name] = batch.column(f.name)
-        cols["__key"] = key
-        cols["__ts"] = single_chunk(batch.column(right_on)).cast(pa.int64())
-        cols["__side"] = pa.array(np.zeros(n, np.int64))
-        cols["__bucket"] = pa.array(_bucket_of(key, NB))
-        return pa.table(cols)
-
-    out_schema = pa.schema(out_fields)
+    left_pa, rfields, out_schema, tagged = _tag_union(
+        left, right, left_key=by, right_key=right_by,
+        right_cols=right_cols, nb=NB, op_name="asof_join",
+        left_ts=on, right_ts=right_on)
 
     def join_bucket(group: pa.Table) -> pa.Table:
         if group.num_columns == 0 or group.num_rows == 0:
@@ -163,11 +182,6 @@ def asof_join(
             cols[f.name] = group.column(f.name).take(right_take)
         return pa.table(cols, schema=out_schema)
 
-    tagged = left.map_batches(
-        left_rows, batch_format="pyarrow", zero_copy_batch=True
-    ).union(right.map_batches(
-        right_rows, batch_format="pyarrow", zero_copy_batch=True
-    ))
     return tagged.groupby("__bucket").map_groups(
         join_bucket, batch_format="pyarrow"
     )
@@ -197,12 +211,17 @@ class _BroadcastJoiner:
         self.how = how
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        idx = pc.index_in(batch.column(self.on), value_set=self.keys)
+        left_keys = batch.column(self.on)
+        idx = pc.index_in(left_keys, value_set=self.keys)
+        if left_keys.null_count:
+            # SQL equi-join semantics (and asof_join/hash_join parity):
+            # a null key never matches, even if the right side carries
+            # a null-keyed row (index_in would match null to null)
+            idx = pc.if_else(pc.is_valid(left_keys), idx,
+                             pa.scalar(None, idx.type))
         out = batch
         for c in self.right_cols:
             col = self.right.column(c).take(idx)  # null idx -> null value
-            if c in out.column_names:
-                out = out.drop_columns([c])
             out = out.append_column(c, col)
         if self.how == "inner":
             out = out.filter(pc.is_valid(idx))
@@ -235,6 +254,14 @@ def broadcast_join(ds, right: pa.Table, *, on: str, right_on: str | None = None,
     right_on = right_on or on
     if right_cols is None:
         right_cols = [n for n in right.column_names if n != right_on]
+    left_names = set(ds.schema().names)
+    clash = [c for c in right_cols if c in left_names]
+    if clash:
+        # same contract as asof_join/hash_join: never silently
+        # overwrite a left column with right-side payload
+        raise ValueError(
+            f"broadcast_join: right columns {clash} already exist on the "
+            f"left side; rename or drop them before joining")
     right_ref = ray.put(right.select([right_on, *right_cols]))
     return ds.map_batches(
         _BroadcastJoiner,
@@ -321,41 +348,9 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
     if how not in ("left", "inner"):
         raise ValueError(f"hash_join: how={how!r}")
     NB = max(int(num_buckets), 1)
-
-    left_schema = left.schema()
-    left_pa = getattr(left_schema, "base_schema", left_schema)
-    right_schema = right.schema()
-    right_pa = getattr(right_schema, "base_schema", right_schema)
-    if right_cols is None:
-        right_cols = [n for n in right_pa.names if n != right_on]
-    clash = set(right_cols) & set(left_pa.names)
-    if clash:
-        raise ValueError(f"hash_join: right_cols collide with left columns: {clash}")
-    rfields = [right_pa.field(c) for c in right_cols]
-    out_schema = pa.schema(list(left_pa) + rfields)
-    key_type = left_pa.field(on).type
-
-    def left_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        key = single_chunk(batch.column(on))
-        cols: dict = {f.name: batch.column(f.name) for f in left_pa}
-        for f in rfields:
-            cols[f.name] = pa.nulls(n, f.type)
-        cols["__key"] = key
-        cols["__side"] = pa.array(np.ones(n, np.int64))
-        cols["__bucket"] = pa.array(_bucket_of(key, NB))
-        return pa.table(cols)
-
-    def right_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        key = single_chunk(batch.column(right_on)).cast(key_type)
-        cols = {f.name: pa.nulls(n, f.type) for f in left_pa}
-        for f in rfields:
-            cols[f.name] = batch.column(f.name)
-        cols["__key"] = key
-        cols["__side"] = pa.array(np.zeros(n, np.int64))
-        cols["__bucket"] = pa.array(_bucket_of(key, NB))
-        return pa.table(cols)
+    left_pa, rfields, out_schema, tagged = _tag_union(
+        left, right, left_key=on, right_key=right_on,
+        right_cols=right_cols, nb=NB, op_name="hash_join")
 
     def join_bucket(group: pa.Table) -> pa.Table:
         if group.num_columns == 0 or group.num_rows == 0:
@@ -398,11 +393,6 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
             cols[f.name] = group.column(f.name).take(right_take)
         return pa.table(cols, schema=out_schema)
 
-    tagged = left.map_batches(
-        left_rows, batch_format="pyarrow", zero_copy_batch=True
-    ).union(right.map_batches(
-        right_rows, batch_format="pyarrow", zero_copy_batch=True
-    ))
     return tagged.groupby("__bucket").map_groups(
         join_bucket, batch_format="pyarrow"
     )

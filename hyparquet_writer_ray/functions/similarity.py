@@ -19,8 +19,29 @@ from ..core.arrays import single_chunk
 def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col)
     arr = single_chunk(arr)
+    if batch.num_rows == 0:
+        # reshape(0, -1) raises; infer the width from the type if fixed
+        t = arr.type
+        d = t.list_size if pa.types.is_fixed_size_list(t) else 0
+        return np.empty((0, d), dtype=np.float64)
     flat = np.asarray(arr.flatten(), dtype=np.float64)
     return flat.reshape(batch.num_rows, -1)
+
+
+
+def _merge_topk(reduced, k: int, id_col: str) -> pa.Table:
+    """Driver-side k-way merge of per-batch top-k lists (k * n_batches
+    rows); ties broken by id ascending for determinism."""
+    cand: list[tuple[float, int]] = []
+    for b in reduced.iter_batches(batch_size=None, batch_format="pyarrow"):
+        cand.extend(zip(b.column("score").to_pylist(),
+                        b.column(id_col).to_pylist()))
+    cand.sort(key=lambda sv: (-sv[0], sv[1]))
+    best = cand[:k]
+    return pa.table({
+        id_col: pa.array([v for _, v in best], pa.int64()),
+        "score": pa.array([s for s, _ in best], pa.float64()),
+    })
 
 
 def topk_cosine(ds, query: np.ndarray, k: int = 10,
@@ -35,6 +56,9 @@ def topk_cosine(ds, query: np.ndarray, k: int = 10,
     q_ref = ray.put(q)
 
     def batch_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         qv = ray.get(q_ref)
         m = _embedding_matrix(batch, vec_col)
         norms = np.linalg.norm(m, axis=1)
@@ -52,17 +76,7 @@ def topk_cosine(ds, query: np.ndarray, k: int = 10,
         })
 
     reduced = ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True)
-    # merge the tiny per-batch top-k lists on the driver (k * n_batches
-    # rows); ties broken by id ascending for determinism
-    cand: list[tuple[float, int]] = []
-    for b in reduced.iter_batches(batch_size=None, batch_format="pyarrow"):
-        cand.extend(zip(b.column("score").to_pylist(), b.column(id_col).to_pylist()))
-    cand.sort(key=lambda sv: (-sv[0], sv[1]))
-    best = cand[:k]
-    return pa.table({
-        id_col: pa.array([v for _, v in best], pa.int64()),
-        "score": pa.array([s for s, _ in best], pa.float64()),
-    })
+    return _merge_topk(reduced, k, id_col)
 
 
 class HyperplaneBucketer:
@@ -76,6 +90,12 @@ class HyperplaneBucketer:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                self.id_col: batch.column(self.id_col),
+                self.vec_col: batch.column(self.vec_col),
+                "bucket": pa.array([], pa.uint64()),
+            })
         m = _embedding_matrix(batch, self.vec_col)
         signs = (m @ self.planes) > 0
         bucket = (signs.astype(np.uint64) << np.arange(signs.shape[1], dtype=np.uint64)).sum(axis=1)
@@ -272,7 +292,9 @@ def exact_cosine_pairs(ds, *, threshold: float = 0.9,
         n = ds.count()
         B = max(1, int(np.ceil(n / max(int(rows_per_block), 1))))
 
-        def normalize(batch: pa.Table) -> pa.Table:
+        def normalize(batch: pa.Table):
+            if batch.num_rows == 0:
+                return  # emit no block: __nvec width is data-dependent
             ids = single_chunk(batch.column(id_col)).cast(pa.int64())
             m = _embedding_matrix(batch, vec_col)
             norms = np.linalg.norm(m, axis=1)
@@ -280,7 +302,7 @@ def exact_cosine_pairs(ds, *, threshold: float = 0.9,
             mn = m / norms[:, None]
             dim = mn.shape[1]
             flat = pa.array(mn.reshape(-1), pa.float64())
-            return pa.table({
+            yield pa.table({
                 id_col: ids,
                 "__nvec": pa.FixedSizeListArray.from_arrays(flat, dim),
                 "__block": pa.array(
@@ -381,11 +403,12 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, *, n_clusters: int = 16,
     q = np.asarray(query, dtype=np.float64)
     q = q / np.linalg.norm(q)
 
-    sample = pa.concat_tables(
-        b for b in ds.limit(sample_size).iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
-    )
+    sample_batches = [b for b in ds.limit(sample_size).iter_batches(
+        batch_size=None, batch_format="pyarrow") if b.num_rows]
+    if not sample_batches:  # empty dataset: no vectors to search
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    sample = pa.concat_tables(sample_batches)
     xs = _embedding_matrix(sample, vec_col)
     norms = np.linalg.norm(xs, axis=1)
     norms[norms == 0] = 1.0
@@ -396,6 +419,9 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, *, n_clusters: int = 16,
     probe_set[probe] = True
 
     def batch_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         c = ray.get(cent_ref)
         m = _embedding_matrix(batch, vec_col)
         nrm = np.linalg.norm(m, axis=1)
@@ -416,12 +442,4 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, *, n_clusters: int = 16,
         })
 
     reduced = ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True)
-    cand: list[tuple[float, int]] = []
-    for b in reduced.iter_batches(batch_size=None, batch_format="pyarrow"):
-        cand.extend(zip(b.column("score").to_pylist(), b.column(id_col).to_pylist()))
-    cand.sort(key=lambda sv: (-sv[0], sv[1]))
-    best = cand[:k]
-    return pa.table({
-        id_col: pa.array([v for _, v in best], pa.int64()),
-        "score": pa.array([s for s, _ in best], pa.float64()),
-    })
+    return _merge_topk(reduced, k, id_col)
