@@ -44,7 +44,12 @@ def _bucket_of(col: pa.Array, nb: int) -> np.ndarray:
     """Constant-count shuffle bucket for int / string / binary keys."""
     t = col.type
     if pa.types.is_integer(t):
-        k = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # fill_null BEFORE to_numpy: a null coerces the column to
+        # float64 (NaN-cast bucket is undefined, and ids > 2^53 would
+        # bucket differently in batches containing a null). Null keys
+        # deterministically land in bucket 0.
+        k = pc.fill_null(col.cast(pa.int64()), 0).to_numpy(
+            zero_copy_only=False)
         return (k % nb).astype(np.int64)
     if (pa.types.is_string(t) or pa.types.is_binary(t)
             or pa.types.is_large_string(t) or pa.types.is_large_binary(t)):

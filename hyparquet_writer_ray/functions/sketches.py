@@ -414,6 +414,14 @@ def grouped_dd_quantiles(ds, *, key_col: str, col: str, qs=(0.5, 0.9),
         ok = np.isfinite(x)
         keys = keys.filter(pa.array(ok))
         x = x[ok]
+        if len(x) == 0:  # all null/NaN/inf (or a 0-row block)
+            return pa.table({
+                key_col: keys.slice(0, 0),
+                "__s": pa.array([], pa.int64()),
+                "__b": pa.array([], pa.int64()),
+                "__n": pa.array([], pa.int64()),
+                "__bucket": pa.array([], pa.int64()),
+            })
         denc = pc.dictionary_encode(keys)
         codes = denc.indices.to_numpy(zero_copy_only=False)
         nulls = np.isnan(codes) if codes.dtype.kind == "f" else \

@@ -1,8 +1,8 @@
 """Distribution statistics and table profiling.
 
 ``exact_quantiles`` computes EXACT discrete quantiles (DuckDB
-``quantile_disc`` semantics: the sorted element at index
-``floor((n-1)*q)``) with one value-histogram shuffle: each batch
+``quantile_disc`` semantics: the sorted element at rank
+``ceil(q*n) - 1``) with one value-histogram shuffle: each batch
 collapses to (value, count) partials via ``np.unique`` BEFORE the
 shuffle, the groupby moves distinct-value-sized rows, and the driver
 merges only the final histogram. The contract — like ``top_tokens`` —
@@ -180,16 +180,19 @@ def grouped_quantiles(ds, *, key_col: str, col: str, qs=(0.5, 0.9, 0.99),
                           "v": pa.array([], pa.int64()),
                           "n": pa.array([], pa.int64())})
         if batch.num_columns == 0 or batch.num_rows == 0:
-            return batch.select([]) if False else empty
-        keys = single_chunk(batch.column(key_col))
-        valid = pc.and_kleene(pc.is_valid(keys),
-                              pc.is_valid(batch.column(col)))
+            return empty
+        # null VALUES are excluded; null KEYS form one group (SQL
+        # GROUP BY semantics, matching the grouped_dd_quantiles twin)
+        valid = pc.is_valid(batch.column(col))
         t = batch.filter(pc.fill_null(valid, False))
         if t.num_rows == 0:
             return empty
         keys = single_chunk(t.column(key_col))
         denc = pc.dictionary_encode(keys)
-        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        nulls = np.isnan(codes) if codes.dtype.kind == "f" else \
+            np.zeros(len(codes), bool)
+        codes = np.where(nulls, len(denc.dictionary), codes).astype(np.int64)
         vals = single_chunk(t.column(col)).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         order = np.lexsort((vals, codes))
@@ -198,8 +201,11 @@ def grouped_quantiles(ds, *, key_col: str, col: str, qs=(0.5, 0.9, 0.99),
         new[1:] = (c_s[1:] != c_s[:-1]) | (v_s[1:] != v_s[:-1])
         starts = np.nonzero(new)[0]
         cnt = np.diff(np.append(starts, len(order)))
+        key_arr = denc.dictionary.cast(ktype)
+        if nulls.any():  # sentinel code len(dict) -> a null key slot
+            key_arr = pa.concat_arrays([key_arr, pa.nulls(1, ktype)])
         return pa.table({
-            "__k": denc.dictionary.take(pa.array(c_s[starts])).cast(ktype),
+            "__k": key_arr.take(pa.array(c_s[starts])),
             "v": pa.array(v_s[starts], pa.int64()),
             "n": pa.array(cnt.astype(np.int64), pa.int64()),
         })
@@ -223,7 +229,10 @@ def grouped_quantiles(ds, *, key_col: str, col: str, qs=(0.5, 0.9, 0.99),
         if group.num_columns == 0 or group.num_rows == 0:
             return empty
         denc = pc.dictionary_encode(single_chunk(group.column("__k")))
-        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        nulls = np.isnan(codes) if codes.dtype.kind == "f" else \
+            np.zeros(len(codes), bool)
+        codes = np.where(nulls, len(denc.dictionary), codes).astype(np.int64)
         v = group.column("v").to_numpy(zero_copy_only=False)
         n = group.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((v, codes))
@@ -250,8 +259,11 @@ def grouped_quantiles(ds, *, key_col: str, col: str, qs=(0.5, 0.9, 0.99),
                 out_k.append(int(c_u[s]))
                 out_q.append(q)
                 out_v.append(int(v_u[s:e][np.searchsorted(cum, idx + 1)]))
+        key_arr = denc.dictionary.cast(ktype)
+        if nulls.any():
+            key_arr = pa.concat_arrays([key_arr, pa.nulls(1, ktype)])
         return pa.table({
-            key_col: denc.dictionary.take(pa.array(out_k, pa.int64())).cast(ktype),
+            key_col: key_arr.take(pa.array(out_k, pa.int64())),
             "q": pa.array(out_q, pa.float64()),
             "value": pa.array(out_v, pa.int64()),
         })

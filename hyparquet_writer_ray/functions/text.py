@@ -53,21 +53,28 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     starts = offsets[:-1]
     n = len(text)
     max_tok = np.zeros(n, dtype=np.int64)
-    nonempty = offsets[1:] > starts
-    if flat_len.size:
-        maxes = np.maximum.reduceat(flat_len, np.minimum(starts, flat_len.size - 1))
-        max_tok[nonempty] = maxes[nonempty]
-    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(zero_copy_only=False).astype(np.int64)
     n_stop = np.zeros(n, dtype=np.int64)
-    if is_stop.size:
-        sums = np.add.reduceat(is_stop, np.minimum(starts, is_stop.size - 1))
-        n_stop[nonempty] = sums[nonempty]
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(zero_copy_only=False).astype(np.int64)
+    # reduceat only over NONEMPTY segment starts: empty (null-text)
+    # segments have start == end, and clamping starts into range would
+    # truncate the final real document's segment instead
+    nz = np.nonzero(offsets[1:] > starts)[0]
+    if len(nz):
+        seg_starts = starts[nz]
+        max_tok[nz] = np.maximum.reduceat(flat_len, seg_starts)
+        n_stop[nz] = np.add.reduceat(is_stop, seg_starts)
+    # null text -> null signals (matching SQL list_max/list_filter)
+    null_mask = None
+    if text.null_count:
+        from ..core.arrays import validity_mask
+
+        null_mask = ~validity_mask(text)
     out = batch
     for name, col in [
         ("n_chars", n_chars),
         ("n_tokens", n_tokens),
-        ("max_token_len", pa.array(max_tok)),
-        ("n_stopwords", pa.array(n_stop)),
+        ("max_token_len", pa.array(max_tok, mask=null_mask)),
+        ("n_stopwords", pa.array(n_stop, mask=null_mask)),
     ]:
         if name in out.column_names:
             out = out.drop_columns([name])
@@ -115,20 +122,13 @@ def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Tab
     # offsets/data from the arrow buffers
     from ..core.arrays import byte_array_values
 
-    lengths, data = byte_array_values(buf.cast(pa.binary()))
-    with np.errstate(over="ignore"):
-        # h_doc = sum(byte_i * BASE^(len-1-i)) via segmented weighted sums
-        maxlen = int(lengths.max()) if len(lengths) else 0
-        powers = np.ones(max(maxlen, 1), dtype=np.uint64)
-        for i in range(1, maxlen):
-            powers[i] = powers[i - 1] * _FP_BASE
-        starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
-        pos = np.arange(len(data), dtype=np.int64)
-        owner = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
-        exp = (starts[owner] + lengths[owner] - 1 - pos).astype(np.int64)
-        weighted = data.astype(np.uint64) * powers[exp]
-        sums = np.zeros(len(lengths), dtype=np.uint64)
-        np.add.at(sums, owner, weighted)
+    # same formula as dedup's segmented hash (identical base/weights) —
+    # byte_array_values handles 32/64-bit offsets natively, so no
+    # binary() downcast that would overflow on >2 GB large_string chunks
+    from .dedup import _segmented_poly_hash
+
+    lengths, data = byte_array_values(buf)
+    sums = _segmented_poly_hash(lengths, data, _FP_BASE)
     fps = np.zeros(n, dtype=np.uint64)
     mask = np.ones(n, dtype=bool)
     if col.null_count:
@@ -266,7 +266,12 @@ def stratified_sample(ds, *, key_col: str = "lang", id_col: str = "doc_id",
     def pick(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
             return batch
-        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # fill_null BEFORE to_numpy: a null would coerce the whole
+        # column to float64 (undefined NaN hash, >2^53 ids lose
+        # precision); null ids deterministically hash as id 0
+        ids = pa.compute.fill_null(
+            batch.column(id_col).cast(pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
         h = _splitmix64(ids.astype(np.uint64))
 
         def thresh_of(f: float):
@@ -629,9 +634,11 @@ def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
         c_u, d_u = c_s[keep], d_s[keep]
         starts = np.nonzero(np.r_[True, c_u[1:] != c_u[:-1]])[0]
         df = np.diff(np.r_[starts, len(c_u)])
-        offsets = np.r_[0, np.cumsum(df)].astype(np.int32)
-        postings = pa.ListArray.from_arrays(
-            pa.array(offsets), pa.array(d_u, pa.int64()))
+        # int64 offsets: one hot token-hash bucket can exceed 2^31
+        # postings at corpus scale, which would wrap int32 offsets
+        offsets = np.r_[0, np.cumsum(df)].astype(np.int64)
+        postings = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(d_u, pa.int64()))
         return pa.table({
             "token": denc.dictionary.take(pa.array(c_u[starts])),
             "doc_ids": postings,
