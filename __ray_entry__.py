@@ -612,6 +612,40 @@ def _q_dedup_minhash(sf_dir: str) -> pa.Table:
     return t.select(["a", "b", "jaccard_est"])
 
 
+
+def _cand_pairs(n: int):
+    """All (a, b), a < b over ids 0..n-1 as a small candidate Dataset —
+    the pair set the three ngram/components/curate queries and their
+    SQL oracles must keep in lockstep."""
+    import ray.data
+
+    a, b = [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            a.append(i)
+            b.append(j)
+    return ray.data.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
+                                         "b": pa.array(b, pa.int64())}))
+
+
+def _doc_url_batch(batch: pa.Table, *keep_cols: str) -> pa.Table:
+    """Synthetic per-doc URL (host = doc_id %% 97) shared by the web-op
+    queries; the SQL oracles re-derive the identical scheme."""
+    import pyarrow.compute as pc
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    host_code = pc.cast(pa.array(ids % 97), pa.string())
+    doc_str = pc.cast(batch.column("doc_id"), pa.string())
+    url = pc.binary_join_element_wise(
+        "https://host", host_code, ".example.org/docs/", doc_str,
+        "?src=", batch.column("source"), "")
+    cols = {}
+    for c in keep_cols:
+        cols[c] = batch.column(c)
+    cols["url"] = url
+    return pa.table(cols)
+
+
 def _q_dedup_ngram(sf_dir: str) -> pa.Table:
     """EXACT word-3-gram Jaccard over all pairs among the first 60 docs
     (the candidate set a production run would get from an LSH pass) —
@@ -619,13 +653,7 @@ def _q_dedup_ngram(sf_dir: str) -> pa.Table:
     import ray.data
     from hyparquet_writer_ray.functions.dedup import ngram_jaccard_pairs
     n = 60
-    a, b = [], []
-    for i in range(n):
-        for j in range(i + 1, n):
-            a.append(i)
-            b.append(j)
-    cands = ray.data.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
-                                          "b": pa.array(b, pa.int64())}))
+    cands = _cand_pairs(n)
     import pyarrow.dataset as pads
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
@@ -649,13 +677,7 @@ def _q_dedup_components(sf_dir: str) -> pa.Table:
     from hyparquet_writer_ray.functions.dedup import ngram_jaccard_pairs
     from hyparquet_writer_ray.functions.graph import connected_components
     n = 60
-    a, b = [], []
-    for i in range(n):
-        for j in range(i + 1, n):
-            a.append(i)
-            b.append(j)
-    cands = ray.data.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
-                                          "b": pa.array(b, pa.int64())}))
+    cands = _cand_pairs(n)
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
@@ -679,13 +701,7 @@ def _q_curate_neardup(sf_dir: str) -> pa.Table:
         curate_near_duplicates, lang_stats,
     )
     n = 60
-    a, b = [], []
-    for i in range(n):
-        for j in range(i + 1, n):
-            a.append(i)
-            b.append(j)
-    cands = ray.data.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
-                                          "b": pa.array(b, pa.int64())}))
+    cands = _cand_pairs(n)
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang"],
@@ -1464,14 +1480,7 @@ def _q_filter_domains(sf_dir: str) -> pa.Table:
     from hyparquet_writer_ray.functions.web import filter_domains
 
     def build(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        host_code = pc.cast(pa.array(ids % 97), pa.string())
-        doc_str = pc.cast(batch.column("doc_id"), pa.string())
-        url = pc.binary_join_element_wise(
-            "https://host", host_code, ".example.org/docs/", doc_str,
-            "?src=", batch.column("source"), "")
-        return pa.table({"doc_id": batch.column("doc_id"), "url": url})
+        return _doc_url_batch(batch, "doc_id")
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
@@ -1673,13 +1682,7 @@ def _q_domain_stats(sf_dir: str) -> pa.Table:
     from hyparquet_writer_ray.functions.web import domain_stats
 
     def build(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        host_code = pc.cast(pa.array(ids % 97), pa.string())
-        doc_str = pc.cast(batch.column("doc_id"), pa.string())
-        url = pc.binary_join_element_wise(
-            "https://host", host_code, ".example.org/docs/", doc_str,
-            "?src=", batch.column("source"), "")
-        return pa.table({"url": url, "n_chars": batch.column("n_chars")})
+        return _doc_url_batch(batch, "n_chars")
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
@@ -1709,14 +1712,32 @@ def _q_asof_join(sf_dir: str) -> pa.Table:
         return batch.filter(pa.array(k % 2 == 0))
 
     def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["o_custkey", "o_orderdate", "o_orderkey"])
+        b = batch.rename_columns(["o_custkey", "o_orderdate", "o_orderkey"])
+        # normalize the right timestamp to the SAME unit as events.ts:
+        # asof_join compares int64-cast values, and date32 would cast to
+        # DAYS while ts casts to MICROSECONDS
+        i = b.schema.get_field_index("o_orderdate")
+        return b.set_column(i, "o_orderdate",
+                            b.column("o_orderdate").cast(pa.timestamp("us")))
 
+    # planted FUTURE orders (2030 > every 2024 event): an implementation
+    # that ignored the as-of bound would pick these max-date rows; the
+    # correct join must skip them. Keeps the inequality load-bearing
+    # (fixture orders all predate fixture events otherwise).
+    _FUTURE_US = 1_893_456_000_000_000  # 2030-01-01T00:00:00Z
+    future = pa.table({
+        "o_custkey": pa.array([2 * k for k in range(1, 21)], pa.int64()),
+        "o_orderdate": pa.array([_FUTURE_US] * 20, pa.timestamp("us")),
+        "o_orderkey": pa.array([999_000_000 + 2 * k for k in range(1, 21)],
+                               pa.int64()),
+    })
     orders = (
         ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                               columns=["o_custkey", "o_orderdate", "o_orderkey"])
         .map_batches(even_keys, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["o_custkey", "o_orderdate"]).max("o_orderkey")
         .map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+        .union(ray.data.from_arrow(future))
     )
     joined = asof_join(events, orders, by="user_id", on="ts",
                        right_by="o_custkey", right_on="o_orderdate",
@@ -2431,10 +2452,15 @@ def oracle_sql() -> dict[str, str]:
     sql["asof_join"] = (
         # right side reduced to unique (key, ts) so the asof winner is
         # well-defined; even custkeys only -> odd users exercise the
-        # LEFT OUTER null path
-        "WITH r AS (SELECT o_custkey, o_orderdate, "
+        # LEFT OUTER null path; planted 2030 rows make the as-of bound
+        # load-bearing (every fixture order predates every event)
+        "WITH r0 AS (SELECT o_custkey, o_orderdate, "
         "CAST(max(o_orderkey) AS BIGINT) AS o_orderkey FROM orders "
-        "WHERE o_custkey % 2 = 0 GROUP BY 1, 2) "
+        "WHERE o_custkey % 2 = 0 GROUP BY 1, 2), "
+        "fut AS (SELECT 2*k AS o_custkey, DATE '2030-01-01' AS "
+        "o_orderdate, CAST(999000000 + 2*k AS BIGINT) AS o_orderkey "
+        "FROM range(1, 21) t(k)), "
+        "r AS (SELECT * FROM r0 UNION ALL SELECT * FROM fut) "
         "SELECT e.event_id, r.o_orderkey FROM events e "
         "ASOF LEFT JOIN r ON e.user_id = r.o_custkey "
         "AND e.ts >= r.o_orderdate ORDER BY e.event_id"

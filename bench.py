@@ -115,6 +115,7 @@ def bench_webtable_encode(rows: int | None = None) -> tuple[float, dict]:
     # min of 2 measured runs — this VM shows 2-3x host-steal bursts
     # that single-shot runs report as phantom regressions
     run("_warm")
+    shutil.rmtree(out + "_warm", ignore_errors=True)  # free tmpfs RAM
     dt1, stats = run("")
     dt2, _ = run("")
     dt = min(dt1, dt2)

@@ -112,7 +112,14 @@ class AudioFeatureStage:
                 for k in cols:
                     cols[k].append(None)
             else:
-                f = self._features(p)
+                try:
+                    f = self._features(p)
+                except Exception:
+                    # corrupt payload: decoded=False, row survives
+                    ok.append(False)
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
                 ok.append(True)
                 for k in cols:
                     cols[k].append(f[k])

@@ -47,11 +47,9 @@ class SeenFilter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
             return batch
-        col = batch.column(self.column)
-        if col.num_chunks != 1:
-            col = col.combine_chunks()
-        else:
-            col = col.chunk(0)
+        from ..core.arrays import single_chunk
+
+        col = single_chunk(batch.column(self.column))
         target = _ARROW_OF.get(self.element.type)
         if target is not None and col.type != target:
             col = col.cast(target)

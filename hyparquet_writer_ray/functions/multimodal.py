@@ -74,8 +74,14 @@ class ImageDecodeStage:
         ok = np.zeros(len(payloads), dtype=bool)
         for i, p in enumerate(payloads):
             if p is not None:
-                flat[i] = self._decode(p).reshape(-1)
-                ok[i] = True
+                try:
+                    flat[i] = self._decode(p).reshape(-1)
+                    ok[i] = True
+                except Exception:
+                    # corrupt payload: decoded=False, row survives (the
+                    # schema advertises per-row decode status; one bad
+                    # blob must not kill the whole task)
+                    flat[i] = 0
         values = pa.array(flat.reshape(-1))
         ok_arr = pa.array(ok)
         # FixedSizeListArray straight from the flat buffer, validity from
@@ -138,10 +144,16 @@ class FrameSampleStage:
         totals = np.zeros(len(payloads), dtype=np.int64)
         for i, p in enumerate(payloads):
             if p is not None:
-                thumbs, total = self._sample(p)
-                flat[i] = thumbs.reshape(-1)
-                totals[i] = total
-                ok[i] = True
+                try:
+                    thumbs, total = self._sample(p)
+                    flat[i] = thumbs.reshape(-1)
+                    totals[i] = total
+                    ok[i] = True
+                except Exception:
+                    # corrupt payload (or unexpected thumb shape):
+                    # decoded=False, row survives
+                    flat[i] = 0
+                    totals[i] = 0
         ok_arr = pa.array(ok)
         frames = pa.Array.from_buffers(
             pa.list_(pa.uint8(), n), len(payloads),

@@ -63,6 +63,10 @@ def pack_sequences(ds, *, id_col: str = "doc_id",
 
     def tag(batch: pa.Table) -> pa.Table:
         ids = single_chunk(batch.column(id_col))
+        if ids.null_count:
+            # a null id would NaN-cast to INT64_MIN and emit a garbage
+            # doc id inside the pack manifests
+            raise ValueError("pack_sequences: null doc ids unsupported")
         b = ids.to_numpy(zero_copy_only=False).astype(np.int64) % NB
         return pa.table({
             id_col: ids,

@@ -37,9 +37,13 @@ from ..core.arrays import single_chunk
 # one flat JSON object: {"key": scalar, ...} with identifier keys and
 # unescaped number/string/bool/null scalars; tolerant of whitespace
 # around ':' and ','.  Anything outside this shape -> exact fallback.
-_SCALAR = r'(-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?|"[^"\\]*"|true|false|null)'
+_NUM = r'-?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?'
+_SCALAR = r'(' + _NUM + r'|"[^"\\]*"|true|false|null)'
+_PAIR = r'"[A-Za-z_][A-Za-z0-9_]*":\s*' + _SCALAR
+# pairs REQUIRE comma separators, no trailing comma, no leading-zero
+# numbers: anything json.loads would reject must not pass this check
 _FLAT_RE = (
-    r'^\{\s*("[A-Za-z_][A-Za-z0-9_]*":\s*' + _SCALAR + r'(,\s*)?)*\s*\}$'
+    r'^\{\s*(' + _PAIR + r'(\s*,\s*' + _PAIR + r')*\s*)?\}$'
 )
 
 # all groups named (Arrow extract_regex / RE2 requirement).  bigint
@@ -95,6 +99,13 @@ def json_extract_batch(
     col = single_chunk(batch.column(json_col))
     n = len(col)
     flat_ok = pc.fill_null(pc.match_substring_regex(col, _FLAT_RE), False)
+    # duplicated keys: json.loads (and DuckDB) keep the LAST occurrence,
+    # extract_regex would return the FIRST — route those rows to the
+    # exact fallback. In a provably-flat row string values cannot
+    # contain '"', so counting '"field":' counts true key occurrences.
+    dup = pc.greater(pc.count_substring_regex(
+        col, '"' + re.escape(field) + '":'), 1)
+    flat_ok = pc.and_(flat_ok, pc.fill_null(pc.invert(dup), False))
     ex = pc.extract_regex(
         col, '"' + re.escape(field) + r'":\s*' + _VALUE_PATTERNS[value_type]
     )

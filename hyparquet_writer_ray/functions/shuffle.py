@@ -36,6 +36,10 @@ def deterministic_shuffle(ds, *, id_col: str = "doc_id", seed: int = 0,
     """
     def add_key(batch: pa.Table) -> pa.Table:
         ids = single_chunk(batch.column(id_col)).cast(pa.int64())
+        if ids.null_count:
+            # NaN->uint64 is platform-dependent: a null id would break
+            # the reproducible-permutation guarantee silently
+            raise ValueError("deterministic_shuffle: null ids unsupported")
         k = shuffle_key(ids.to_numpy(zero_copy_only=False), seed)
         # stored uint64 so the exported order is exactly
         # np.argsort(shuffle_key(ids, seed)) — no signed reinterpretation
@@ -74,6 +78,8 @@ def weighted_sample(ds, *, weight_col: str, id_col: str = "doc_id",
     """
     def local_topk(batch: pa.Table) -> pa.Table:
         ids = single_chunk(batch.column(id_col)).cast(pa.int64())
+        if ids.null_count:
+            raise ValueError("weighted_sample: null ids unsupported")
         w = single_chunk(batch.column(weight_col)).cast(pa.float64())
         idv = ids.to_numpy(zero_copy_only=False)
         wv = w.to_numpy(zero_copy_only=False)
@@ -93,9 +99,13 @@ def weighted_sample(ds, *, weight_col: str, id_col: str = "doc_id",
 
     cands = ds.map_batches(local_topk, batch_format="pyarrow",
                            zero_copy_batch=True)
-    merged = pa.concat_tables(
-        b for b in cands.iter_batches(batch_size=None,
+    batches = list(cands.iter_batches(batch_size=None,
                                       batch_format="pyarrow"))
+    if not batches:  # zero input blocks: typed empty result
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "weight": pa.array([], pa.float64()),
+                         "es_key": pa.array([], pa.float64())})
+    merged = pa.concat_tables(batches)
     order = np.argsort(merged.column("es_key").to_numpy(
         zero_copy_only=False))[::-1][:k]
     return merged.take(pa.array(order))

@@ -13,6 +13,27 @@ import pyarrow as pa
 from ..core.arrays import single_chunk
 
 
+
+def _ts_us(arr: pa.Array) -> np.ndarray:
+    """Microseconds-since-epoch for a timestamp column of ANY unit
+    (timestamp[s/ms/us/ns] all normalize; plain int64 columns are taken
+    as microseconds). Null timestamps raise — a window or session at an
+    unknown time is undefined (SQL would emit a null group; callers
+    should filter nulls explicitly first)."""
+    arr = single_chunk(arr) if hasattr(arr, "num_chunks") else arr
+    if arr.null_count:
+        raise ValueError("window ops: null timestamps are unsupported; "
+                         "filter them out first")
+    t = arr.type
+    if pa.types.is_timestamp(t):
+        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # integer unit conversion: an arrow safe-cast ns->us would raise
+        # on sub-microsecond residue; truncate instead (floor division)
+        return {"s": v * 1_000_000, "ms": v * 1_000,
+                "us": v, "ns": v // 1_000}[t.unit]
+    return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
 def tumbling_window_agg(
     ds,
     *,
@@ -34,9 +55,7 @@ def tumbling_window_agg(
     width_us = width_seconds * 1_000_000
 
     def partial(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col)
-        ts = single_chunk(ts)
-        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        us = _ts_us(batch.column(ts_col))
         w = (us // width_us) * width_seconds  # window start, epoch seconds
         uniq, inv = np.unique(w, return_inverse=True)
         n = np.bincount(inv)
@@ -94,9 +113,7 @@ def hopping_window_agg(
     slide_us = slide_seconds * 1_000_000
 
     def partial(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col)
-        ts = single_chunk(ts)
-        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        us = _ts_us(batch.column(ts_col))
         base = us // slide_us  # slide-aligned bucket index
         # windows starting at (base - j) * slide for j in 0..m-1
         w = ((base[None, :] - np.arange(m, dtype=np.int64)[:, None])
@@ -163,7 +180,10 @@ def sessionize(
         col = single_chunk(col)
         t = col.type
         if pa.types.is_integer(t):
-            k = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            # fill_null before to_numpy: a null would coerce to float64
+            # (undefined NaN bucket); null keys land in bucket 0
+            k = pa.compute.fill_null(col.cast(pa.int64()), 0).to_numpy(
+                zero_copy_only=False)
             b = (k % NB).astype(np.int64)
         elif pa.types.is_string(t) or pa.types.is_binary(t) or \
                 pa.types.is_large_string(t) or pa.types.is_large_binary(t):
@@ -191,12 +211,14 @@ def sessionize(
             })
         kcol = group.column(key_col)
         kcol = single_chunk(kcol)
-        # collision-free integer key codes of ANY key type, in C
+        # collision-free integer key codes of ANY key type, in C;
+        # null keys form ONE group via a sentinel code (SQL PARTITION BY)
         denc = pa.compute.dictionary_encode(kcol)
-        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = group.column(ts_col)
-        ts = single_chunk(ts)
-        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        knulls = np.isnan(codes) if codes.dtype.kind == "f" else \
+            np.zeros(len(codes), bool)
+        codes = np.where(knulls, len(denc.dictionary), codes).astype(np.int64)
+        us = _ts_us(group.column(ts_col))
         n = len(codes)
         order = np.lexsort((us, codes))
         k_s = codes[order]
@@ -216,8 +238,11 @@ def sessionize(
         key_first[1:] = sess_code[1:] != sess_code[:-1]
         firsts = seg_idx[key_first]
         base = np.repeat(firsts, np.diff(np.append(firsts, nseg)))
+        key_arr = denc.dictionary
+        if knulls.any():  # sentinel code -> a null key slot
+            key_arr = pa.concat_arrays([key_arr, pa.nulls(1, key_arr.type)])
         return pa.table({
-            key_col: denc.dictionary.take(pa.array(sess_code)),
+            key_col: key_arr.take(pa.array(sess_code)),
             "session_id": pa.array(seg_idx - base),
             "n_events": pa.array(counts.astype(np.int64)),
             "s_start": pa.array(sec_s[seg_start].astype(np.int64)),

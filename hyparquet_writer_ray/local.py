@@ -26,6 +26,9 @@ def row_group_slices(num_rows: int, schedule) -> list[tuple[int, int]]:
     consumed in order and the last one repeats (src/parquet-writer.js:202-216)."""
     if isinstance(schedule, int):
         schedule = (schedule,)
+    if len(schedule) == 0 or any(int(x) < 1 for x in schedule):
+        raise ValueError(
+            f"row_group_size entries must be >= 1, got {schedule!r}")
     out = []
     start = 0
     i = 0

@@ -110,6 +110,8 @@ class LineageLog:
         import shutil
         shutil.rmtree(self.parts_dir, ignore_errors=True)
         shutil.rmtree(self.blob_dir, ignore_errors=True)
+        if self.store_blobs:
+            os.makedirs(self.blob_dir, exist_ok=True)  # next append needs it
         if os.path.exists(self.manifest_path):
             os.unlink(self.manifest_path)
 
@@ -130,7 +132,10 @@ class LineageLog:
                     line = line.strip()
                     if not line:
                         continue
-                    rec = PartRecord(**json.loads(line))
+                    try:
+                        rec = PartRecord(**json.loads(line))
+                    except (json.JSONDecodeError, TypeError):
+                        continue  # torn trailing line from a killed driver
                     if self._validate(rec):
                         out[rec.part_id] = rec
         if os.path.isdir(self.parts_dir):

@@ -83,7 +83,13 @@ def main() -> None:
         with open(jsonl, "w") as f:
             for r in t.to_pylist():
                 r["html"] = None if r["html"] is None else base64.b64encode(r["html"]).decode()
-                r["warc_ts"] = int(r["warc_ts"].timestamp() * 1000)
+                # tz-naive datetimes are UTC here: .timestamp() alone
+                # would apply the HOST timezone and silently shift every
+                # reference-input value on a non-UTC machine
+                from datetime import timezone as _tz
+
+                r["warc_ts"] = int(
+                    r["warc_ts"].replace(tzinfo=_tz.utc).timestamp() * 1000)
                 f.write(json.dumps(r) + "\n")
 
     ref_out = os.path.join(work, "ref_out.parquet")

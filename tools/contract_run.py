@@ -46,9 +46,16 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
         )
     oracles = entry.oracle_sql()
+    queries = entry.queries()
+    if args.only:
+        unknown = [n for n in args.only if n not in queries]
+        if unknown:
+            raise SystemExit(
+                f"unknown --only names: {unknown} (a typo here would "
+                f"otherwise read as a passing empty run)")
     wall: dict[str, float] = {}
     failed: dict[str, str] = {}
-    for name, fn in entry.queries().items():
+    for name, fn in queries.items():
         if args.only and name not in args.only:
             continue
         t0 = time.perf_counter()
