@@ -134,7 +134,14 @@ def _encode_values(page: BufWriter, arr: pa.Array, leaf: LeafInfo, encoding: Enc
         if t == ParquetType.FIXED_LEN_BYTE_ARRAY:
             page.write(byte_stream_split(A.flba_values(arr, el.type_length)))
         elif t in FIXED_WIDTH:
-            page.write(byte_stream_split(np.ascontiguousarray(A.fixed_values(arr))))
+            v = np.ascontiguousarray(A.fixed_values(arr))
+            width = FIXED_WIDTH[t]
+            if v.dtype.itemsize != width:
+                # narrow arrow ints (int8/16, uint8/16/32) split at the
+                # parquet PHYSICAL width, not their arrow width
+                v = v.astype(
+                    f"<i{width}" if v.dtype.kind == "i" else f"<u{width}")
+            page.write(byte_stream_split(v))
         else:
             raise ValueError("BYTE_STREAM_SPLIT unsupported for this type")
     else:
@@ -153,7 +160,8 @@ def _value_sizes(values: pa.Array, leaf: LeafInfo):
     return float(FIXED_WIDTH[t])
 
 
-def _page_bounds(lv: LeveledValues, leaf: LeafInfo, page_size: int) -> tuple[list[tuple[int, int]], np.ndarray]:
+def _page_bounds(lv: LeveledValues, leaf: LeafInfo, page_size: int,
+                 value_size: "float | None" = None) -> tuple[list[tuple[int, int]], np.ndarray]:
     """Slot-range pages aligned to row starts.
 
     Returns (bounds, vcum) where ``vcum[s]`` = number of values before
@@ -170,7 +178,8 @@ def _page_bounds(lv: LeveledValues, leaf: LeafInfo, page_size: int) -> tuple[lis
     if not page_size or n_slots == 0:
         return [(0, n_slots)], vcum
 
-    sizes = _value_sizes(lv.values, leaf)
+    sizes = value_size if value_size is not None else \
+        _value_sizes(lv.values, leaf)
     if isinstance(sizes, float):
         slot_sizes = None
         per_page = max(1, int(page_size / max(sizes, 1e-9)))
@@ -353,6 +362,10 @@ def encode_chunk(
     if spec.fsst:
         if el.type != ParquetType.BYTE_ARRAY:
             raise ValueError("fsst only supported for BYTE_ARRAY columns")
+        if lv.max_rep or lv.max_def > 1:
+            raise ValueError(
+                "fsst is only supported on top-level (flat) BYTE_ARRAY "
+                "columns: the hpw_fsst reader decodes flat pages only")
         from . import fsst as F
         _, data_head = A.byte_array_values(values.slice(0, min(len(values), 2000)))
         fsst_table = F.train(data_head.tobytes())
@@ -402,7 +415,13 @@ def encode_chunk(
     encodings.append(int(encoding))
 
     # --- page loop ---------------------------------------------------------
-    bounds, vcum = _page_bounds(lv, leaf, opts.page_size)
+    # dictionary chunks write RLE index runs, not raw values: size pages
+    # from the index width or a repetitive 1 GB byte-array column would
+    # split into thousands of near-empty pages (each paying a header,
+    # statistics, and column/offset-index entries)
+    dict_value_size = max(bit_width, 1) / 8.0 if idx_np_all is not None else None
+    bounds, vcum = _page_bounds(lv, leaf, opts.page_size,
+                                value_size=dict_value_size)
     data_page_offset = w.offset
     col_index = ColumnIndexData() if spec.column_index and len(bounds) > 1 else None
     off_index = [] if spec.offset_index and len(bounds) > 1 else None

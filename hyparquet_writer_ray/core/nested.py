@@ -106,8 +106,7 @@ def _expand_repeated(s: _Slots, offsets: np.ndarray, rep_level: int, child: pa.A
     new_present = expanded_present
 
     # child indices: concatenated ranges per present row
-    pres_rows = present_idx[row_lens > 0]
-    pr_lens = (offsets[s.index + 1] - offsets[s.index])[row_lens > 0]
+    pr_lens = row_lens[row_lens > 0]
     pr_starts = offsets[s.index][row_lens > 0]
     child_idx = (
         np.repeat(pr_starts, pr_lens)
@@ -132,7 +131,6 @@ def _walk(s: _Slots, leaf: LeafInfo, depth: int, rep_depth: int) -> LeveledValue
         s2 = _Slots(s.def_, s.rep, s.present, s.index, child)
         if f.nullable:
             s2 = _descend_optional(s2, child)
-            s2 = _Slots(s2.def_, s2.rep, s2.present, s2.index, child)
         return _walk(s2, leaf, depth + 1, rep_depth)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         offsets = _list_offsets(arr)
@@ -141,7 +139,6 @@ def _walk(s: _Slots, leaf: LeafInfo, depth: int, rep_depth: int) -> LeveledValue
         f = t.value_field
         if f.nullable:
             s2 = _descend_optional(s2, child)
-            s2 = _Slots(s2.def_, s2.rep, s2.present, s2.index, child)
         # path consumed: group name + 'list' + 'element' → depth + 2
         return _walk(s2, leaf, depth + 2, rep_depth + 1)
     if pa.types.is_map(t):
@@ -154,7 +151,6 @@ def _walk(s: _Slots, leaf: LeafInfo, depth: int, rep_depth: int) -> LeveledValue
         s3 = _Slots(s2.def_, s2.rep, s2.present, s2.index, child)
         if child_name == "value":
             s3 = _descend_optional(s3, child)
-            s3 = _Slots(s3.def_, s3.rep, s3.present, s3.index, child)
         return _walk(s3, leaf, depth + 2, rep_depth + 1)
 
     # leaf: gather values at surviving (non-null) slot indices
@@ -163,6 +159,15 @@ def _walk(s: _Slots, leaf: LeafInfo, depth: int, rep_depth: int) -> LeveledValue
     else:
         vals = arr.take(pa.array(s.index, type=pa.int64()))
     if vals.null_count:
+        # dropping a null whose def level says "value present" (a null
+        # under a non-nullable field) would shift every later value
+        # across rows — a silently corrupt file; raise like the flat
+        # path (_prepare) does
+        expected = int((s.def_ == leaf.max_definition_level).sum())
+        if len(vals) - vals.null_count != expected:
+            raise ValueError(
+                f"column {'.'.join(leaf.path)}: null values under a "
+                f"non-nullable field; declare the field nullable")
         vals = vals.drop_null()
     null_count = int(len(s.def_) - (s.def_ == leaf.max_definition_level).sum())
     num_rows = int((s.rep == 0).sum()) if leaf.max_repetition_level else len(s.def_)
@@ -192,7 +197,6 @@ def compute_levels(col, leaf: LeafInfo) -> LeveledValues:
     )
     if leaf.top_optional:
         s = _descend_optional(s, arr)
-        s = _Slots(s.def_, s.rep, s.present, s.index, arr)
     return _walk(s, leaf, 1, 0)
 
 

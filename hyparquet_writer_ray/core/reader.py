@@ -43,12 +43,20 @@ def decode_rle_hybrid(data, bit_width: int, count: int) -> np.ndarray:
         if header & 1:
             groups = header >> 1
             nb = groups * bit_width
-            bits = np.unpackbits(
-                np.frombuffer(mv[pos : pos + nb], np.uint8), bitorder="little"
-            )
-            vals = bits.reshape(-1, bit_width) if bit_width else bits.reshape(-1, 1)
-            weights = (1 << np.arange(bit_width, dtype=np.uint32)) if bit_width else [0]
-            decoded = (vals * weights).sum(axis=1).astype(np.uint32)
+            if bit_width == 0:
+                # a 1-entry dictionary packs at width 0: the run carries
+                # groups*8 implicit zeros and NO payload bytes (without
+                # this the loop would make no progress and read past the
+                # buffer)
+                decoded = np.zeros(groups * 8, dtype=np.uint32)
+            else:
+                bits = np.unpackbits(
+                    np.frombuffer(mv[pos : pos + nb], np.uint8),
+                    bitorder="little",
+                )
+                decoded = (bits.reshape(-1, bit_width) *
+                           (1 << np.arange(bit_width, dtype=np.uint32))
+                           ).sum(axis=1).astype(np.uint32)
             take = min(len(decoded), count - filled)
             out[filled : filled + take] = decoded[:take]
             filled += take

@@ -112,10 +112,16 @@ def _write_value(val, out: bytearray, key_index: dict[str, int]) -> None:
             out += data
         return
     if isinstance(val, datetime.datetime):
-        micros = int(val.timestamp() * 1_000_000) if val.tzinfo else int(
-            val.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
-        )
-        out.append(13 << 2)  # timestamp_micros_ntz
+        if val.tzinfo is not None:
+            # variant spec: type 12 = timestamp micros ADJUSTED TO UTC;
+            # 13 is the NTZ (wall-clock) variant — writing tz-aware
+            # values as 13 would shift them by the reader's session tz
+            micros = int(val.timestamp() * 1_000_000)
+            out.append(12 << 2)  # timestamp_micros (UTC)
+        else:
+            micros = int(val.replace(
+                tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+            out.append(13 << 2)  # timestamp_micros_ntz
         out += struct.pack("<q", micros)
         return
     if isinstance(val, (bytes, bytearray)):
@@ -212,11 +218,13 @@ def read_value(data: bytes, dictionary: list[str], pos: int = 0):
             return struct.unpack_from("<q", data, p)[0], p + 8
         if type_id == 7:
             return struct.unpack_from("<d", data, p)[0], p + 8
-        if type_id == 13:
+        if type_id in (12, 13):
             micros = struct.unpack_from("<q", data, p)[0]
-            return datetime.datetime.fromtimestamp(
-                micros / 1e6, tz=datetime.timezone.utc
-            ).replace(tzinfo=None), p + 8
+            dt = datetime.datetime.fromtimestamp(
+                micros / 1e6, tz=datetime.timezone.utc)
+            if type_id == 13:  # NTZ: naive wall-clock
+                dt = dt.replace(tzinfo=None)
+            return dt, p + 8
         if type_id == 15:
             ln = struct.unpack_from("<I", data, p)[0]
             return bytes(data[p + 4 : p + 4 + ln]), p + 4 + ln
@@ -270,13 +278,31 @@ def decode_variant(metadata: bytes, value: bytes):
 # ---------------------------------------------------------------------------
 
 
+_INT_BITS = {"INT64": 64, "INT32": 32, "INT16": 16, "INT8": 8}
+
+
 def _matches_type(value, shred_type: str) -> bool:
     if shred_type == "STRING":
         return isinstance(value, str)
-    if shred_type in ("INT64", "INT32", "INT16", "INT8"):
-        return isinstance(value, int) and not isinstance(value, bool)
+    if shred_type in _INT_BITS:
+        if not isinstance(value, int) or isinstance(value, bool):
+            return False
+        bits = _INT_BITS[shred_type]
+        # out-of-range ints are VALID variant values that simply don't
+        # shred: they go to the untyped value field (spec), instead of
+        # crashing the typed arrow cast
+        return -(1 << (bits - 1)) <= value < (1 << (bits - 1))
     if shred_type == "DOUBLE":
-        return isinstance(value, (int, float)) and not isinstance(value, bool)
+        if isinstance(value, bool):
+            return False
+        if isinstance(value, float):
+            return True
+        if isinstance(value, int):
+            try:  # ints must be EXACTLY representable as float64
+                return int(float(value)) == value
+            except OverflowError:
+                return False
+        return False
     if shred_type == "BOOLEAN":
         return isinstance(value, bool)
     if shred_type == "BINARY":

@@ -149,3 +149,73 @@ def test_forced_rle_dictionary_on_boolean_raises():
         column_specs={"b": ColumnSpec(encoding=Encoding.RLE_DICTIONARY)})
     with pytest.raises(TypeError, match="BOOLEAN"):
         write_table_to_bytes(t, opts)
+
+
+# -- round-4 high-effort encoder review ---------------------------------
+
+def test_byte_stream_split_narrow_ints_roundtrip():
+    from hyparquet_writer_ray.core.types import Encoding
+
+    for typ, vals in [(pa.int16(), [1, -5, 300, None]),
+                      (pa.uint8(), [0, 255, 7, None]),
+                      (pa.uint32(), [0, 2**32 - 1, 9, None])]:
+        t = pa.table({"x": pa.array(vals, typ)})
+        assert_roundtrip(t, WriteOptions(column_specs={
+            "x": ColumnSpec(encoding=Encoding.BYTE_STREAM_SPLIT)}))
+
+
+def test_nested_null_under_non_nullable_field_raises():
+    f = pa.field("v", pa.int64(), nullable=False)
+    sa = pa.StructArray.from_arrays([pa.array([1, None, 3], pa.int64())],
+                                    fields=[f])
+    with pytest.raises(ValueError, match="non-nullable"):
+        write_table_to_bytes(pa.table({"s": sa}))
+
+
+def test_reader_handles_bit_width_zero_dictionary():
+    from hyparquet_writer_ray.core.reader import read_byte_array_column
+
+    t = pa.table({"s": pa.array(["zz"] * 30)})  # 1-entry dictionary
+    buf = write_table_to_bytes(t, WriteOptions(page_size=64))
+    assert read_byte_array_column(buf, "s") == [b"zz"] * 30
+
+
+def test_fsst_rejected_on_nested_leaves():
+    t = pa.table({"l": pa.array([["a", "b"], ["c"]],
+                                pa.list_(pa.string()))})
+    with pytest.raises(ValueError, match="flat"):
+        write_table_to_bytes(t, WriteOptions(column_specs={
+            "l.list.element": ColumnSpec(fsst=True)}))
+
+
+def test_variant_tz_aware_timestamp_type12_roundtrip():
+    import datetime
+
+    from hyparquet_writer_ray.core import variant as V
+
+    aware = datetime.datetime(2020, 1, 1, 12, 0,
+                              tzinfo=datetime.timezone.utc)
+    naive = datetime.datetime(2020, 1, 1, 12, 0)
+    b_aware = V.write_value(aware, {})
+    b_naive = V.write_value(naive, {})
+    assert b_aware[0] >> 2 == 12  # timestamp micros, UTC-adjusted
+    assert b_naive[0] >> 2 == 13  # NTZ
+
+
+def test_variant_shredding_falls_back_on_unfit_values():
+    from hyparquet_writer_ray.core.variant import variant_column
+
+    # out-of-range INT32 and float64-inexact DOUBLE must go to the
+    # untyped value field instead of crashing the arrow cast
+    variant_column([{"a": 2**40}, {"a": 5}], shredding={"a": "INT32"})
+    variant_column([{"a": 2**53 + 1}], shredding={"a": "DOUBLE"})
+
+
+def test_dictionary_chunk_pages_sized_by_index_bytes():
+    # 100k highly repetitive strings (~900 KB raw, ~11 KB of dict
+    # indices): sizing pages from raw value bytes would cut ~200
+    # near-empty pages whose headers/stats dominate the file
+    t = pa.table({"s": pa.array([f"value-{i % 50:02d}"
+                                 for i in range(100_000)])})
+    buf = assert_roundtrip(t, WriteOptions(page_size=4096))
+    assert len(buf) < 30_000  # was ~6x larger with raw-byte page sizing
