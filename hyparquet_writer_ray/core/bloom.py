@@ -245,6 +245,27 @@ def read_bloom(data) -> np.ndarray:
     return words
 
 
+
+def _read_footer_struct(f):
+    """Parsed footer thrift struct of an open parquet file handle
+    (reads ONLY the footer bytes)."""
+    from .thrift import CompactReader
+
+    f.seek(0, 2)
+    size = f.tell()
+    f.seek(size - 8)
+    flen = int.from_bytes(f.read(4), "little")
+    f.seek(size - 8 - flen)
+    return CompactReader(f.read(flen)).read_struct()
+
+
+def _bloom_range(rg, ci):
+    """(offset, length) of chunk ordinal ``ci``'s bloom, or None."""
+    md = rg[1][ci][3]
+    off, ln = md.get(14), md.get(15)
+    return None if off is None or not ln else (off, ln)
+
+
 def bloom_might_contain(source, column: str, value) -> list[bool]:
     """Reader-side bloom probe: for each row group of a parquet file (a
     path or bytes), report whether ``value`` MIGHT be present in
@@ -263,13 +284,7 @@ def bloom_might_contain(source, column: str, value) -> list[bool]:
 
     if isinstance(source, str):
         with open(source, "rb") as f:
-            f.seek(0, 2)
-            size = f.tell()
-            f.seek(size - 8)
-            flen = int.from_bytes(f.read(4), "little")
-            f.seek(size - 8 - flen)
-            footer = f.read(flen)
-            fmeta = CompactReader(footer).read_struct()
+            fmeta = _read_footer_struct(f)
 
             def read_range(off: int, ln: int) -> bytes:
                 f.seek(off)
@@ -291,20 +306,16 @@ def _resolve_top_level_leaf(schema_elems, column: str):
     the root — a nested leaf sharing a bare name (e.g. a map's 'value')
     must not shadow or shift the chunk index and probe the wrong
     column's bloom offsets."""
+    from .types import iter_dfs_leaves
+
     leaf = []  # (name, ptype, tlen, is_top_level) in DFS leaf order
-    stack = [int(schema_elems[0].get(5) or 0)]  # children left per depth
-    for el in schema_elems[1:]:
-        depth = len(stack)
-        if stack:
-            stack[-1] -= 1
-        nch = el.get(5)
-        if el.get(1) is not None and not nch:
-            nm = el[4].decode() if isinstance(el[4], bytes) else el[4]
-            leaf.append((nm, el[1], el.get(2), depth == 1))
-        if nch:
-            stack.append(int(nch))
-        while stack and stack[-1] == 0:
-            stack.pop()
+    for _, el, is_top in iter_dfs_leaves(
+        int(schema_elems[0].get(5) or 0),
+        ((e, e.get(5), e.get(1) is not None and not e.get(5))
+         for e in schema_elems[1:]),
+    ):
+        nm = el[4].decode() if isinstance(el[4], bytes) else el[4]
+        leaf.append((nm, el[1], el.get(2), is_top))
     hits = [i for i, (n, _, _, top) in enumerate(leaf) if top and n == column]
     if not hits:
         raise KeyError(f"no top-level primitive column named {column!r}")
@@ -329,17 +340,25 @@ def _bloom_probe(fmeta, read_range, column: str, value, _struct) -> list[bool]:
     elif ptype in (4, 5):
         data = _struct.pack("<f" if ptype == 4 else "<d", float(value))
     else:  # BYTE_ARRAY / FIXED_LEN_BYTE_ARRAY
-        data = value.encode() if isinstance(value, str) else bytes(value)
+        if isinstance(value, str):
+            data = value.encode()
+        elif isinstance(value, (bytes, bytearray)):
+            data = bytes(value)
+        else:
+            # bytes(5) would be five ZERO bytes — a garbage key whose
+            # miss reads as "definitely absent" and silently skips a
+            # row group that contains the value
+            raise TypeError(
+                f"bloom probe against a byte-array column needs a "
+                f"str/bytes value, got {type(value).__name__}")
     h = xxhash64(data)
     out = []
     for rg in fmeta[4]:
-        chunk = rg[1][ci]
-        md = chunk[3]
-        off, ln = md.get(14), md.get(15)
-        if off is None or not ln:
+        rng = _bloom_range(rg, ci)
+        if rng is None:
             out.append(True)  # no bloom here: cannot rule the value out
             continue
-        words = read_bloom(read_range(off, ln))
+        words = read_bloom(read_range(*rng))
         out.append(bool(sbbf_check(words, h)))
     return out
 
@@ -368,25 +387,17 @@ def load_bloom_words(path: str, column: str):
     data pages never read. Raises if any row group lacks a bloom on the
     column (a seen-filter against it would have to treat every value as
     possibly-seen)."""
-    from .thrift import CompactReader
-
     with open(path, "rb") as f:
-        f.seek(0, 2)
-        size = f.tell()
-        f.seek(size - 8)
-        flen = int.from_bytes(f.read(4), "little")
-        f.seek(size - 8 - flen)
-        fmeta = CompactReader(f.read(flen)).read_struct()
+        fmeta = _read_footer_struct(f)
         ci, ptype, tlen = _resolve_top_level_leaf(fmeta[2], column)
         out = []
         for rg in fmeta[4]:
-            md = rg[1][ci][3]
-            off, ln = md.get(14), md.get(15)
-            if off is None or not ln:
+            rng = _bloom_range(rg, ci)
+            if rng is None:
                 raise ValueError(
                     f"{path}: row group without a bloom filter on "
                     f"{column!r} — write the prior dataset with "
                     f"ColumnSpec(bloom_filter=True)")
-            f.seek(off)
-            out.append(read_bloom(f.read(ln)))
+            f.seek(rng[0])
+            out.append(read_bloom(f.read(rng[1])))
         return ptype, tlen, out

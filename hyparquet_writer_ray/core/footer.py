@@ -16,6 +16,10 @@ from .thrift import I64, Byte, write_struct
 from .types import LogicalType, SchemaElement
 
 
+_GEO_EDGE_ALGOS = {"SPHERICAL": 0, "VINCENTY": 1, "THOMAS": 2,
+                   "ANDOYER": 3, "KARNEY": 4}
+
+
 def logical_type_thrift(lt: Optional[LogicalType]):
     if lt is None:
         return None
@@ -39,7 +43,17 @@ def logical_type_thrift(lt: Optional[LogicalType]):
     if k == "GEOMETRY":
         return {17: {1: p.get("crs")}}
     if k == "GEOGRAPHY":
-        return {18: {1: p.get("crs"), 2: p.get("algorithm")}}
+        algo = p.get("algorithm")
+        if isinstance(algo, str):
+            # thrift field 2 is the EdgeInterpolationAlgorithm ENUM —
+            # a raw string would emit a BINARY field readers reject
+            try:
+                algo = _GEO_EDGE_ALGOS[algo.upper()]
+            except KeyError:
+                raise ValueError(
+                    f"unknown geography algorithm {algo!r} "
+                    f"(one of {sorted(_GEO_EDGE_ALGOS)})") from None
+        return {18: {1: p.get("crs"), 2: algo}}
     raise ValueError(f"unknown logical type {k}")
 
 
@@ -204,22 +218,15 @@ def resolve_sorting_columns(
     """
     if not sorting_columns:
         return None
-    # walk the flat DFS schema with a remaining-children stack so each
-    # leaf gets its chunk ordinal and we know whether it is top-level
+    from .types import iter_dfs_leaves
+
     top_level: dict[str, int] = {}
-    stack = [schema_ir[0].num_children or 0]
-    leaf_ord = 0
-    for el in schema_ir[1:]:
-        depth = len(stack)
-        stack[-1] -= 1
-        if el.is_leaf:
-            if depth == 1 and el.name not in top_level:
-                top_level[el.name] = leaf_ord
-            leaf_ord += 1
-        else:
-            stack.append(el.num_children or 0)
-        while stack and stack[-1] == 0:
-            stack.pop()
+    for leaf_ord, el, is_top in iter_dfs_leaves(
+        schema_ir[0].num_children or 0,
+        ((e, e.num_children, e.is_leaf) for e in schema_ir[1:]),
+    ):
+        if is_top and el.name not in top_level:
+            top_level[el.name] = leaf_ord
     out = []
     for name, desc, nulls_first in sorting_columns:
         if name not in top_level:

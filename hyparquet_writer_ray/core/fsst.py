@@ -105,10 +105,22 @@ def train(sample: bytes) -> SymbolTable:
         # single-byte coverage enables the gap-free findall fast path in
         # compress() (escapes then only occur for bytes unseen at train
         # time)
-        singles = [bytes([b]) for b in sorted(set(sample))]
+        distinct = sorted(set(sample))
         multis = sorted(
             (s for s in candidates if len(s) > 1), key=lambda s: -candidates[s]
         )
+        if multis and len(distinct) > MAX_SYMBOLS - 32:
+            # near-saturated byte alphabet: keeping EVERY single would
+            # crowd out all multi-byte symbols (zero compression);
+            # reserve slots for the best multis and keep the
+            # highest-frequency singles (rare bytes fall back to escapes)
+            reserve = min(32, len(multis))
+            from collections import Counter
+
+            byte_counts = Counter(sample)
+            distinct = sorted(distinct, key=lambda b: (-byte_counts[b], b))
+            distinct = sorted(distinct[: MAX_SYMBOLS - reserve])
+        singles = [bytes([b]) for b in distinct]
         new_symbols = (singles + multis)[:MAX_SYMBOLS]
         if len(new_symbols) < MAX_SYMBOLS:
             extra = [s for s in sorted(candidates, key=lambda s: -candidates[s])
@@ -170,12 +182,13 @@ def compress(data: bytes, table: SymbolTable) -> bytes:
         return fast
     code_of = {s: i for i, s in enumerate(table.symbols)}
     pat = _pattern(table)
-    matches = pat.findall(data)
-    if sum(map(len, matches)) == len(data):  # gap-free: no escapes needed
-        return bytes(map(code_of.__getitem__, matches))
+    # ONE regex scan: bulk-map when gap-free, else weave in escapes
+    ms = list(pat.finditer(data))
+    if sum(m.end() - m.start() for m in ms) == len(data):
+        return bytes(map(code_of.__getitem__, (m.group(0) for m in ms)))
     out = bytearray()
     pos = 0
-    for m in pat.finditer(data):
+    for m in ms:
         s, e = m.span()
         while pos < s:  # escape the gap bytes
             out += bytes([ESCAPE, data[pos]])

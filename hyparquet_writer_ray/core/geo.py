@@ -39,7 +39,8 @@ def _wkb_type(geom: dict, dims: int) -> int:
     if dims == 2:
         return base
     if dims == 3:
-        return base + 1000  # Z
+        # XYM (m_only tag) takes the +2000 code block, XYZ +1000
+        return base + (2000 if geom.get("m_only") else 1000)
     if dims == 4:
         return base + 3000  # ZM
     raise ValueError(f"unsupported geometry dimensions: {dims}")
@@ -62,14 +63,20 @@ def _write_geometry(geom: dict, dims: int) -> bytes:
         out += struct.pack("<I", len(c))
         for p in c:
             if t == "MultiPoint":
-                out += _write_geometry({"type": "Point", "coordinates": p}, dims)
+                sub = {"type": "Point", "coordinates": p}
+                if geom.get("m_only"):
+                    sub["m_only"] = True
+                out += _write_geometry(sub, dims)
             else:
                 out += _write_point(p, dims)
     elif t in ("Polygon", "MultiLineString"):
         out += struct.pack("<I", len(c))
         for ring in c:
             if t == "MultiLineString":
-                out += _write_geometry({"type": "LineString", "coordinates": ring}, dims)
+                sub = {"type": "LineString", "coordinates": ring}
+                if geom.get("m_only"):
+                    sub["m_only"] = True
+                out += _write_geometry(sub, dims)
             else:
                 out += struct.pack("<I", len(ring))
                 for p in ring:
@@ -77,7 +84,10 @@ def _write_geometry(geom: dict, dims: int) -> bytes:
     elif t == "MultiPolygon":
         out += struct.pack("<I", len(c))
         for poly in c:
-            out += _write_geometry({"type": "Polygon", "coordinates": poly}, dims)
+            sub = {"type": "Polygon", "coordinates": poly}
+            if geom.get("m_only"):
+                sub["m_only"] = True
+            out += _write_geometry(sub, dims)
     elif t == "GeometryCollection":
         gs = geom.get("geometries", [])
         out += struct.pack("<I", len(gs))
@@ -102,11 +112,17 @@ def wkb_to_geojson(data: bytes, pos: int = 0):
     pos += 5
     base = code % 1000
     dims = 2 + (1 if 1000 <= code < 2000 else 0) + (2 if code >= 3000 else 0)
-    if 2000 <= code < 3000:
-        dims = 3  # M-only
+    m_only = 2000 <= code < 3000
+    if m_only:
+        dims = 3  # XYM: third ordinate is M, not Z (tagged below)
     if base not in TYPE_NAMES or code >= 4000:
         raise ValueError(f"invalid WKB geometry type code {code} at offset {pos - 5}")
     t = TYPE_NAMES[base]
+
+    def _tag(d):
+        if m_only:
+            d["m_only"] = True
+        return d
 
     def point(p):
         vals = struct.unpack_from(f"{e}{dims}d", data, p)
@@ -114,7 +130,7 @@ def wkb_to_geojson(data: bytes, pos: int = 0):
 
     if t == "Point":
         c, pos = point(pos)
-        return {"type": "Point", "coordinates": c}, pos
+        return _tag({"type": "Point", "coordinates": c}), pos
     n = struct.unpack_from(f"{e}I", data, pos)[0]
     pos += 4
     if t == "LineString":
@@ -122,7 +138,7 @@ def wkb_to_geojson(data: bytes, pos: int = 0):
         for _ in range(n):
             c, pos = point(pos)
             coords.append(c)
-        return {"type": "LineString", "coordinates": coords}, pos
+        return _tag({"type": "LineString", "coordinates": coords}), pos
     if t == "Polygon":
         rings = []
         for _ in range(n):
@@ -133,19 +149,19 @@ def wkb_to_geojson(data: bytes, pos: int = 0):
                 c, pos = point(pos)
                 ring.append(c)
             rings.append(ring)
-        return {"type": "Polygon", "coordinates": rings}, pos
+        return _tag({"type": "Polygon", "coordinates": rings}), pos
     if t in ("MultiPoint", "MultiLineString", "MultiPolygon"):
         parts = []
         for _ in range(n):
             g, pos = wkb_to_geojson(data, pos)
             parts.append(g["coordinates"])
-        return {"type": t, "coordinates": parts}, pos
+        return _tag({"type": t, "coordinates": parts}), pos
     # GeometryCollection
     gs = []
     for _ in range(n):
         g, pos = wkb_to_geojson(data, pos)
         gs.append(g)
-    return {"type": "GeometryCollection", "geometries": gs}, pos
+    return _tag({"type": "GeometryCollection", "geometries": gs}), pos
 
 
 @dataclass
@@ -178,7 +194,7 @@ def _upd(st: GeoStats, lo: str, hi: str, v: float) -> None:
         setattr(st, hi, v)
 
 
-def _walk_coords(st: GeoStats, coords) -> None:
+def _walk_coords(st: GeoStats, coords, m_only: bool = False) -> None:
     if not coords:
         return
     if isinstance(coords[0], (int, float)):
@@ -186,12 +202,26 @@ def _walk_coords(st: GeoStats, coords) -> None:
         if len(coords) > 1:
             _upd(st, "ymin", "ymax", coords[1])
         if len(coords) > 2:
-            _upd(st, "zmin", "zmax", coords[2])
+            # XYM geometry's third ordinate is M, not Z
+            if m_only and len(coords) == 3:
+                _upd(st, "mmin", "mmax", coords[2])
+            else:
+                _upd(st, "zmin", "zmax", coords[2])
         if len(coords) > 3:
             _upd(st, "mmin", "mmax", coords[3])
         return
     for c in coords:
-        _walk_coords(st, c)
+        _walk_coords(st, c, m_only)
+
+
+def _walk_geom(st: GeoStats, geom: dict) -> None:
+    """Recurse through (arbitrarily nested) GeometryCollections."""
+    if geom["type"] == "GeometryCollection":
+        for g in geom.get("geometries", []):
+            _walk_geom(st, g)
+    else:
+        _walk_coords(st, geom.get("coordinates", []),
+                     bool(geom.get("m_only")))
 
 
 def geospatial_statistics(wkb_values) -> Optional[GeoStats]:
@@ -206,11 +236,7 @@ def geospatial_statistics(wkb_values) -> Optional[GeoStats]:
             continue
         any_val = True
         geom, _ = wkb_to_geojson(bytes(v))
-        if geom["type"] == "GeometryCollection":
-            for g in geom["geometries"]:
-                _walk_coords(st, g.get("coordinates", []))
-        else:
-            _walk_coords(st, geom.get("coordinates", []))
+        _walk_geom(st, geom)
         codes.add(_wkb_type(geom, _geometry_dims(geom)))
     if not any_val:
         return None

@@ -107,7 +107,7 @@ def compute_statistics(arr: pa.Array, element: SchemaElement, null_count: int = 
         vals = arr.cast(pa.float32())
         mm = pc.min_max(vals)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
-        if lo is None:  # all-NaN column
+        if lo is None or lo > hi:  # all-NaN column (min_max -> inf/-inf)
             return Stats(None, None, null_count, None, None)
         # parquet spec: a zero min is written -0.0, a zero max +0.0
         if lo == 0:
@@ -121,7 +121,11 @@ def compute_statistics(arr: pa.Array, element: SchemaElement, null_count: int = 
         mm = pc.min_max(arr)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
 
-    if lo is None:  # e.g. all-NaN float column
+    if lo is None:
+        return Stats(None, None, null_count, None, None)
+    if isinstance(lo, float) and isinstance(hi, float) and lo > hi:
+        # all-NaN column: pyarrow min_max skips NaN and returns the
+        # identity elements (+inf, -inf) — spec says omit min/max
         return Stats(None, None, null_count, None, None)
 
     if isinstance(lo, float):

@@ -191,3 +191,25 @@ def leaf_columns(schema: list[SchemaElement]) -> list[LeafInfo]:
     for _ in range(root.num_children or 0):
         visit([], 0, 0, [0], [])
     return leaves
+
+
+def iter_dfs_leaves(root_children: int, elems):
+    """DFS preorder walk over a FLAT parquet schema (root excluded):
+    ``elems`` yields (payload, num_children, is_leaf) per element; this
+    yields (leaf_ordinal, payload, is_top_level). Chunk ordinals equal
+    DFS leaf order; top-level means a direct child of the root. Shared
+    by footer.resolve_sorting_columns and bloom name resolution so the
+    two walks can never diverge."""
+    stack = [int(root_children or 0)]
+    leaf_ord = 0
+    for payload, nch, is_leaf in elems:
+        depth = len(stack)
+        if stack:
+            stack[-1] -= 1
+        if is_leaf:
+            yield leaf_ord, payload, depth == 1
+            leaf_ord += 1
+        elif nch:
+            stack.append(int(nch))
+        while stack and stack[-1] == 0:
+            stack.pop()

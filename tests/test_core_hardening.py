@@ -219,3 +219,88 @@ def test_dictionary_chunk_pages_sized_by_index_bytes():
                                  for i in range(100_000)])})
     buf = assert_roundtrip(t, WriteOptions(page_size=4096))
     assert len(buf) < 30_000  # was ~6x larger with raw-byte page sizing
+
+
+# -- round-4 sixth review pass (footer/bloom/stats/geo/fsst) -------------
+
+def test_all_nan_float_stats_omitted():
+    from hyparquet_writer_ray.core.statistics import compute_statistics
+    from hyparquet_writer_ray.core.types import ParquetType, SchemaElement
+
+    nan = float("nan")
+    st = compute_statistics(pa.array([nan, nan, nan], pa.float64()),
+                            SchemaElement(name="x", type=ParquetType.DOUBLE))
+    assert st.min_bytes is None and st.max_bytes is None  # never inf/-inf
+    st16 = compute_statistics(
+        pa.array(np.array([nan, nan], np.float16), pa.float16()),
+        SchemaElement(name="h", type=ParquetType.FIXED_LEN_BYTE_ARRAY,
+                      type_length=2))
+    assert st16.min_bytes is None and st16.max_bytes is None
+
+
+def test_bloom_probe_wrong_type_against_string_column_raises(tmp_path):
+    from hyparquet_writer_ray.core.bloom import bloom_might_contain
+
+    t = pa.table({"s": pa.array(["5", "6"])})
+    p = str(tmp_path / "s.parquet")
+    write_table(t, p, WriteOptions(column_specs={"s": ColumnSpec(bloom_filter=True)}))
+    # bytes(5) would hash five ZERO bytes -> false "definitely absent"
+    with pytest.raises(TypeError, match="str/bytes"):
+        bloom_might_contain(p, "s", 5)
+    assert bloom_might_contain(p, "s", "5") == [True]
+
+
+def test_geo_nested_geometrycollection_bbox():
+    from hyparquet_writer_ray.core.geo import (
+        geojson_to_wkb, geospatial_statistics,
+    )
+
+    gc = {"type": "GeometryCollection", "geometries": [
+        {"type": "GeometryCollection", "geometries": [
+            {"type": "Point", "coordinates": [9, 9]}]},
+        {"type": "Point", "coordinates": [1, 1]},
+    ]}
+    st = geospatial_statistics([geojson_to_wkb(gc)])
+    assert (st.xmin, st.ymin, st.xmax, st.ymax) == (1, 1, 9, 9)
+
+
+def test_geo_xym_classified_and_roundtripped():
+    import struct
+
+    from hyparquet_writer_ray.core.geo import (
+        geojson_to_wkb, geospatial_statistics, wkb_to_geojson,
+    )
+
+    # WKB POINT M (code 2001), coords (1, 2, 5)
+    wkb = b"\x01" + struct.pack("<I", 2001) + struct.pack("<3d", 1, 2, 5)
+    geom, _ = wkb_to_geojson(wkb)
+    assert geom.get("m_only") is True
+    assert geojson_to_wkb(geom) == wkb  # roundtrip keeps the 2xxx code
+    st = geospatial_statistics([wkb])
+    assert st.geospatial_types == [2001]  # not misfiled as XYZ 1001
+    assert (st.mmin, st.mmax) == (5.0, 5.0)
+    assert st.zmin is None and st.zmax is None
+
+
+def test_fsst_saturated_alphabet_keeps_multibyte_symbols():
+    from hyparquet_writer_ray.core import fsst as F
+
+    sample = bytes(range(256)) * 4 + b"hello world! " * 600
+    table = F.train(sample)
+    assert any(len(s) > 1 for s in table.symbols)  # multis survive
+    data = b"hello world! " * 200
+    comp = F.compress(data, table)
+    assert len(comp) < len(data)  # actually compresses
+    assert F.decompress(comp, table) == data
+
+
+def test_geography_algorithm_name_maps_to_enum():
+    from hyparquet_writer_ray.core.footer import logical_type_thrift
+    from hyparquet_writer_ray.core.types import LogicalType
+
+    out = logical_type_thrift(
+        LogicalType("GEOGRAPHY", {"crs": None, "algorithm": "SPHERICAL"}))
+    assert out[18][2] == 0  # EdgeInterpolationAlgorithm.SPHERICAL enum
+    with pytest.raises(ValueError, match="algorithm"):
+        logical_type_thrift(
+            LogicalType("GEOGRAPHY", {"crs": None, "algorithm": "BOGUS"}))
