@@ -113,7 +113,7 @@ size_t fsst_decompress(const uint8_t* codes, size_t n,
     while (i < n) {
         uint8_t c = codes[i];
         if (c == 255) {
-            if (i + 1 >= n) break;
+            if (i + 1 >= n) return (size_t)-1;  /* truncated escape */
             out[o++] = codes[i + 1];
             i += 2;
         } else {
@@ -132,9 +132,22 @@ _tried = False
 
 
 def _build() -> "ctypes.CDLL | None":
-    cache = os.path.join(tempfile.gettempdir(), f"hpw_fsst_kernel_{os.getuid()}")
-    os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, "fsst_kernel_v4.so")
+    if __import__("sys").byteorder != "little":
+        # the kernel's masked u64 loads assume little-endian layout
+        return None
+    uid = getattr(os, "getuid", lambda: 0)()  # no getuid on Windows
+    cache = os.path.join(tempfile.gettempdir(), f"hpw_fsst_kernel_{uid}")
+    os.makedirs(cache, mode=0o700, exist_ok=True)
+    try:
+        st = os.stat(cache)
+        if (hasattr(os, "getuid") and st.st_uid != os.getuid()) or \
+                (st.st_mode & 0o022):
+            # a pre-existing world/group-writable or foreign-owned dir
+            # under /tmp could be .so-planted; never load from it
+            return None
+    except OSError:
+        return None
+    so = os.path.join(cache, "fsst_kernel_v5.so")
     if not os.path.exists(so):
         src = os.path.join(cache, "fsst_kernel.c")
         with open(src, "w") as f:
@@ -180,9 +193,16 @@ def _packed(table) -> tuple[bytes, bytes, int]:
     packed = getattr(table, "_packed", None)
     if packed is None:
         nsym = len(table.symbols)
+        if nsym > 255:
+            raise ValueError(f"FSST table has {nsym} symbols (max 255)")
         sb = bytearray(255 * 8)
         sl = bytearray(255)
         for i, s in enumerate(table.symbols):
+            if not 1 <= len(s) <= 8:
+                # the kernels assume 8-byte slots; an oversized symbol
+                # would heap-overflow fsst_decompress's output buffer
+                raise ValueError(
+                    f"FSST symbol length {len(s)} outside 1..8")
             sb[i * 8 : i * 8 + len(s)] = s
             sl[i] = len(s)
         packed = (bytes(sb), bytes(sl), nsym)
@@ -208,4 +228,7 @@ def decompress(codes, table) -> "bytes | None":
     sb, sl, _ = _packed(table)
     out = ctypes.create_string_buffer(8 * len(codes) + 16)
     n = lib.fsst_decompress(bytes(codes), len(codes), sb, sl, out)
+    if n == ctypes.c_size_t(-1).value:
+        raise ValueError("FSST page ends with a truncated escape "
+                         "sequence — corrupt data")
     return out.raw[:n]

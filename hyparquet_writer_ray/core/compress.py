@@ -43,7 +43,20 @@ def compress(data: bytes, codec: Codec,
     return c.compress(data, asbytes=True)
 
 
-def decompress(data: bytes, codec: Codec, uncompressed_size: int) -> bytes:
+def decompress(data: bytes, codec: Codec, uncompressed_size: int,
+               decompressors: Optional[dict[str, Callable[[bytes, int], bytes]]] = None) -> bytes:
+    """Inverse of :func:`compress`. ``decompressors`` mirrors the
+    ``compressors`` plug-in map: ``name -> fn(data, uncompressed_size)``
+    for codecs pyarrow has no block decoder for (e.g. legacy
+    hadoop-framed LZ4) or for overridden built-ins."""
     if codec == Codec.UNCOMPRESSED:
         return data
-    return pa.Codec(_PA_NAME[codec]).decompress(data, uncompressed_size, asbytes=True)
+    if decompressors and codec.name in decompressors:
+        return decompressors[codec.name](data, uncompressed_size)
+    name = _PA_NAME.get(codec)
+    if name is None:
+        raise ValueError(
+            f"no decompressor for codec {codec.name}: a file written "
+            f"through the compressors plug-in map needs a matching "
+            f"entry in decompressors")
+    return pa.Codec(name).decompress(data, uncompressed_size, asbytes=True)

@@ -49,11 +49,23 @@ class SymbolTable:
     def deserialize(cls, data, pos: int = 0) -> tuple["SymbolTable", int]:
         n = data[pos]
         pos += 1
+        if n > MAX_SYMBOLS:
+            raise ValueError(f"FSST table declares {n} symbols (max "
+                             f"{MAX_SYMBOLS}) — corrupt or crafted page")
         syms = []
         for _ in range(n):
             ln = data[pos]
             pos += 1
-            syms.append(bytes(data[pos : pos + ln]))
+            if not 1 <= ln <= MAX_SYMBOL_LEN:
+                # the C kernel sizes its output buffer for <=8-byte
+                # symbols: an unvalidated length is a heap overwrite
+                raise ValueError(
+                    f"FSST symbol length {ln} outside 1..{MAX_SYMBOL_LEN}"
+                    " — corrupt or crafted page")
+            sym = bytes(data[pos : pos + ln])
+            if len(sym) != ln:
+                raise ValueError("FSST table truncated")
+            syms.append(sym)
             pos += ln
         return cls(syms), pos
 
@@ -213,6 +225,10 @@ def decompress(codes, table: SymbolTable) -> bytes:
     while i < n:
         c = codes[i]
         if c == ESCAPE:
+            if i + 1 >= n:
+                # same error the C kernel raises for this corruption
+                raise ValueError("FSST page ends with a truncated "
+                                 "escape sequence — corrupt data")
             out.append(codes[i + 1])
             i += 2
         else:

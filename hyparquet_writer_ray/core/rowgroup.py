@@ -62,7 +62,6 @@ def _leaf_arrays(table: pa.Table, leaves: list[LeafInfo]):
         # every same-named chunk
         raise ValueError("duplicate top-level column names are unsupported")
     nested_cache: dict[str, list] = {}
-    li = 0
     for leaf in leaves:
         top = leaf.path[0]
         col = cols_by_name[top]
@@ -73,5 +72,4 @@ def _leaf_arrays(table: pa.Table, leaves: list[LeafInfo]):
             if top not in nested_cache:
                 nested_cache[top] = nested_leaf_arrays(col, [l for l in leaves if l.path[0] == top])
             out.append(nested_cache[top].pop(0))
-        li += 1
     return out

@@ -275,11 +275,18 @@ def decode_apng_frames(data: bytes, indices) -> list[np.ndarray]:
     seen_idat = False
     for ctype, body in _png_chunks(data):
         if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _c, _f, _i = struct.unpack(
-                ">IIBBBBB", body
-            )
+            width, height, bit_depth, color_type, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            # mirror decode_png's IHDR contract: clear ValueErrors
+            # instead of a KeyError / misleading IDAT-size failure
             if bit_depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard PNG compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
         elif ctype == b"PLTE":
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif ctype == b"fcTL":
@@ -393,9 +400,9 @@ def to_gray(arr: np.ndarray) -> np.ndarray:
     integer arithmetic so it is bit-deterministic everywhere."""
     if arr.ndim == 2:
         return arr
-    rgb = arr[:, :, :3].astype(np.uint32)
-    if arr.shape[2] == 2:  # gray + alpha
+    if arr.shape[2] == 2:  # gray + alpha: no RGB conversion needed
         return arr[:, :, 0]
+    rgb = arr[:, :, :3].astype(np.uint32)
     return (
         (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
     ).astype(np.uint8)

@@ -123,3 +123,57 @@ def test_fsst_kernel_escape_heavy():
     data = bytes(range(256)) * 40 + b"\xff" * 100
     enc = fsst.compress(data, tbl)
     assert fsst.decompress(enc, tbl) == data
+
+
+def test_deserialize_rejects_crafted_symbol_lengths():
+    # an unvalidated length > 8 previously reached the C kernel, whose
+    # output buffer assumes <= 8-byte symbols: heap overwrite/segfault
+    import pytest
+
+    from hyparquet_writer_ray.core.fsst import SymbolTable
+
+    crafted = bytes([1, 200]) + b"A" * 200  # one symbol, length 200
+    with pytest.raises(ValueError, match="symbol length"):
+        SymbolTable.deserialize(crafted)
+    with pytest.raises(ValueError, match="truncated"):
+        SymbolTable.deserialize(bytes([1, 5]) + b"ab")  # shorter than ln
+
+
+def test_kernel_rejects_oversized_symbols_directly():
+    import pytest
+
+    from hyparquet_writer_ray.core import _fsst_kernel
+    from hyparquet_writer_ray.core.fsst import SymbolTable
+
+    t = SymbolTable([b"A" * 200, b"B"])
+    with pytest.raises(ValueError, match="outside 1..8"):
+        _fsst_kernel._packed(t)
+
+
+def test_truncated_escape_raises_on_both_paths():
+    import pytest
+
+    from hyparquet_writer_ray.core import _fsst_kernel
+    from hyparquet_writer_ray.core.fsst import SymbolTable, decompress
+
+    table = SymbolTable([b"ab"])
+    corrupt = bytes([0, 255])  # symbol then a lone escape marker
+    with pytest.raises(ValueError, match="truncated escape"):
+        decompress(corrupt, table)
+    if _fsst_kernel.get_kernel() is not None:  # kernel path agrees
+        with pytest.raises(ValueError, match="truncated escape"):
+            _fsst_kernel.decompress(corrupt, table)
+
+
+def test_decompress_unregistered_codec_clear_error():
+    import pytest
+
+    from hyparquet_writer_ray.core.compress import decompress
+    from hyparquet_writer_ray.core.types import Codec
+
+    with pytest.raises(ValueError, match="decompressor"):
+        decompress(b"xx", Codec.LZ4, 10)
+    # and the plug-in hook mirrors compress()
+    got = decompress(b"xx", Codec.LZ4, 2,
+                     decompressors={"LZ4": lambda d, n: d})
+    assert got == b"xx"
