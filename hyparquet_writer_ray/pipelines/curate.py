@@ -57,7 +57,15 @@ def curate_documents(
 ):
     """Dedup + quality-filter ``ds``; optionally encode the survivors
     to ``out_dir`` as parquet parts. Returns the curated Dataset
-    (columns unchanged plus the quality signals)."""
+    (columns unchanged plus the quality signals).
+
+    ``out_dir`` (when given) is OWNED by this call: every pre-existing
+    ``*.parquet`` file in it and its lineage manifest are DELETED
+    before the fresh encode, because parts are content-hash named and a
+    previous run with different parameters would otherwise leave stale
+    parts polluting the returned ``read_parquet``. Do not point it at a
+    directory holding unrelated parquet data (same contract as
+    ``mixture_export``)."""
     # join-free dedup: the survivors' full rows come straight out of
     # the single content-hash shuffle
     survivors = exact_dedup_rows(ds, key=text_col, id_col=id_col)

@@ -107,15 +107,26 @@ def _tmp_name(fpath: str) -> str:
     return f"{fpath}.inprogress-{os.getpid()}-{os.urandom(4).hex()}"
 
 
-def _clean_stale_tmps(out_dir: str) -> None:
-    """Remove .inprogress-* leftovers from previous killed runs (the
-    current run's tmps don't exist yet when this is called)."""
-    import glob as _glob
+STALE_TMP_AGE_SEC = 3600.0
 
+
+def _clean_stale_tmps(out_dir: str, max_age: float = STALE_TMP_AGE_SEC) -> None:
+    """Remove .inprogress-* leftovers from previous killed runs (the
+    current run's tmps don't exist yet when this is called). Only tmps
+    older than ``max_age`` are removed: two live writers may share one
+    out_dir (the compaction lineage namespace explicitly supports it),
+    and deleting a CONCURRENT writer's in-flight tmp would make its
+    os.replace fail — a healthy writer finishes a part in seconds, so
+    an hour-old tmp is a crashed run's, not a live one's."""
+    import glob as _glob
+    import time
+
+    cutoff = time.time() - max_age
     for f in _glob.glob(os.path.join(out_dir, "**", "*.inprogress-*"),
                         recursive=True):
         try:
-            os.remove(f)
+            if os.path.getmtime(f) < cutoff:
+                os.remove(f)
         except OSError:
             pass
 
@@ -152,16 +163,30 @@ def _drain_manifests(manifest_ds, lineage, total: dict) -> dict:
 
 
 @contextmanager
-def _preserve_order():
+def _preserve_order(*datasets):
+    """Force ordered streaming execution for ``datasets``. Ray COPIES
+    the ambient DataContext into each dataset at creation
+    (read_api.py: ``DataContext.get_current().copy()``), so flipping
+    only the global context does nothing for a dataset the caller built
+    earlier — order preservation would then be arrival-order luck. The
+    flag must be set on each dataset's own captured context; the global
+    one is included for operators created inside the block."""
     import ray.data
 
-    ctx = ray.data.DataContext.get_current()
-    prev = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True
+    ctxs = [ray.data.DataContext.get_current()]
+    ctxs += [d.context for d in datasets]
+    uniq: list = []
+    for c in ctxs:  # derived datasets often share the parent's context
+        if not any(c is u for u in uniq):
+            uniq.append(c)
+    prev = [c.execution_options.preserve_order for c in uniq]
+    for c in uniq:
+        c.execution_options.preserve_order = True
     try:
         yield
     finally:
-        ctx.execution_options.preserve_order = prev
+        for c, p in zip(uniq, prev):
+            c.execution_options.preserve_order = p
 
 
 def write_parquet_single_file(
@@ -217,7 +242,7 @@ def write_parquet_single_file(
     total_raw = 0
     n_parts = 0
     tmp_path = path + ".inprogress"
-    with _preserve_order():
+    with _preserve_order(encoded):
         with open(tmp_path, "wb") as sink:
             asm = FileAssembler(sink, schema_ir, opts)
             for batch in encoded.iter_batches(batch_size=None, batch_format="pyarrow"):
@@ -610,6 +635,20 @@ def write_parquet_files(
     opts = opts or WriteOptions()
     os.makedirs(out_dir, exist_ok=True)
     _clean_stale_tmps(out_dir)
+    # legacy-name migration: parts used to be named part-<base>.parquet
+    # (no path-hash suffix). Resuming into such an out_dir re-encodes
+    # every shard under the hashed name and would leave the old files
+    # alongside the new ones, so part-*.parquet consumers would read
+    # duplicate rows. Remove exactly THIS run's inputs' legacy-named
+    # parts (never unrelated files) before the skip set is built.
+    for p in input_paths:
+        legacy = os.path.join(
+            out_dir,
+            f"part-{os.path.splitext(os.path.basename(p))[0]}.parquet")
+        try:
+            os.remove(legacy)
+        except OSError:
+            pass
     lineage = LineageLog(out_dir)
     skip: frozenset[str] = frozenset()
     if resume:

@@ -34,6 +34,52 @@ def test_write_parquet_files_same_basename_different_dirs(ray_session, tmp_path)
     assert got == [1, 2, 3, 10, 20]
 
 
+def test_clean_stale_tmps_spares_live_writers(tmp_path):
+    """ADVICE r4: the tmp GC must not delete a CONCURRENT writer's live
+    .inprogress files — only age-stale leftovers from crashed runs."""
+    import time
+
+    from hyparquet_writer_ray.pipelines.write import _clean_stale_tmps
+
+    out = tmp_path / "out"
+    out.mkdir()
+    stale = out / "part-a.parquet.inprogress-1-deadbeef"
+    live = out / "part-b.parquet.inprogress-2-cafebabe"
+    stale.write_bytes(b"x")
+    live.write_bytes(b"y")
+    os.utime(stale, (time.time() - 7200, time.time() - 7200))
+    _clean_stale_tmps(str(out))
+    assert not stale.exists()  # crashed-run leftover removed
+    assert live.exists()       # concurrent writer's live tmp kept
+
+
+def test_write_parquet_files_removes_legacy_named_parts(ray_session, tmp_path):
+    """ADVICE r4: resuming into an out_dir written before the path-hash
+    suffix must not leave old part-<base>.parquet files alongside the
+    new hashed names (part-* consumers would read duplicate rows)."""
+    from hyparquet_writer_ray.pipelines.write import write_parquet_files
+
+    src = tmp_path / "in"
+    src.mkdir()
+    inp = str(src / "x.parquet")
+    pq.write_table(pa.table({"x": [1, 2, 3]}), inp)
+    out = tmp_path / "out"
+    out.mkdir()
+    # simulate a pre-hash-naming run's output plus an unrelated part
+    pq.write_table(pa.table({"x": [1, 2, 3]}), str(out / "part-x.parquet"))
+    pq.write_table(pa.table({"z": [9]}), str(out / "part-other.parquet"))
+    s = write_parquet_files([inp], str(out))
+    assert s["rows"] == 3
+    parts = sorted(os.path.basename(p)
+                   for p in glob.glob(os.path.join(str(out), "part-*.parquet")))
+    assert "part-x.parquet" not in parts        # legacy name removed
+    assert "part-other.parquet" in parts        # unrelated part untouched
+    ours = [p for p in parts if p.startswith("part-x-")]
+    assert len(ours) == 1
+    got = pq.read_table(os.path.join(str(out), ours[0]))
+    assert got.column("x").to_pylist() == [1, 2, 3]
+
+
 def test_compaction_gc_leaves_other_writers_parts(ray_data, tmp_path):
     from hyparquet_writer_ray.pipelines.write import (
         compact_parquet_dataset, write_parquet_dataset,

@@ -44,6 +44,25 @@ def test_single_file_preserves_row_order(ray_data, tmp_path):
     assert got == ref  # order is data (SURVEY.md §7.0 invariant 3)
 
 
+def test_preserve_order_sets_dataset_captured_context(ray_data):
+    """Ray copies the ambient DataContext into each dataset at creation,
+    so _preserve_order must flip the flag on the dataset's OWN captured
+    context — flipping only the global one leaves a pre-built dataset's
+    execution order racy (observed as a rare order-test flake)."""
+    from hyparquet_writer_ray.pipelines.write import _preserve_order
+
+    ds = ray_data.range(10).map_batches(lambda b: b)
+    captured = ds.context.execution_options
+    globl = __import__("ray.data", fromlist=["DataContext"]) \
+        .DataContext.get_current().execution_options
+    prev_captured, prev_global = captured.preserve_order, globl.preserve_order
+    with _preserve_order(ds):
+        assert captured.preserve_order is True
+        assert globl.preserve_order is True
+    assert captured.preserve_order == prev_captured
+    assert globl.preserve_order == prev_global
+
+
 def test_dataset_mode_and_resume(ray_data, tmp_path):
     out_dir = str(tmp_path / "web")
     ds = webtable_dataset(20_000, rows_per_block=5_000)
