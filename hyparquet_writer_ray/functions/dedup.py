@@ -743,28 +743,21 @@ def _band_rows(batch: pa.Table, bands: int, id_col: str, num_perm: int,
 def _scratch_dir(prefix: str) -> str:
     """Default location for operator checkpoints (minhash signatures,
     gram sets, vector blocks) — the ONE shared knob for all of them.
-    Set ``HPW_SCRATCH_DIR`` to a shared FILESYSTEM mount (nfs, or
-    object storage through a fuse mount) on a multi-node cluster so
-    every worker sees the checkpoint namespace; unset, this falls back
-    to a node-local tempdir, which is correct single-node ONLY. Raw
-    object-store URIs are rejected: the checkpoint marker protocol
-    uses local file semantics, so an ``s3://`` value would silently
-    scatter node-local directories named ``s3:/...`` instead of
-    sharing one namespace. Pass the operator's ``*_dir`` parameter
-    explicitly instead when you want a deterministic, resumable path."""
+    Set ``HPW_SCRATCH_DIR`` to shared storage on a multi-node cluster
+    so every worker sees the checkpoint namespace: a FILESYSTEM mount
+    (nfs / fuse) or, since r5, an fsspec URI (``s3://bucket/scratch``)
+    — markers, block files and checkpoint parquet are written/read
+    through fsspec (state/fsio.py; the marker PUT is atomic on object
+    stores). Unset, this falls back to a node-local tempdir, which is
+    correct single-node ONLY. Pass the operator's ``*_dir`` parameter
+    explicitly when you want a deterministic, resumable path (URIs
+    welcome there too). A one-letter scheme like ``C://scratch`` is a
+    Windows drive path, not a URI."""
     import os
-    import tempfile
 
-    base = os.environ.get("HPW_SCRATCH_DIR")
-    if base:
-        if "://" in base:
-            raise ValueError(
-                f"HPW_SCRATCH_DIR={base!r}: URIs are not supported — "
-                "mount the bucket (fuse/nfs) and point the knob at the "
-                "mount path")
-        os.makedirs(base, exist_ok=True)
-        return tempfile.mkdtemp(prefix=prefix, dir=base)
-    return tempfile.mkdtemp(prefix=prefix)
+    from ..state import fsio
+
+    return fsio.mkdtemp(prefix, base=os.environ.get("HPW_SCRATCH_DIR"))
 
 
 def _checkpoint_dataset(ds, out_dir: str) -> None:
@@ -773,32 +766,28 @@ def _checkpoint_dataset(ds, out_dir: str) -> None:
     expensive upstream pass is skipped); a dir with files but NO marker
     is a partial write from a crashed run and is cleared first —
     write_parquet APPENDS, so rerunning into a half-written dir would
-    double every row."""
-    import glob as _glob
-    import os
-    import shutil
+    double every row. ``out_dir`` may be an fsspec URI."""
+    from ..state import fsio
 
-    marker = os.path.join(out_dir, "_DONE")
-    if os.path.exists(marker):
+    marker = fsio.join(out_dir, "_DONE")
+    if fsio.exists(marker):
         return
-    if _glob.glob(os.path.join(out_dir, "*.parquet")):
-        shutil.rmtree(out_dir)
-    os.makedirs(out_dir, exist_ok=True)
-    ds.write_parquet(out_dir)
+    if fsio.glob(fsio.join(out_dir, "*.parquet")):
+        fsio.rm_tree(out_dir)
+    fsio.makedirs(out_dir)
+    fsio.write_parquet_dataset_dir(ds, out_dir)
     # an empty dataset writes no files (and would not create the dir);
     # the marker must still land so a resume knows scoring completed
-    os.makedirs(out_dir, exist_ok=True)
-    with open(marker, "w") as f:
-        f.write("ok")
+    fsio.makedirs(out_dir)
+    fsio.write_marker(marker)
 
 
 def _checkpoint_is_empty(out_dir: str) -> bool:
     """True when a _DONE-marked checkpoint contains no parquet files
     (the upstream dataset was empty — write_parquet wrote nothing)."""
-    import glob as _glob
-    import os
+    from ..state import fsio
 
-    return not _glob.glob(os.path.join(out_dir, "*.parquet"))
+    return not fsio.glob(fsio.join(out_dir, "*.parquet"))
 
 
 def minhash_lsh_pairs(
@@ -865,7 +854,9 @@ def minhash_lsh_pairs(
         }))
 
     def _sig_ds():
-        return ray.data.read_parquet(sig_dir)
+        from ..state import fsio
+
+        return fsio.read_parquet_dataset(sig_dir)
 
     # buckets sized so one bucket's rows stay task-sized at ANY corpus
     # size: the checkpoint's row count is free (parquet metadata), and
@@ -1161,7 +1152,9 @@ def ngram_jaccard_pairs(
     # shared bucketed tag-union hash join; exact per-pair Jaccard in
     # the combine kernel (python loop ONLY over candidate pairs —
     # bounded by the LSH pass — never over docs)
-    grams_ds = ray.data.read_parquet(grams_dir)
+    from ..state import fsio
+
+    grams_ds = fsio.read_parquet_dataset(grams_dir)
     nb_join = max(int(num_partitions), grams_ds.count() // 500_000 + 1)
     attached = _bucketed_pair_attach(
         candidates, grams_ds, payload_col="grams", id_col=id_col, nb=nb_join,

@@ -198,11 +198,10 @@ class _BlockPairScorer:
         if hit is not None:
             self._cache[b] = hit  # refresh LRU position
             return hit
-        import os
+        from ..state import fsio
 
-        import pyarrow.parquet as _pq
-
-        t = _pq.read_table(os.path.join(self.block_dir, f"block-{b}.parquet"))
+        t = fsio.pq_read_table(
+            fsio.join(self.block_dir, f"block-{b}.parquet"))
         ids = np.asarray(t.column(self.id_col), dtype=np.int64)
         m = np.asarray(
             single_chunk(t.column("__nvec")).flatten(), dtype=np.float64
@@ -267,13 +266,14 @@ def exact_cosine_pairs(ds, *, threshold: float = 0.9,
        above-threshold id pairs. Per-task memory: 2 blocks; driver
        memory: O(1); output: the true pair set, streamed.
 
-    On a multi-node cluster pass ``block_dir`` on SHARED storage
-    (an nfs or fuse MOUNT — the marker protocol uses local file
-    semantics, so raw s3:// URIs are not supported) — every scorer
+    On a multi-node cluster pass ``block_dir`` on SHARED storage —
+    an nfs/fuse mount or, since r5, an fsspec URI (``s3://…``; the
+    marker and block files go through state/fsio.py) — every scorer
     actor must see the checkpoint namespace.
     """
     import ray.data
 
+    from ..state import fsio
     from .sketches import _splitmix64
 
     if block_dir is None:
@@ -283,12 +283,9 @@ def exact_cosine_pairs(ds, *, threshold: float = 0.9,
 
         block_dir = _scratch_dir("cospairs_blocks_")
 
-    import glob as _glob
-    import os
-
-    os.makedirs(block_dir, exist_ok=True)
-    marker = os.path.join(block_dir, "_DONE")
-    if not os.path.exists(marker):
+    fsio.makedirs(block_dir)
+    marker = fsio.join(block_dir, "_DONE")
+    if not fsio.exists(marker):
         n = ds.count()
         B = max(1, int(np.ceil(n / max(int(rows_per_block), 1))))
 
@@ -311,21 +308,20 @@ def exact_cosine_pairs(ds, *, threshold: float = 0.9,
                      ).astype(np.int64)),
             })
 
-        import shutil
-
-        if _glob.glob(os.path.join(block_dir, "block-*.parquet")):
-            shutil.rmtree(block_dir)  # partial write from a crashed run
-            os.makedirs(block_dir, exist_ok=True)
+        if fsio.glob(fsio.join(block_dir, "block-*.parquet")):
+            fsio.rm_tree(block_dir)  # partial write from a crashed run
+            fsio.makedirs(block_dir)
 
         def write_block(group: pa.Table) -> pa.Table:
-            import pyarrow.parquet as _pq
+            from hyparquet_writer_ray.state import fsio as _fsio
 
             if group.num_columns == 0 or group.num_rows == 0:
                 return pa.table({"block": pa.array([], pa.int64()),
                                  "n": pa.array([], pa.int64())})
             b = group.column("__block")[0].as_py()
-            _pq.write_table(group.drop_columns(["__block"]),
-                            os.path.join(block_dir, f"block-{b}.parquet"))
+            _fsio.pq_write_table(
+                group.drop_columns(["__block"]),
+                _fsio.join(block_dir, f"block-{b}.parquet"))
             return pa.table({"block": pa.array([b], pa.int64()),
                              "n": pa.array([group.num_rows], pa.int64())})
 
@@ -340,10 +336,9 @@ def exact_cosine_pairs(ds, *, threshold: float = 0.9,
                                               batch_format="pyarrow")
             for b in bt.column("block").to_pylist()
         )
-        with open(marker, "w") as f:
-            f.write(",".join(str(b) for b in blocks))
+        fsio.write_marker(marker, ",".join(str(b) for b in blocks))
     else:
-        blocks = [int(x) for x in open(marker).read().split(",") if x]
+        blocks = [int(x) for x in fsio.read_marker(marker).split(",") if x]
 
     items = [{"bi": bi, "bj": bj}
              for i, bi in enumerate(blocks) for bj in blocks[i:]]

@@ -35,6 +35,7 @@ def export_training_mixture(
     exact_threshold: bool = False,
     threshold_alpha: float = 0.005,
     resume: bool = False,
+    score_dir: str | None = None,
 ):
     """Run the full mixture-export composition over a documents
     dataset. Returns ``(survivors_ds, packs_ds, write_stats)``: the
@@ -60,12 +61,14 @@ def export_training_mixture(
     different parameters would otherwise leave stale state that
     silently pollutes the exported epoch. ``resume=True`` skips that
     cleanup and resumes a KILLED run of the SAME input/parameters:
-    the score table is checkpointed to ``out_dir/_scores`` as parquet
-    (durable, ``_DONE``-marked), so a rerun skips the train+score
-    corpus scans, and the part writer's lineage manifest skips parts
-    already on disk."""
+    the score table is checkpointed to ``score_dir`` (default
+    ``out_dir/_scores``) as parquet (durable, ``_DONE``-marked), so a
+    rerun skips the train+score corpus scans, and the part writer's
+    lineage manifest skips parts already on disk. ``score_dir`` may be
+    an fsspec URI (``s3://…``) so the checkpoint has a home on a
+    multi-node cluster without a POSIX mount (state/fsio.py); it is
+    owned by this export under the same cleanup contract."""
     import glob as _glob
-    import shutil as _shutil
 
     import ray.data  # noqa: F401  (Dataset inputs)
 
@@ -77,33 +80,31 @@ def export_training_mixture(
     from ..functions.shuffle import deterministic_shuffle
     from ..functions.sketches import dd_quantile_estimate, dd_quantile_sketch
     from ..functions.stats import exact_quantiles
+    from ..state import fsio
     from ..state.lineage import LineageLog
     from .write import write_parquet_dataset
 
     os.makedirs(out_dir, exist_ok=True)
-    score_dir = os.path.join(out_dir, "_scores")
+    if score_dir is None:
+        score_dir = os.path.join(out_dir, "_scores")
     if not resume:
         for stale in _glob.glob(os.path.join(out_dir, "*.parquet")):
             os.unlink(stale)
         LineageLog(out_dir).clear()
-        if os.path.isdir(score_dir):
-            _shutil.rmtree(score_dir)
+        fsio.rm_tree(score_dir)
 
     # 1. quality model + exact vocab, fused into ONE corpus scan;
     # scores are checkpointed to PARQUET (durable, resumable — a
     # killed run rerun with resume=True skips the corpus scans), and
     # the checkpoint feeds the three consumers below
-    if not os.path.exists(os.path.join(score_dir, "_DONE")):
+    if not fsio.exists(fsio.join(score_dir, "_DONE")):
         model, V = train_bigram_lm(ds, text_col=text_col)
         _checkpoint_dataset(
             lm_score(ds, model, V, text_col=text_col, id_col=id_col),
             score_dir)
-    score_files = sorted(_glob.glob(os.path.join(score_dir, "*.parquet")))
+    score_files = fsio.glob(fsio.join(score_dir, "*.parquet"))
     # row count from the checkpoint FOOTERS — no data scan
-    import pyarrow.parquet as _pq
-
-    n_scored = sum(_pq.ParquetFile(f).metadata.num_rows
-                   for f in score_files)
+    n_scored = sum(fsio.parquet_num_rows(f) for f in score_files)
     if n_scored == 0:  # no document had >= 2 tokens
         # int64 matches the non-empty path: survivors come from the
         # scores checkpoint, whose ids lm_score emits as int64 (the
@@ -125,7 +126,7 @@ def export_training_mixture(
     # downstream consumers. Re-reading the narrow checkpoint beats
     # pinning a corpus-sized score table in the object store at scale;
     # durability (kill-resume) comes from the parquet files themselves.
-    xent_only = ray.data.read_parquet(score_files, columns=["xent"])
+    xent_only = fsio.read_parquet_dataset(score_files, columns=["xent"])
     if exact_threshold:
         th = exact_quantiles(
             xent_only, "xent", qs=(keep_quantile,)
@@ -136,7 +137,7 @@ def export_training_mixture(
         # few extra near-threshold docs, never drop a clear keeper
         th = dd_quantile_estimate(sk, (keep_quantile,))[0] \
             * (1.0 + threshold_alpha)
-    scored = ray.data.read_parquet(score_files)
+    scored = fsio.read_parquet_dataset(score_files)
     survivors = scored.map_batches(
         lambda b: b.filter(pc.less_equal(b.column("xent"),
                                          pa.scalar(th))),

@@ -431,13 +431,16 @@ def test_scratch_dir_knob_routes_all_checkpoints(monkeypatch, tmp_path):
     assert not d.startswith(str(base))
 
 
-def test_scratch_dir_rejects_uris(monkeypatch):
-    """An s3:// value would silently scatter node-local 's3:/...' dirs
-    (the marker protocol is local-file-semantics only) — reject it."""
-    import pytest
-
+def test_scratch_dir_uri_routes_through_fsspec(monkeypatch):
+    """Since r5 an fsspec URI is a VALID scratch base (the marker
+    protocol goes through state/fsio.py) — the returned checkpoint dir
+    stays in the URI namespace instead of scattering node-local
+    's3:/...' directories. Full URI behavior is in test_fsio.py."""
     from hyparquet_writer_ray.functions.dedup import _scratch_dir
+    from hyparquet_writer_ray.state import fsio
 
-    monkeypatch.setenv("HPW_SCRATCH_DIR", "s3://bucket/scratch")
-    with pytest.raises(ValueError):
-        _scratch_dir("minhash_sigs_")
+    monkeypatch.setenv("HPW_SCRATCH_DIR", "memory://dedup_scratch")
+    d = _scratch_dir("minhash_sigs_")
+    assert d.startswith("memory://dedup_scratch/minhash_sigs_")
+    assert fsio.exists(d)
+    fsio.rm_tree("memory://dedup_scratch")
