@@ -23,6 +23,7 @@ from .pipelines.write import (
     write_parquet_dataset,
     write_parquet_files,
     write_parquet_single_file,
+    write_table_parallel,
 )
 
 __version__ = "0.1.0"
@@ -47,4 +48,5 @@ __all__ = [
     "compact_parquet_dataset",
     "read_parquet_fused",
     "write_parquet_single_file",
+    "write_table_parallel",
 ]

@@ -276,6 +276,87 @@ def write_parquet_single_file(
     }
 
 
+def _encode_table_slice(table: pa.Table, r0: int, r1: int,
+                        schema_ir, opts: WriteOptions):
+    """One row-group slice of a driver-held table, encoded in a Ray
+    task. encode_row_group is deterministic and its blob carries
+    relative offsets (core/chunk.py), so the ordered assembler can
+    rebase — output is byte-identical to the serial writer."""
+    leaves = leaf_columns(schema_ir)
+    return encode_row_group(table.slice(r0, r1 - r0), schema_ir,
+                            leaves, opts)
+
+
+def write_table_parallel(
+    table: pa.Table,
+    sink,
+    opts: Optional[WriteOptions] = None,
+    *,
+    max_in_flight: int = 64,
+) -> None:
+    """Parallel, byte-identical version of :func:`local.write_table`
+    (the reference parquetWrite parity path, src/write.js:16-60).
+
+    The SAME row-group schedule is computed up front
+    (``row_group_slices``); each slice is encoded by an independent Ray
+    task over ONE ``ray.put`` of the normalized table (workers read it
+    zero-copy from the object store — never re-shipped per slice); a
+    single ordered assembler appends blobs in schedule order. Because
+    ``encode_row_group`` is deterministic and blobs carry relative
+    offsets, the output bytes equal the serial writer's exactly
+    (gated by tests/test_ray_pipeline.py).
+
+    Raw ``ray.remote`` tasks are deliberate here: the input is a
+    driver-held in-memory Table with REQUIRED slice boundaries (the
+    reference's preview schedule), not a Dataset of opaque blocks.
+    ``max_in_flight`` bounds submitted-but-unconsumed slices so a huge
+    table cannot queue unbounded blobs ahead of the assembler.
+
+    Falls back to the serial writer when Ray is not initialized (this
+    function never calls ray.init — driver contract) or when the
+    schedule yields fewer than two slices."""
+    import ray
+
+    from ..local import row_group_slices, write_table
+
+    opts = opts or WriteOptions()
+    table = normalize_table(table)
+    slices = row_group_slices(table.num_rows, opts.row_group_size)
+    if len(slices) < 2 or not ray.is_initialized():
+        write_table(table, sink, opts)
+        return
+    schema_ir = schema_from_arrow(table.schema, opts.schema_overrides)
+    enc = ray.remote(_encode_table_slice)
+    tref = ray.put(table)
+
+    def _assemble(f) -> None:
+        asm = FileAssembler(f, schema_ir, opts)
+        pending = [enc.remote(tref, r0, r1, schema_ir, opts)
+                   for r0, r1 in slices[:max_in_flight]]
+        nxt = len(pending)
+        for i in range(len(slices)):
+            blob, meta = ray.get(pending[i])
+            pending[i] = None  # release the blob ref once consumed
+            if nxt < len(slices):
+                r0, r1 = slices[nxt]
+                pending.append(enc.remote(tref, r0, r1, schema_ir, opts))
+                nxt += 1
+            asm.append_group(blob, meta)
+        asm.finish()
+
+    if isinstance(sink, str):
+        tmp = _tmp_name(sink)
+        try:
+            with open(tmp, "wb") as f:
+                _assemble(f)
+            os.replace(tmp, sink)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        return
+    _assemble(sink)
+
+
 def _encode_groups_fn(batch: pa.Table, **kwargs):
     """Task-mode row-group encoder (module-level so cloudpickle ships a
     reference, not a closure)."""
