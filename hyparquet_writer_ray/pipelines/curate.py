@@ -78,20 +78,17 @@ def curate_documents(
         # fresh (resume=False) semantics: parts are content-hash named,
         # so a rerun with different parameters would otherwise leave the
         # previous run's parts polluting the returned read_parquet
-        import glob as _glob
-
+        from ..state import fsio
         from ..state.lineage import LineageLog
 
-        os.makedirs(out_dir, exist_ok=True)
-        for stale in _glob.glob(os.path.join(out_dir, "*.parquet")):
-            os.unlink(stale)
+        fsio.makedirs(out_dir)
+        for stale in fsio.glob(fsio.join(out_dir, "*.parquet")):
+            fsio.remove(stale)
         LineageLog(out_dir).clear()
         write_parquet_dataset(
             curated, out_dir, opts or WriteOptions(auto_codec="smart"), resume=False
         )
-        import ray.data
-
-        curated = ray.data.read_parquet(out_dir)
+        curated = fsio.read_parquet_dataset(out_dir)
     return curated
 
 

@@ -68,8 +68,6 @@ def export_training_mixture(
     an fsspec URI (``s3://…``) so the checkpoint has a home on a
     multi-node cluster without a POSIX mount (state/fsio.py); it is
     owned by this export under the same cleanup contract."""
-    import glob as _glob
-
     import ray.data  # noqa: F401  (Dataset inputs)
 
     from ..core.options import WriteOptions
@@ -84,12 +82,12 @@ def export_training_mixture(
     from ..state.lineage import LineageLog
     from .write import write_parquet_dataset
 
-    os.makedirs(out_dir, exist_ok=True)
+    fsio.makedirs(out_dir)
     if score_dir is None:
-        score_dir = os.path.join(out_dir, "_scores")
+        score_dir = fsio.join(out_dir, "_scores")
     if not resume:
-        for stale in _glob.glob(os.path.join(out_dir, "*.parquet")):
-            os.unlink(stale)
+        for stale in fsio.glob(fsio.join(out_dir, "*.parquet")):
+            fsio.remove(stale)
         LineageLog(out_dir).clear()
         fsio.rm_tree(score_dir)
 
@@ -169,8 +167,17 @@ def verify_mixture_output(out_dir: str) -> list[pa.Table]:
     disjoint (the caller asserts both)."""
     import pyarrow.parquet as pq
 
-    files = sorted(
-        os.path.join(out_dir, f) for f in os.listdir(out_dir)
-        if f.endswith(".parquet"))
-    return [pq.ParquetFile(f, page_checksum_verification=True).read()
-            for f in files]
+    from ..state import fsio
+
+    files = fsio.glob(fsio.join(out_dir, "*.parquet"))
+    out = []
+    for f in files:
+        if fsio.is_uri(f):
+            fs, p = fsio.url_fs(f)
+            with fs.open(p, "rb") as fh:
+                out.append(pq.ParquetFile(
+                    fh, page_checksum_verification=True).read())
+        else:
+            out.append(pq.ParquetFile(
+                f, page_checksum_verification=True).read())
+    return out

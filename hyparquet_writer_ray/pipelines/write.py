@@ -107,6 +107,76 @@ def _tmp_name(fpath: str) -> str:
     return f"{fpath}.inprogress-{os.getpid()}-{os.urandom(4).hex()}"
 
 
+@contextmanager
+def _part_sink(fpath: str):
+    """Writable sink for one output part, URI-transparent.
+
+    Local: tmp + atomic os.replace (a killed task never leaves a
+    truncated .parquet at the target name). fsspec URI: write the final
+    name directly — object-store PUTs become visible atomically at
+    close, so an interrupted upload never surfaces (and rename doesn't
+    exist there anyway)."""
+    from ..state import fsio
+
+    if fsio.is_uri(fpath):
+        fs, p = fsio.url_fs(fpath)
+        try:
+            with fs.open(p, "wb") as f:
+                yield f
+        except BaseException:
+            # some fsspec backends commit on close even after an error;
+            # a partial object must not stay visible (it has no lineage
+            # record, so resume would re-encode it anyway — this is
+            # hygiene, not a correctness requirement)
+            try:
+                fs.rm(p)
+            except Exception:
+                pass
+            raise
+        return
+    tmp = _tmp_name(fpath)
+    try:
+        with open(tmp, "wb") as f:
+            yield f
+        os.replace(tmp, fpath)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+def _join_out(base: str, *parts: str) -> str:
+    from ..state import fsio
+
+    return fsio.join(base, *parts)
+
+
+def _part_exists_size(fpath: str):
+    """(exists, size) for a possibly-URI part path."""
+    from ..state import fsio
+
+    if fsio.is_uri(fpath):
+        fs, p = fsio.url_fs(fpath)
+        try:
+            return True, fs.size(p)
+        except FileNotFoundError:
+            return False, 0
+    if os.path.exists(fpath):
+        return True, os.path.getsize(fpath)
+    return False, 0
+
+
+def _part_head(fpath: str, n: int) -> bytes:
+    """First ``n`` bytes of a possibly-URI part (checksum input)."""
+    from ..state import fsio
+
+    if fsio.is_uri(fpath):
+        fs, p = fsio.url_fs(fpath)
+        with fs.open(p, "rb") as f:
+            return f.read(n)
+    with open(fpath, "rb") as f:
+        return f.read(n)
+
+
 STALE_TMP_AGE_SEC = 3600.0
 
 
@@ -241,9 +311,8 @@ def write_parquet_single_file(
     total_comp = 0
     total_raw = 0
     n_parts = 0
-    tmp_path = path + ".inprogress"
     with _preserve_order(encoded):
-        with open(tmp_path, "wb") as sink:
+        with _part_sink(path) as sink:
             asm = FileAssembler(sink, schema_ir, opts)
             for batch in encoded.iter_batches(batch_size=None, batch_format="pyarrow"):
                 for row in range(batch.num_rows):
@@ -263,7 +332,6 @@ def write_parquet_single_file(
                     total_raw += meta.total_byte_size
                     n_parts += 1
             asm.finish()
-    os.replace(tmp_path, path)
     if lineage is not None:
         lineage.close()
     return {
@@ -272,7 +340,7 @@ def write_parquet_single_file(
         "rows": asm.num_rows,
         "compressed_bytes": total_comp,
         "uncompressed_bytes": total_raw,
-        "file_bytes": os.path.getsize(path),
+        "file_bytes": _part_exists_size(path)[1],
     }
 
 
@@ -323,7 +391,13 @@ def write_table_parallel(
     table = normalize_table(table)
     slices = row_group_slices(table.num_rows, opts.row_group_size)
     if len(slices) < 2 or not ray.is_initialized():
-        write_table(table, sink, opts)
+        from ..state import fsio
+
+        if isinstance(sink, str) and fsio.is_uri(sink):
+            with _part_sink(sink) as f:  # serial fallback, URI sink
+                write_table(table, f, opts)
+        else:
+            write_table(table, sink, opts)
         return
     schema_ir = schema_from_arrow(table.schema, opts.schema_overrides)
     enc = ray.remote(_encode_table_slice)
@@ -345,14 +419,8 @@ def write_table_parallel(
         asm.finish()
 
     if isinstance(sink, str):
-        tmp = _tmp_name(sink)
-        try:
-            with open(tmp, "wb") as f:
-                _assemble(f)
-            os.replace(tmp, sink)
-        finally:
-            if os.path.exists(tmp):
-                os.remove(tmp)
+        with _part_sink(sink) as f:
+            _assemble(f)
         return
     _assemble(sink)
 
@@ -423,22 +491,22 @@ class PartFileWriter:
         gids = [content_part_id(g) for g in groups]
         part_id = hashlib.blake2b("".join(gids).encode(), digest_size=12).hexdigest()[:16]
         fname = f"part-{part_id}.parquet"
-        fpath = os.path.join(self.out_dir, fname)
+        fpath = _join_out(self.out_dir, fname)
         # a lineage record without its file on disk is NOT done
-        if part_id in self.skip and os.path.exists(fpath):
+        exists, size = _part_exists_size(fpath)
+        if part_id in self.skip and exists:
             yield pa.table({
                 "part_id": [part_id], "file": [fname],
                 "rows": pa.array([batch.num_rows], type=pa.int64()),
-                "compressed_bytes": pa.array([os.path.getsize(fpath)], type=pa.int64()),
+                "compressed_bytes": pa.array([size], type=pa.int64()),
                 "uncompressed_bytes": pa.array([0], type=pa.int64()),
                 "skipped": [True],
                 "manifest": pa.array([None], type=pa.large_binary()),
             })
             return
-        tmp = _tmp_name(fpath)
         raw = comp = 0
         recs = []
-        with open(tmp, "wb") as sink:
+        with _part_sink(fpath) as sink:
             asm = FileAssembler(sink, self.schema_ir, self.opts)
             for gid, group in zip(gids, groups):
                 blob, meta = encode_row_group(group, self.schema_ir, self.leaves, self.opts)
@@ -447,8 +515,7 @@ class PartFileWriter:
                 comp += len(blob)
                 recs.append(record_from_meta(gid, meta, len(blob), file=fname))
             asm.finish()
-        os.replace(tmp, fpath)
-        checksum = hashlib.sha1(open(fpath, "rb").read(1 << 16)).hexdigest()[:12]
+        checksum = hashlib.sha1(_part_head(fpath, 1 << 16)).hexdigest()[:12]
         for r in recs:
             r.checksum = checksum
         # worker-side lineage: durable the moment the part is (survives a
@@ -528,30 +595,31 @@ class PartitionedPartWriter:
             if sub.num_rows == 0:
                 continue
             subdir = f"{self.partition_col}={_hive_value(val)}"
-            os.makedirs(os.path.join(self.out_dir, subdir), exist_ok=True)
+            from ..state import fsio as _fsio
+
+            _fsio.makedirs(_join_out(self.out_dir, subdir))
             groups = list(split_row_groups(sub, self.max_group_rows,
                                            self.max_group_bytes))
             gids = [content_part_id(g) for g in groups]
             part_id = hashlib.blake2b(
                 (subdir + "|" + "".join(gids)).encode(), digest_size=12
             ).hexdigest()[:16]
-            fname = os.path.join(subdir, f"part-{part_id}.parquet")
-            fpath = os.path.join(self.out_dir, fname)
-            if part_id in self.skip and os.path.exists(fpath):
+            fname = f"{subdir}/part-{part_id}.parquet"
+            fpath = _join_out(self.out_dir, fname)
+            exists, size = _part_exists_size(fpath)
+            if part_id in self.skip and exists:
                 yield pa.table({
                     "part_id": [part_id], "file": [fname],
                     "rows": pa.array([sub.num_rows], type=pa.int64()),
-                    "compressed_bytes": pa.array(
-                        [os.path.getsize(fpath)], type=pa.int64()),
+                    "compressed_bytes": pa.array([size], type=pa.int64()),
                     "uncompressed_bytes": pa.array([0], type=pa.int64()),
                     "skipped": [True],
                     "manifest": pa.array([None], type=pa.large_binary()),
                 })
                 continue
-            tmp = _tmp_name(fpath)
             raw = comp = 0
             recs = []
-            with open(tmp, "wb") as sink:
+            with _part_sink(fpath) as sink:
                 asm = FileAssembler(sink, self.schema_ir, self.opts)
                 for gid, group in zip(gids, groups):
                     blob, meta = encode_row_group(
@@ -562,7 +630,6 @@ class PartitionedPartWriter:
                     recs.append(record_from_meta(gid, meta, len(blob),
                                                  file=fname))
                 asm.finish()
-            os.replace(tmp, fpath)
             LineageLog(self.out_dir).write_part_record(part_id, recs)
             yield pa.table({
                 "part_id": [part_id], "file": [fname],
@@ -603,8 +670,11 @@ def write_parquet_partitioned(
     ``__HIVE_DEFAULT_PARTITION__/`` and read back as that sentinel
     string unless the reader configures a hive null fallback."""
     opts = opts or WriteOptions()
-    os.makedirs(out_dir, exist_ok=True)
-    _clean_stale_tmps(out_dir)
+    from ..state import fsio as _fsio_drv
+
+    _fsio_drv.makedirs(out_dir)
+    if not _fsio_drv.is_uri(out_dir):
+        _clean_stale_tmps(out_dir)  # URIs have no tmp files by design
     arrow_schema = _normalized_arrow_schema(ds)
     if partition_col not in arrow_schema.names:
         raise ValueError(f"partition_col {partition_col!r} not in schema")
@@ -657,14 +727,17 @@ def _encode_files_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
         # output part (resume stays keyed on input identity)
         base = f"{base}-{hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:8]}"
         fname = f"part-{base}.parquet"
-        fpath = os.path.join(out_dir, fname)
-        if base in skip_names and os.path.exists(fpath):
+        fpath = _join_out(out_dir, fname)
+        exists, size = _part_exists_size(fpath)
+        if base in skip_names and exists:
+            from ..state import fsio as _fsio
+
             yield pa.table({
                 "part_id": [base], "file": [fname],
                 # footer-only read: resumed runs report true row counts
-                "rows": pa.array([pq.ParquetFile(fpath).metadata.num_rows],
+                "rows": pa.array([_fsio.parquet_num_rows(fpath)],
                                  type=pa.int64()),
-                "compressed_bytes": pa.array([os.path.getsize(fpath)], type=pa.int64()),
+                "compressed_bytes": pa.array([size], type=pa.int64()),
                 "uncompressed_bytes": pa.array([0], type=pa.int64()),
                 "skipped": [True],
                 "manifest": pa.array([None], type=pa.large_binary()),
@@ -673,10 +746,9 @@ def _encode_files_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
         table = normalize_table(pq.read_table(path, columns=columns))
         schema_ir = schema_from_arrow(table.schema, opts.schema_overrides)
         leaves = leaf_columns(schema_ir)
-        tmp = _tmp_name(fpath)
         raw = comp = 0
         recs = []
-        with open(tmp, "wb") as sink:
+        with _part_sink(fpath) as sink:
             asm = FileAssembler(sink, schema_ir, opts)
             for group in split_row_groups(table, max_group_rows, max_group_bytes):
                 blob, meta = encode_row_group(group, schema_ir, leaves, opts)
@@ -685,7 +757,6 @@ def _encode_files_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
                 comp += len(blob)
                 recs.append(record_from_meta(base, meta, len(blob), file=fname))
             asm.finish()
-        os.replace(tmp, fpath)
         LineageLog(out_dir).write_part_record(base, recs)
         yield pa.table({
             "part_id": [base], "file": [fname],
@@ -714,8 +785,11 @@ def write_parquet_files(
     import ray.data
 
     opts = opts or WriteOptions()
-    os.makedirs(out_dir, exist_ok=True)
-    _clean_stale_tmps(out_dir)
+    from ..state import fsio as _fsio_drv
+
+    _fsio_drv.makedirs(out_dir)
+    if not _fsio_drv.is_uri(out_dir):
+        _clean_stale_tmps(out_dir)  # URIs have no tmp files by design
     # legacy-name migration: parts used to be named part-<base>.parquet
     # (no path-hash suffix). Resuming into such an out_dir re-encodes
     # every shard under the hashed name and would leave the old files
@@ -723,13 +797,9 @@ def write_parquet_files(
     # duplicate rows. Remove exactly THIS run's inputs' legacy-named
     # parts (never unrelated files) before the skip set is built.
     for p in input_paths:
-        legacy = os.path.join(
+        _fsio_drv.remove(_join_out(
             out_dir,
-            f"part-{os.path.splitext(os.path.basename(p))[0]}.parquet")
-        try:
-            os.remove(legacy)
-        except OSError:
-            pass
+            f"part-{os.path.splitext(os.path.basename(p))[0]}.parquet"))
     lineage = LineageLog(out_dir)
     skip: frozenset[str] = frozenset()
     if resume:
@@ -786,12 +856,23 @@ def write_parquet_dataset(
     upstream block structure is skewed or too fine/coarse), ``part_rows``
     re-bundles rows per part without a shuffle, and the byte cap in
     ``split_row_groups`` splits oversized skewed groups.
+
+    ``out_dir`` may be an fsspec URI (``s3://bucket/out``): parts are
+    single atomic PUTs to their final names (no rename on object
+    stores; an interrupted upload never becomes visible), per-part
+    lineage records are one PUT each, and resume works identically —
+    so a multi-node cluster needs no POSIX mount for output either
+    (same applies to write_parquet_files / write_parquet_partitioned /
+    compact_parquet_dataset / write_parquet_single_file).
     """
     opts = opts or WriteOptions()
     if repartition_blocks:
         ds = ds.repartition(repartition_blocks)
-    os.makedirs(out_dir, exist_ok=True)
-    _clean_stale_tmps(out_dir)
+    from ..state import fsio as _fsio_drv
+
+    _fsio_drv.makedirs(out_dir)
+    if not _fsio_drv.is_uri(out_dir):
+        _clean_stale_tmps(out_dir)  # URIs have no tmp files by design
     arrow_schema = _normalized_arrow_schema(ds)
     lineage = LineageLog(out_dir)
     skip: frozenset[str] = frozenset()
@@ -843,14 +924,17 @@ def _compact_group_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
         paths = batch.column("paths")[row].as_py()
         gid = batch.column("group_id")[row].as_py()
         fname = f"part-{gid}.parquet"
-        fpath = os.path.join(out_dir, fname)
-        if gid in skip_ids and os.path.exists(fpath):
+        fpath = _join_out(out_dir, fname)
+        exists, size = _part_exists_size(fpath)
+        if gid in skip_ids and exists:
+            from ..state import fsio as _fsio
+
             yield pa.table({
                 "part_id": [gid], "file": [fname],
                 # footer-only read: resumed runs report true row counts
-                "rows": pa.array([pq.ParquetFile(fpath).metadata.num_rows],
+                "rows": pa.array([_fsio.parquet_num_rows(fpath)],
                                  type=pa.int64()),
-                "compressed_bytes": pa.array([os.path.getsize(fpath)], type=pa.int64()),
+                "compressed_bytes": pa.array([size], type=pa.int64()),
                 "uncompressed_bytes": pa.array([0], type=pa.int64()),
                 "skipped": [True],
                 "manifest": pa.array([None], type=pa.large_binary()),
@@ -861,10 +945,9 @@ def _compact_group_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
         )
         schema_ir = schema_from_arrow(table.schema, opts.schema_overrides)
         leaves = leaf_columns(schema_ir)
-        tmp = _tmp_name(fpath)
         raw = comp = 0
         recs = []
-        with open(tmp, "wb") as sink:
+        with _part_sink(fpath) as sink:
             asm = FileAssembler(sink, schema_ir, opts)
             for group in split_row_groups(table, max_group_rows, max_group_bytes):
                 blob, meta = encode_row_group(group, schema_ir, leaves, opts)
@@ -873,8 +956,7 @@ def _compact_group_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
                 comp += len(blob)
                 recs.append(record_from_meta(gid, meta, len(blob), file=fname))
             asm.finish()
-        os.replace(tmp, fpath)
-        checksum = hashlib.sha1(open(fpath, "rb").read(1 << 16)).hexdigest()[:12]
+        checksum = hashlib.sha1(_part_head(fpath, 1 << 16)).hexdigest()[:12]
         for r in recs:
             r.checksum = checksum
         LineageLog(out_dir, name=COMPACT_LINEAGE).write_part_record(gid, recs)
@@ -952,8 +1034,11 @@ def compact_parquet_dataset(
                 f"out_dir {out_dir}; compaction must not write in place"
             )
 
-    os.makedirs(out_dir, exist_ok=True)
-    _clean_stale_tmps(out_dir)
+    from ..state import fsio as _fsio_drv
+
+    _fsio_drv.makedirs(out_dir)
+    if not _fsio_drv.is_uri(out_dir):
+        _clean_stale_tmps(out_dir)  # URIs have no tmp files by design
     lineage = LineageLog(out_dir, name=COMPACT_LINEAGE)
     prior = [rec.file for rec in lineage.completed_parts().values() if rec.file]
     skip: frozenset[str] = frozenset()
@@ -982,9 +1067,9 @@ def compact_parquet_dataset(
     expected = {f"part-{it['group_id']}.parquet" for it in items}
     removed = 0
     for f in set(prior) - expected:
-        fp = os.path.join(out_dir, f)
-        if os.path.exists(fp):
-            os.remove(fp)
+        fp = _join_out(out_dir, f)
+        if _part_exists_size(fp)[0]:
+            _fsio_drv.remove(fp)
             removed += 1
     total["removed_stale_parts"] = removed
     total["out_dir"] = out_dir

@@ -72,6 +72,21 @@ def makedirs(path: str) -> None:
         os.makedirs(path, exist_ok=True)
 
 
+def remove(path: str) -> None:
+    """Delete one file if present (missing is not an error)."""
+    if is_uri(path):
+        fs, p = url_fs(path)
+        try:
+            fs.rm(p)
+        except FileNotFoundError:
+            pass
+    else:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+
 def rm_tree(path: str) -> None:
     if is_uri(path):
         fs, p = url_fs(path)

@@ -4,6 +4,14 @@ checkpointed so a killed job resumes at partition granularity").
 
 The manifest is JSONL under ``<dir>/_lineage/manifest.jsonl``; blobs
 for single-file resume live in ``<dir>/_lineage/blobs/<part_id>``.
+
+``base_dir`` may be an fsspec URI (``s3://bucket/out``): every record
+goes through state/fsio.py. Local paths keep their exact os-level
+semantics (tmp + atomic rename, O_APPEND manifest). On object stores
+each per-part record is one atomic PUT — the authoritative resume
+source — and the driver-side manifest.jsonl convenience consolidation
+is PUT once at ``close()`` (stores cannot append; a driver killed
+before close loses only the consolidation, never completion records).
 """
 from __future__ import annotations
 
@@ -15,6 +23,7 @@ from typing import Optional
 
 from ..core.rowgroup import RowGroupMeta
 from ..core.types import Encoding
+from . import fsio
 
 
 @dataclass
@@ -64,40 +73,64 @@ class LineageLog:
         # ``name`` namespaces independent writers sharing one out_dir
         # (e.g. compaction keeps its own manifest so its stale-part GC
         # can never see — or delete — parts another writer recorded)
-        self.dir = os.path.join(base_dir, name)
-        self.blob_dir = os.path.join(self.dir, "blobs")
-        self.parts_dir = os.path.join(self.dir, "parts")
-        self.manifest_path = os.path.join(self.dir, "manifest.jsonl")
-        os.makedirs(self.dir, exist_ok=True)
+        self._uri = fsio.is_uri(base_dir)
+        self.dir = fsio.join(base_dir, name)
+        self.blob_dir = fsio.join(self.dir, "blobs")
+        self.parts_dir = fsio.join(self.dir, "parts")
+        self.manifest_path = fsio.join(self.dir, "manifest.jsonl")
+        fsio.makedirs(self.dir)
         if store_blobs:
-            os.makedirs(self.blob_dir, exist_ok=True)
+            fsio.makedirs(self.blob_dir)
         self.store_blobs = store_blobs
         self._fh = None
+        self._pending: list[str] | None = [] if self._uri else None
 
     # -- worker side ----------------------------------------------------
     def write_part_record(self, part_key: str, recs: list[PartRecord]) -> None:
         """Atomically persist a finished part's records (call AFTER the
         part file itself is durable)."""
+        payload = json.dumps([asdict(r) for r in recs])
+        dest = fsio.join(self.parts_dir, f"{part_key}.json")
+        if self._uri:
+            fs, p = fsio.url_fs(dest)
+            fsio.makedirs(self.parts_dir)
+            fs.pipe(p, payload.encode())  # one atomic PUT
+            return
         os.makedirs(self.parts_dir, exist_ok=True)
         tmp = os.path.join(self.parts_dir, f".{part_key}.tmp")
         with open(tmp, "w") as f:
-            json.dump([asdict(r) for r in recs], f)
-        os.replace(tmp, os.path.join(self.parts_dir, f"{part_key}.json"))
+            f.write(payload)
+        os.replace(tmp, dest)
 
     # -- write side -----------------------------------------------------
     def append(self, rec: PartRecord, blob: bytes | None = None,
                meta: RowGroupMeta | None = None) -> None:
         if self.store_blobs and blob is not None:
-            tmp = os.path.join(self.blob_dir, f".{rec.part_id}.tmp")
-            with open(tmp, "wb") as f:
-                f.write(pickle.dumps((blob, meta)))
-            os.replace(tmp, os.path.join(self.blob_dir, rec.part_id))
+            payload = pickle.dumps((blob, meta))
+            dest = fsio.join(self.blob_dir, rec.part_id)
+            if self._uri:
+                fs, p = fsio.url_fs(dest)
+                fs.pipe(p, payload)
+            else:
+                tmp = os.path.join(self.blob_dir, f".{rec.part_id}.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(payload)
+                os.replace(tmp, dest)
+        line = json.dumps(asdict(rec)) + "\n"
+        if self._pending is not None:  # URI: consolidate at close()
+            self._pending.append(line)
+            return
         if self._fh is None:
             self._fh = open(self.manifest_path, "a")
-        self._fh.write(json.dumps(asdict(rec)) + "\n")
+        self._fh.write(line)
         self._fh.flush()
 
     def close(self) -> None:
+        if self._pending:
+            fs, p = fsio.url_fs(self.manifest_path)
+            prior = fs.cat(p).decode() if fs.exists(p) else ""
+            fs.pipe(p, (prior + "".join(self._pending)).encode())
+            self._pending = [] if self._uri else None
         if self._fh:
             self._fh.close()
             self._fh = None
@@ -107,51 +140,58 @@ class LineageLog:
         owning pipeline is about to rewrite the directory and stale
         records would wrongly mark new work as done)."""
         self.close()
-        import shutil
-        shutil.rmtree(self.parts_dir, ignore_errors=True)
-        shutil.rmtree(self.blob_dir, ignore_errors=True)
+        fsio.rm_tree(self.parts_dir)
+        fsio.rm_tree(self.blob_dir)
         if self.store_blobs:
-            os.makedirs(self.blob_dir, exist_ok=True)  # next append needs it
-        if os.path.exists(self.manifest_path):
+            fsio.makedirs(self.blob_dir)  # next append needs it
+        if self._uri:
+            fs, p = fsio.url_fs(self.manifest_path)
+            try:
+                fs.rm(p)
+            except FileNotFoundError:
+                pass
+            self._pending = []
+        elif os.path.exists(self.manifest_path):
             os.unlink(self.manifest_path)
 
     # -- resume side ----------------------------------------------------
     def _validate(self, rec: PartRecord) -> bool:
         if self.store_blobs:
-            return os.path.exists(os.path.join(self.blob_dir, rec.part_id))
+            return fsio.exists(fsio.join(self.blob_dir, rec.part_id))
         if rec.file is not None:
-            base = os.path.dirname(self.dir)
-            return os.path.exists(os.path.join(base, rec.file))
+            base = self.dir.rsplit("/", 1)[0] if self._uri \
+                else os.path.dirname(self.dir)
+            return fsio.exists(fsio.join(base, rec.file))
         return True
 
     def completed_parts(self) -> dict[str, PartRecord]:
         out: dict[str, PartRecord] = {}
-        if os.path.exists(self.manifest_path):
-            with open(self.manifest_path) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    try:
-                        rec = PartRecord(**json.loads(line))
-                    except (json.JSONDecodeError, TypeError):
-                        continue  # torn trailing line from a killed driver
-                    if self._validate(rec):
-                        out[rec.part_id] = rec
-        if os.path.isdir(self.parts_dir):
-            for fname in os.listdir(self.parts_dir):
-                if not fname.endswith(".json"):
+        if fsio.exists(self.manifest_path):
+            text = fsio.read_marker(self.manifest_path)
+            for line in text.splitlines():
+                line = line.strip()
+                if not line:
                     continue
                 try:
-                    with open(os.path.join(self.parts_dir, fname)) as f:
-                        for d in json.load(f):
-                            rec = PartRecord(**d)
-                            if self._validate(rec):
-                                out[rec.part_id] = rec
-                except (json.JSONDecodeError, OSError):
-                    continue  # torn write of a non-atomic fs: ignore
+                    rec = PartRecord(**json.loads(line))
+                except (json.JSONDecodeError, TypeError):
+                    continue  # torn trailing line from a killed driver
+                if self._validate(rec):
+                    out[rec.part_id] = rec
+        for fpath in fsio.glob(fsio.join(self.parts_dir, "*.json")):
+            try:
+                for d in json.loads(fsio.read_marker(fpath)):
+                    rec = PartRecord(**d)
+                    if self._validate(rec):
+                        out[rec.part_id] = rec
+            except (json.JSONDecodeError, OSError):
+                continue  # torn write of a non-atomic fs: ignore
         return out
 
     def load_blob(self, part_id: str):
-        with open(os.path.join(self.blob_dir, part_id), "rb") as f:
+        path = fsio.join(self.blob_dir, part_id)
+        if self._uri:
+            fs, p = fsio.url_fs(path)
+            return pickle.loads(fs.cat(p))
+        with open(path, "rb") as f:
             return pickle.loads(f.read())

@@ -91,6 +91,126 @@ def _file_uri(p) -> str:
     return f"file://{p}"
 
 
+def test_lineage_memory_uri_roundtrip():
+    """LineageLog against an object-store-style fs: per-part records
+    are single PUTs, the manifest consolidates at close, resume reads
+    both, clear forgets everything."""
+    from hyparquet_writer_ray.state.lineage import LineageLog, PartRecord
+
+    base = "memory://fsio_lineage"
+    fsio.makedirs(base)
+    log = LineageLog(base)
+    recs = [PartRecord(part_id="p0", num_rows=5, raw_bytes=100,
+                       comp_bytes=40, file="part-p0.parquet")]
+    # worker-side record: durable immediately
+    log.write_part_record("p0", recs)
+    # the referenced part file must exist for _validate
+    fsio.pq_write_table(pa.table({"x": [1, 2, 3, 4, 5]}),
+                        fsio.join(base, "part-p0.parquet"))
+    got = LineageLog(base).completed_parts()
+    assert set(got) == {"p0"} and got["p0"].num_rows == 5
+    # driver-side manifest: buffered, PUT at close
+    log.append(PartRecord(part_id="p1", num_rows=2, raw_bytes=10,
+                          comp_bytes=5))
+    assert not fsio.exists(fsio.join(base, "_lineage", "manifest.jsonl"))
+    log.close()
+    assert fsio.exists(fsio.join(base, "_lineage", "manifest.jsonl"))
+    got = LineageLog(base).completed_parts()
+    assert set(got) == {"p0", "p1"}  # p1 has file=None -> always valid
+    LineageLog(base).clear()
+    assert LineageLog(base).completed_parts() == {}
+    fsio.rm_tree(base)
+
+
+def test_write_parquet_dataset_file_uri_resume(ray_session, tmp_path):
+    """The 100 TB part-file writer against a URI out_dir: atomic-PUT
+    parts, per-part lineage records, full resume semantics — end to end
+    through real Ray workers (file:// exercises every fsspec branch)."""
+    import duckdb
+    import ray.data
+
+    from hyparquet_writer_ray.pipelines.write import write_parquet_dataset
+    from hyparquet_writer_ray.sources.webtable import webtable_dataset
+
+    out_local = str(tmp_path / "web_uri")
+    out = _file_uri(out_local)
+    ds = webtable_dataset(20_000, rows_per_block=5_000)
+    s = write_parquet_dataset(ds, out, concurrency=2)
+    assert s["parts"] == 4 and s["rows"] == 20_000 and s["skipped_parts"] == 0
+    n = duckdb.sql(
+        f"select count(*) from '{out_local}/part-*.parquet'").fetchone()[0]
+    assert n == 20_000
+    assert os.path.exists(
+        os.path.join(out_local, "_lineage", "manifest.jsonl"))
+    # identical rerun: every part skipped via the URI lineage records
+    s2 = write_parquet_dataset(
+        webtable_dataset(20_000, rows_per_block=5_000), out, concurrency=2)
+    assert s2["skipped_parts"] == 4
+    # kill simulation: drop one part file; only IT re-encodes
+    victim = sorted(f for f in os.listdir(out_local)
+                    if f.endswith(".parquet"))[0]
+    os.unlink(os.path.join(out_local, victim))
+    s3 = write_parquet_dataset(
+        webtable_dataset(20_000, rows_per_block=5_000), out, concurrency=2)
+    assert s3["skipped_parts"] == 3 and s3["parts"] == 4
+    n = duckdb.sql(
+        f"select count(*) from '{out_local}/part-*.parquet'").fetchone()[0]
+    assert n == 20_000
+
+
+def test_write_parquet_files_file_uri(ray_session, tmp_path):
+    """Shard-to-shard writer with a URI out_dir (incl. the legacy-name
+    cleanup going through fsspec remove)."""
+    import pyarrow.parquet as pq
+
+    from hyparquet_writer_ray.pipelines.write import write_parquet_files
+
+    src = tmp_path / "in"
+    src.mkdir()
+    inp = str(src / "x.parquet")
+    pq.write_table(pa.table({"x": [1, 2, 3]}), inp)
+    out_local = tmp_path / "out_uri"
+    out_local.mkdir()
+    pq.write_table(pa.table({"x": [9]}), str(out_local / "part-x.parquet"))
+    s = write_parquet_files([inp], _file_uri(out_local))
+    assert s["rows"] == 3
+    parts = [f for f in os.listdir(str(out_local))
+             if f.endswith(".parquet")]
+    assert "part-x.parquet" not in parts  # legacy removed through fsio
+    ours = [p for p in parts if p.startswith("part-x-")]
+    assert len(ours) == 1
+    assert pq.read_table(str(out_local / ours[0])) \
+        .column("x").to_pylist() == [1, 2, 3]
+    # resume: footer-read skip path through fsio
+    s2 = write_parquet_files([inp], _file_uri(out_local))
+    assert s2["skipped_parts"] == 1 and s2["rows"] == 3
+
+
+def test_write_parquet_partitioned_file_uri(ray_session, tmp_path):
+    """Hive-partitioned writer with a URI out_dir: per-value subdirs +
+    parts + lineage all through fsspec; resume skips everything."""
+    import duckdb
+    import ray.data
+
+    from hyparquet_writer_ray.pipelines.write import write_parquet_partitioned
+
+    t = pa.table({
+        "k": pa.array(["a", "b", "a", "c", "b", "a"], pa.string()),
+        "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    })
+    out_local = str(tmp_path / "hive_uri")
+    out = _file_uri(out_local)
+    ds = ray.data.from_arrow(t)
+    s = write_parquet_partitioned(ds, out, "k")
+    assert s["rows"] == 6
+    got = duckdb.sql(
+        f"select sum(v) from read_parquet('{out_local}/*/part-*.parquet', "
+        "hive_partitioning=1) where k = 'a'").fetchone()[0]
+    assert got == 10
+    s2 = write_parquet_partitioned(ray.data.from_arrow(t), out, "k")
+    assert s2["skipped_parts"] == s2["parts"] > 0
+
+
 def test_minhash_file_uri_checkpoint_kill_resume(ray_session, tmp_path):
     """The existing sig_dir kill-resume contract, driven through a
     file:// URI so every marker/glob/write/read crosses the fsspec
