@@ -344,6 +344,20 @@ def write_parquet_single_file(
     }
 
 
+_ENC_REMOTE = None
+
+
+def _enc_remote():
+    """ray.remote wrapper for _encode_table_slice, created once per
+    process (a fresh ray.remote per call re-exports the function)."""
+    global _ENC_REMOTE
+    if _ENC_REMOTE is None:
+        import ray
+
+        _ENC_REMOTE = ray.remote(_encode_table_slice)
+    return _ENC_REMOTE
+
+
 def _encode_table_slice(table: pa.Table, r0: int, r1: int,
                         schema_ir, opts: WriteOptions):
     """One row-group slice of a driver-held table, encoded in a Ray
@@ -400,7 +414,7 @@ def write_table_parallel(
             write_table(table, sink, opts)
         return
     schema_ir = schema_from_arrow(table.schema, opts.schema_overrides)
-    enc = ray.remote(_encode_table_slice)
+    enc = _enc_remote()
     tref = ray.put(table)
 
     def _assemble(f) -> None:
@@ -493,7 +507,8 @@ class PartFileWriter:
         fname = f"part-{part_id}.parquet"
         fpath = _join_out(self.out_dir, fname)
         # a lineage record without its file on disk is NOT done
-        exists, size = _part_exists_size(fpath)
+        exists, size = (_part_exists_size(fpath) if part_id in self.skip
+                        else (False, 0))
         if part_id in self.skip and exists:
             yield pa.table({
                 "part_id": [part_id], "file": [fname],
@@ -606,7 +621,8 @@ class PartitionedPartWriter:
             ).hexdigest()[:16]
             fname = f"{subdir}/part-{part_id}.parquet"
             fpath = _join_out(self.out_dir, fname)
-            exists, size = _part_exists_size(fpath)
+            exists, size = (_part_exists_size(fpath)
+                            if part_id in self.skip else (False, 0))
             if part_id in self.skip and exists:
                 yield pa.table({
                     "part_id": [part_id], "file": [fname],
@@ -728,7 +744,8 @@ def _encode_files_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
         base = f"{base}-{hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:8]}"
         fname = f"part-{base}.parquet"
         fpath = _join_out(out_dir, fname)
-        exists, size = _part_exists_size(fpath)
+        exists, size = (_part_exists_size(fpath) if base in skip_names
+                        else (False, 0))
         if base in skip_names and exists:
             from ..state import fsio as _fsio
 
@@ -925,7 +942,8 @@ def _compact_group_fn(batch: pa.Table, *, opts, out_dir, max_group_rows,
         gid = batch.column("group_id")[row].as_py()
         fname = f"part-{gid}.parquet"
         fpath = _join_out(out_dir, fname)
-        exists, size = _part_exists_size(fpath)
+        exists, size = (_part_exists_size(fpath) if gid in skip_ids
+                        else (False, 0))
         if gid in skip_ids and exists:
             from ..state import fsio as _fsio
 
