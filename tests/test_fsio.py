@@ -158,6 +158,23 @@ def test_write_parquet_dataset_file_uri_resume(ray_session, tmp_path):
     assert n == 20_000
 
 
+def test_uri_and_local_outputs_byte_identical(ray_session, tmp_path):
+    """Parts are content-hash named and deterministic, so a URI out_dir
+    must yield the exact same file set, byte for byte, as a local one —
+    the fsspec sink path cannot perturb output."""
+    from hyparquet_writer_ray.pipelines.write import write_parquet_dataset
+    from hyparquet_writer_ray.sources.webtable import webtable_dataset
+
+    a, b = tmp_path / "local", tmp_path / "uri"
+    write_parquet_dataset(webtable_dataset(10_000, rows_per_block=5_000),
+                          str(a), concurrency=2)
+    write_parquet_dataset(webtable_dataset(10_000, rows_per_block=5_000),
+                          _file_uri(b), concurrency=2)
+    fa = {p.name: p.read_bytes() for p in a.glob("part-*.parquet")}
+    fb = {p.name: p.read_bytes() for p in b.glob("part-*.parquet")}
+    assert fa and fa == fb
+
+
 def test_write_parquet_files_file_uri(ray_session, tmp_path):
     """Shard-to-shard writer with a URI out_dir (incl. the legacy-name
     cleanup going through fsspec remove)."""
