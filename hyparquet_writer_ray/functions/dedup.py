@@ -772,7 +772,7 @@ def _checkpoint_dataset(ds, out_dir: str) -> None:
     marker = fsio.join(out_dir, "_DONE")
     if fsio.exists(marker):
         return
-    if fsio.glob(fsio.join(out_dir, "*.parquet")):
+    if fsio.glob_in(out_dir, "*.parquet"):
         fsio.rm_tree(out_dir)
     fsio.makedirs(out_dir)
     fsio.write_parquet_dataset_dir(ds, out_dir)
@@ -787,7 +787,7 @@ def _checkpoint_is_empty(out_dir: str) -> bool:
     (the upstream dataset was empty — write_parquet wrote nothing)."""
     from ..state import fsio
 
-    return not fsio.glob(fsio.join(out_dir, "*.parquet"))
+    return not fsio.glob_in(out_dir, "*.parquet")
 
 
 def minhash_lsh_pairs(

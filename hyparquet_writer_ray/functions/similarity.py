@@ -308,7 +308,7 @@ def exact_cosine_pairs(ds, *, threshold: float = 0.9,
                      ).astype(np.int64)),
             })
 
-        if fsio.glob(fsio.join(block_dir, "block-*.parquet")):
+        if fsio.glob_in(block_dir, "block-*.parquet"):
             fsio.rm_tree(block_dir)  # partial write from a crashed run
             fsio.makedirs(block_dir)
 

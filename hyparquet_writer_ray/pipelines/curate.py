@@ -82,7 +82,7 @@ def curate_documents(
         from ..state.lineage import LineageLog
 
         fsio.makedirs(out_dir)
-        for stale in fsio.glob(fsio.join(out_dir, "*.parquet")):
+        for stale in fsio.glob_in(out_dir, "*.parquet"):
             fsio.remove(stale)
         LineageLog(out_dir).clear()
         write_parquet_dataset(

@@ -86,7 +86,7 @@ def export_training_mixture(
     if score_dir is None:
         score_dir = fsio.join(out_dir, "_scores")
     if not resume:
-        for stale in fsio.glob(fsio.join(out_dir, "*.parquet")):
+        for stale in fsio.glob_in(out_dir, "*.parquet"):
             fsio.remove(stale)
         LineageLog(out_dir).clear()
         fsio.rm_tree(score_dir)
@@ -100,7 +100,7 @@ def export_training_mixture(
         _checkpoint_dataset(
             lm_score(ds, model, V, text_col=text_col, id_col=id_col),
             score_dir)
-    score_files = fsio.glob(fsio.join(score_dir, "*.parquet"))
+    score_files = fsio.glob_in(score_dir, "*.parquet")
     # row count from the checkpoint FOOTERS — no data scan
     n_scored = sum(fsio.parquet_num_rows(f) for f in score_files)
     if n_scored == 0:  # no document had >= 2 tokens
@@ -169,7 +169,7 @@ def verify_mixture_output(out_dir: str) -> list[pa.Table]:
 
     from ..state import fsio
 
-    files = fsio.glob(fsio.join(out_dir, "*.parquet"))
+    files = fsio.glob_in(out_dir, "*.parquet")
     out = []
     for f in files:
         if fsio.is_uri(f):

@@ -66,7 +66,8 @@ def read_parquet_fused(path_or_paths, *, columns: Optional[list[str]] = None, **
 
     if isinstance(path_or_paths, str):
         if os.path.isdir(path_or_paths):
-            paths = sorted(_glob.glob(os.path.join(path_or_paths, "*.parquet")))
+            paths = sorted(_glob.glob(os.path.join(
+                _glob.escape(path_or_paths), "*.parquet")))
         else:
             paths = [path_or_paths]
     else:
@@ -112,14 +113,27 @@ def _part_sink(fpath: str):
     """Writable sink for one output part, URI-transparent.
 
     Local: tmp + atomic os.replace (a killed task never leaves a
-    truncated .parquet at the target name). fsspec URI: write the final
-    name directly — object-store PUTs become visible atomically at
-    close, so an interrupted upload never surfaces (and rename doesn't
-    exist there anyway)."""
+    truncated .parquet at the target name). Rename-based fsspec
+    protocols (file://, sftp, …) write through the filesystem, so the
+    same tmp + atomic ``fs.mv`` applies — writing the final name
+    directly there would leave a truncated part visible after a kill.
+    True object stores (s3, gcs, …): write the final name directly —
+    a PUT is invisible until complete and atomic at close, while
+    "rename" is copy+delete."""
     from ..state import fsio
 
     if fsio.is_uri(fpath):
         fs, p = fsio.url_fs(fpath)
+        if fsio.fs_rename_based(fs):
+            tmp = f"{p}.inprogress-{os.getpid()}-{os.urandom(4).hex()}"
+            try:
+                with fs.open(tmp, "wb") as f:
+                    yield f
+                fs.mv(tmp, p)
+            finally:
+                if fs.exists(tmp):
+                    fs.rm(tmp)
+            return
         try:
             with fs.open(p, "wb") as f:
                 yield f
@@ -180,6 +194,37 @@ def _part_head(fpath: str, n: int) -> bytes:
 STALE_TMP_AGE_SEC = 3600.0
 
 
+def _clean_dest_tmps(path: str, max_age: float = STALE_TMP_AGE_SEC) -> None:
+    """Remove aged ``<path>.inprogress-*`` orphans left by hard-killed
+    single-file writes (each attempt uses a fresh random tmp name, and
+    a SIGKILL skips _part_sink's cleanup; the dataset writers sweep via
+    _clean_stale_tmps, but a single-file destination has no out_dir
+    sweep). Age-gated for the same concurrent-writer reason."""
+    import glob as _glob
+    import time
+
+    from ..state import fsio
+
+    cutoff = time.time() - max_age
+    if fsio.is_uri(path):
+        fs, p = fsio.url_fs(path)
+        if not fsio.fs_rename_based(fs):
+            return  # object-store branch writes no tmps
+        for m in fs.glob(_glob.escape(p) + ".inprogress-*"):
+            try:
+                if fs.modified(m).timestamp() < cutoff:
+                    fs.rm(m)
+            except Exception:
+                pass
+        return
+    for f in _glob.glob(_glob.escape(path) + ".inprogress-*"):
+        try:
+            if os.path.getmtime(f) < cutoff:
+                os.remove(f)
+        except OSError:
+            pass
+
+
 def _clean_stale_tmps(out_dir: str, max_age: float = STALE_TMP_AGE_SEC) -> None:
     """Remove .inprogress-* leftovers from previous killed runs (the
     current run's tmps don't exist yet when this is called). Only tmps
@@ -192,8 +237,8 @@ def _clean_stale_tmps(out_dir: str, max_age: float = STALE_TMP_AGE_SEC) -> None:
     import time
 
     cutoff = time.time() - max_age
-    for f in _glob.glob(os.path.join(out_dir, "**", "*.inprogress-*"),
-                        recursive=True):
+    for f in _glob.glob(os.path.join(_glob.escape(out_dir), "**",
+                                     "*.inprogress-*"), recursive=True):
         try:
             if os.path.getmtime(f) < cutoff:
                 os.remove(f)
@@ -277,6 +322,7 @@ def write_parquet_single_file(
     """
     opts = opts or WriteOptions()
     arrow_schema = _normalized_arrow_schema(ds)
+    _clean_dest_tmps(path)
 
     lineage = None
     skip: frozenset[str] = frozenset()
@@ -813,10 +859,16 @@ def write_parquet_files(
     # alongside the new ones, so part-*.parquet consumers would read
     # duplicate rows. Remove exactly THIS run's inputs' legacy-named
     # parts (never unrelated files) before the skip set is built.
-    for p in input_paths:
-        _fsio_drv.remove(_join_out(
-            out_dir,
-            f"part-{os.path.splitext(os.path.basename(p))[0]}.parquet"))
+    legacy = {f"part-{os.path.splitext(os.path.basename(p))[0]}.parquet"
+              for p in input_paths}
+    # ONE listing, not one DELETE round trip per input: at 100k shards
+    # against an object store the per-input remove() is 100k serial
+    # requests on every run, almost all for names that don't exist
+    existing = {f.rsplit("/", 1)[-1] if _fsio_drv.is_uri(f)
+                else os.path.basename(f)
+                for f in _fsio_drv.glob_in(out_dir, "part-*.parquet")}
+    for name in sorted(legacy & existing):
+        _fsio_drv.remove(_join_out(out_dir, name))
     lineage = LineageLog(out_dir)
     skip: frozenset[str] = frozenset()
     if resume:
@@ -1015,7 +1067,8 @@ def compact_parquet_dataset(
 
     opts = opts or WriteOptions()
     if isinstance(input_paths, str):
-        input_paths = sorted(_glob.glob(os.path.join(input_paths, "*.parquet")))
+        input_paths = sorted(_glob.glob(os.path.join(
+            _glob.escape(input_paths), "*.parquet")))
     files = [(p, os.path.getsize(p)) for p in sorted(input_paths)]
     buckets: list[list[str]] = []
     cur: list[str] = []

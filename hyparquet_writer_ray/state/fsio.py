@@ -57,6 +57,23 @@ def join(base: str, *parts: str) -> str:
     return os.path.join(base, *parts)
 
 
+# fsspec protocols where a write lands via the FILESYSTEM (truncate +
+# write, visible while in progress) and rename IS atomic — these get
+# tmp + mv semantics. Everything else (s3, gcs, az, memory, …) is an
+# object store: a PUT is invisible until complete and atomic at close,
+# while "rename" would be copy+delete. Getting this wrong either way
+# re-introduces torn-visible writes, so the split is explicit.
+_RENAME_FS = frozenset(
+    ("file", "local", "sftp", "ssh", "ftp", "smb", "dir", "nfs"))
+
+
+def fs_rename_based(fs) -> bool:
+    proto = fs.protocol
+    if not isinstance(proto, str):
+        proto = proto[0]
+    return proto in _RENAME_FS
+
+
 def exists(path: str) -> bool:
     if is_uri(path):
         fs, p = url_fs(path)
@@ -102,7 +119,9 @@ def rm_tree(path: str) -> None:
 
 def glob(pattern: str) -> list[str]:
     """Glob that returns paths in the caller's namespace: full URIs for
-    URI patterns, plain paths for local ones."""
+    URI patterns, plain paths for local ones. The WHOLE argument is a
+    pattern — when the directory part is a literal path that may
+    contain metacharacters (``run[1]/``), use :func:`glob_in`."""
     if is_uri(pattern):
         fs, p = url_fs(pattern)
         return sorted(fs.unstrip_protocol(m) for m in fs.glob(p))
@@ -111,12 +130,39 @@ def glob(pattern: str) -> list[str]:
     return sorted(_glob.glob(pattern))
 
 
+def glob_in(base: str, pattern: str) -> list[str]:
+    """Glob ``pattern`` inside the LITERAL directory ``base``:
+    metacharacters in ``base`` are escaped, so an out_dir named
+    ``run[1]`` cannot silently match nothing (which would read as
+    "no completed parts" and break resume)."""
+    import glob as _glob
+
+    if is_uri(base):
+        fs, p = url_fs(base)
+        return sorted(fs.unstrip_protocol(m)
+                      for m in fs.glob(_glob.escape(p) + "/" + pattern))
+    return sorted(_glob.glob(os.path.join(_glob.escape(base), pattern)))
+
+
 def write_marker(path: str, text: str = "ok") -> None:
-    """Write a completion marker. Local: tmp + atomic os.replace;
-    URI: one fs.pipe PUT (atomic visibility on object stores)."""
+    """Write a completion marker. Local and rename-based fsspec
+    protocols (file://, sftp, …): tmp + atomic rename — a kill
+    mid-write must never leave a torn-but-existing marker whose
+    truncated content would be TRUSTED on resume. Object stores: one
+    fs.pipe PUT (invisible until complete, atomic at close)."""
     if is_uri(path):
         fs, p = url_fs(path)
-        fs.pipe(p, text.encode())
+        if fs_rename_based(fs):
+            tmp = f"{p}.tmp-{os.getpid()}"
+            try:
+                with fs.open(tmp, "wb") as f:
+                    f.write(text.encode())
+                fs.mv(tmp, p)
+            finally:
+                if fs.exists(tmp):
+                    fs.rm(tmp)
+        else:
+            fs.pipe(p, text.encode())
     else:
         tmp = f"{path}.tmp-{os.getpid()}"
         with open(tmp, "w") as f:

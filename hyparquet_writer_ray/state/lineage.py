@@ -116,6 +116,13 @@ class LineageLog:
                 with open(tmp, "wb") as f:
                     f.write(payload)
                 os.replace(tmp, dest)
+        if self._uri and self.store_blobs:
+            # single-file checkpointing has no worker-side
+            # write_part_record, so the completion record must be
+            # durable WITH the blob — buffering it until close() would
+            # lose every record on a driver kill and make the
+            # checkpoint a no-op in the one scenario it exists for
+            self.write_part_record(rec.part_id, [rec])
         line = json.dumps(asdict(rec)) + "\n"
         if self._pending is not None:  # URI: consolidate at close()
             self._pending.append(line)
@@ -129,8 +136,21 @@ class LineageLog:
         if self._pending:
             fs, p = fsio.url_fs(self.manifest_path)
             prior = fs.cat(p).decode() if fs.exists(p) else ""
-            fs.pipe(p, (prior + "".join(self._pending)).encode())
-            self._pending = [] if self._uri else None
+            body = (prior + "".join(self._pending)).encode()
+            if fsio.fs_rename_based(fs):
+                # filesystem-backed protocol: a kill during a plain
+                # rewrite would truncate previously durable records
+                tmp = f"{p}.tmp-{os.getpid()}"
+                try:
+                    with fs.open(tmp, "wb") as f:
+                        f.write(body)
+                    fs.mv(tmp, p)
+                finally:
+                    if fs.exists(tmp):
+                        fs.rm(tmp)
+            else:
+                fs.pipe(p, body)  # object store: atomic PUT
+            self._pending = []
         if self._fh:
             self._fh.close()
             self._fh = None
@@ -178,7 +198,7 @@ class LineageLog:
                     continue  # torn trailing line from a killed driver
                 if self._validate(rec):
                     out[rec.part_id] = rec
-        for fpath in fsio.glob(fsio.join(self.parts_dir, "*.json")):
+        for fpath in fsio.glob_in(self.parts_dir, "*.json"):
             try:
                 for d in json.loads(fsio.read_marker(fpath)):
                     rec = PartRecord(**d)

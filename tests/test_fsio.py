@@ -347,3 +347,172 @@ def test_mixture_score_dir_file_uri(ray_session, tmp_path):
     assert rows2 == rows1
     assert [(f, os.stat(os.path.join(str(tmp_path / "scores_remote"), f))
              .st_mtime_ns) for f in scores] == sig, "checkpoint rewritten"
+
+
+# -- round-5 review findings: torn-write and metachar regressions -----
+
+
+def test_fs_rename_based_split():
+    import fsspec
+
+    assert fsio.fs_rename_based(fsspec.filesystem("file"))
+    assert not fsio.fs_rename_based(fsspec.filesystem("memory"))
+
+
+def test_glob_in_escapes_metachar_dirs(tmp_path):
+    """A literal out_dir named run[1] must match itself, not be read as
+    a character class (which silently returns 'no completed parts')."""
+    d = tmp_path / "run[1]"
+    d.mkdir()
+    (d / "part-a.parquet").write_bytes(b"x")
+    assert fsio.glob_in(str(d), "*.parquet") == \
+        [str(d / "part-a.parquet")]
+    # plain glob on the same path demonstrates the failure mode
+    assert fsio.glob(os.path.join(str(d), "*.parquet")) == []
+    # URI branch
+    got = fsio.glob_in(_file_uri(d), "*.parquet")
+    assert [os.path.basename(p) for p in got] == ["part-a.parquet"]
+    assert all(p.startswith("file://") for p in got)
+
+
+def test_lineage_completed_parts_metachar_dir(tmp_path):
+    """Reproducer from the r5 review: per-part records written under
+    run[1] must be found on resume."""
+    from hyparquet_writer_ray.state.lineage import LineageLog, PartRecord
+
+    base = str(tmp_path / "run[1]")
+    log = LineageLog(base)
+    log.write_part_record("p0", [PartRecord(
+        part_id="p0", num_rows=3, raw_bytes=10, comp_bytes=5)])
+    assert set(LineageLog(base).completed_parts()) == {"p0"}
+
+
+def test_part_sink_file_uri_never_exposes_partial(tmp_path):
+    """Rename-based fsspec protocols must go tmp+mv: while the write is
+    in flight the final name must not exist, and an aborted write must
+    leave neither the final name nor the tmp."""
+    from hyparquet_writer_ray.pipelines.write import _part_sink
+
+    dest = tmp_path / "part.parquet"
+    uri = _file_uri(dest)
+    with _part_sink(uri) as f:
+        f.write(b"PAR1partial")
+        assert not dest.exists()  # invisible until complete
+    assert dest.read_bytes() == b"PAR1partial"
+    assert list(tmp_path.glob("*.inprogress-*")) == []
+
+    dest2 = tmp_path / "part2.parquet"
+    with pytest.raises(RuntimeError):
+        with _part_sink(_file_uri(dest2)) as f:
+            f.write(b"torn")
+            raise RuntimeError("killed")
+    assert not dest2.exists()
+    assert list(tmp_path.glob("*.inprogress-*")) == []
+
+
+def test_write_marker_file_uri_atomic(tmp_path):
+    """Marker content is trusted on resume, so on a filesystem-backed
+    protocol it must land via tmp+rename (no torn visible marker)."""
+    m = tmp_path / "_DONE"
+    fsio.write_marker(_file_uri(m), "0,1,2,3")
+    assert fsio.read_marker(_file_uri(m)) == "0,1,2,3"
+    assert m.read_text() == "0,1,2,3"
+    assert list(tmp_path.glob("*.tmp-*")) == []
+
+
+def test_lineage_single_file_uri_records_survive_driver_kill():
+    """store_blobs + URI: each append must durably persist the
+    completion record WITH the blob — a driver killed before close()
+    (simulated by never calling it) must still resume."""
+    import pickle
+
+    from hyparquet_writer_ray.state.lineage import LineageLog, PartRecord
+
+    base = "memory://fsio_sfckpt"
+    fsio.makedirs(base)
+    log = LineageLog(base, store_blobs=True)
+    log.append(PartRecord(part_id="g0", num_rows=4, raw_bytes=20,
+                          comp_bytes=9), b"blobbytes", {"m": 1})
+    # NO close(): simulate SIGKILL of the driver
+    got = LineageLog(base, store_blobs=True).completed_parts()
+    assert set(got) == {"g0"} and got["g0"].num_rows == 4
+    blob, meta = LineageLog(base, store_blobs=True).load_blob("g0")
+    assert blob == b"blobbytes" and meta == {"m": 1}
+    fsio.rm_tree(base)
+
+
+def test_lineage_close_file_uri_keeps_prior_records(tmp_path):
+    """close() consolidation on a rename-based fs must not truncate the
+    manifest in place (tmp+mv), and must preserve run-1 records."""
+    from hyparquet_writer_ray.state.lineage import LineageLog, PartRecord
+
+    base = _file_uri(tmp_path / "lin")
+    log1 = LineageLog(base)
+    log1.append(PartRecord(part_id="a", num_rows=1, raw_bytes=1,
+                           comp_bytes=1))
+    log1.close()
+    log2 = LineageLog(base)
+    log2.append(PartRecord(part_id="b", num_rows=2, raw_bytes=2,
+                           comp_bytes=2))
+    log2.close()
+    got = LineageLog(base).completed_parts()
+    assert set(got) == {"a", "b"}
+    assert list((tmp_path / "lin" / "_lineage").glob("*.tmp-*")) == []
+
+
+def test_clean_dest_tmps_age_gated(tmp_path):
+    """Single-file destinations sweep their own aged .inprogress-*
+    orphans; fresh tmps (a concurrent writer's) survive."""
+    from hyparquet_writer_ray.pipelines.write import _clean_dest_tmps
+
+    dest = tmp_path / "out.parquet"
+    old = tmp_path / "out.parquet.inprogress-1-dead"
+    fresh = tmp_path / "out.parquet.inprogress-2-live"
+    old.write_bytes(b"x")
+    fresh.write_bytes(b"y")
+    past = os.path.getmtime(old) - 7200
+    os.utime(old, (past, past))
+    _clean_dest_tmps(str(dest))
+    assert not old.exists() and fresh.exists()
+    # URI (rename-based) branch
+    old.write_bytes(b"x")
+    os.utime(old, (past, past))
+    _clean_dest_tmps(_file_uri(dest))
+    assert not old.exists() and fresh.exists()
+    fresh.unlink()
+
+
+def test_write_parquet_dataset_metachar_out_dir_resume(ray_session, tmp_path):
+    """End-to-end guard for the glob_in fix: resume into an out_dir
+    containing glob metacharacters must skip finished parts."""
+    from hyparquet_writer_ray.pipelines.write import write_parquet_dataset
+    from hyparquet_writer_ray.sources.webtable import webtable_dataset
+
+    out = str(tmp_path / "run[1]")
+    s = write_parquet_dataset(webtable_dataset(10_000, rows_per_block=5_000),
+                              out, concurrency=2)
+    assert s["parts"] == 2 and s["skipped_parts"] == 0
+    s2 = write_parquet_dataset(webtable_dataset(10_000, rows_per_block=5_000),
+                               out, concurrency=2)
+    assert s2["skipped_parts"] == 2
+
+
+def test_write_parquet_files_untouched_unrelated_legacy(ray_session, tmp_path):
+    """The batched legacy-name migration removes only THIS run's
+    inputs' legacy names — unrelated part files stay."""
+    import pyarrow.parquet as pq
+
+    from hyparquet_writer_ray.pipelines.write import write_parquet_files
+
+    src = tmp_path / "in"
+    src.mkdir()
+    inp = str(src / "x.parquet")
+    pq.write_table(pa.table({"x": [1, 2]}), inp)
+    out = tmp_path / "out"
+    out.mkdir()
+    pq.write_table(pa.table({"x": [9]}), str(out / "part-x.parquet"))
+    pq.write_table(pa.table({"x": [8]}), str(out / "part-other.parquet"))
+    write_parquet_files([inp], str(out))
+    names = sorted(f for f in os.listdir(str(out)) if f.endswith(".parquet"))
+    assert "part-x.parquet" not in names      # this input's legacy: gone
+    assert "part-other.parquet" in names      # unrelated: untouched
