@@ -9,10 +9,11 @@ item 3). These helpers route any ``scheme://`` path through fsspec
 while keeping plain local paths on the exact os/glob/shutil code paths
 they always used (zero behavior change single-node).
 
-Torn-write tolerance: the local marker write stays tmp + os.replace
-(atomic rename); object stores make single-object PUTs visible
-atomically, so the fsspec branch writes the marker directly with
-``fs.pipe``. A marker is only ever written AFTER its directory's data
+Torn-write tolerance: local paths and rename-based fsspec protocols
+(see ``fs_rename_based``) write markers via tmp + atomic rename;
+object stores make single-object PUTs visible atomically, so that
+branch writes the marker directly with ``fs.pipe``. A marker is only
+ever written AFTER its directory's data
 files are complete, and a directory with data but no marker is treated
 as a crashed partial write and cleared — same contract both branches.
 
@@ -31,10 +32,11 @@ from urllib.parse import urlsplit
 import pyarrow.parquet as pq
 
 __all__ = [
-    "is_uri", "url_fs", "join", "exists", "makedirs", "rm_tree",
-    "glob", "write_marker", "read_marker", "mkdtemp", "ray_filesystem",
-    "pq_read_table", "pq_write_table", "parquet_num_rows",
-    "read_parquet_dataset",
+    "is_uri", "url_fs", "join", "exists", "makedirs", "remove",
+    "rm_tree", "glob", "glob_in", "fs_rename_based", "write_marker",
+    "read_marker", "mkdtemp", "ray_filesystem", "pq_read_table",
+    "pq_write_table", "parquet_num_rows", "read_parquet_dataset",
+    "write_parquet_dataset_dir",
 ]
 
 

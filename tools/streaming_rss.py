@@ -1,23 +1,32 @@
 #!/usr/bin/env python
-"""Memory-bounded streaming evidence (VERDICT r4 item 6): run the
-flagship webtable encode at ~10x the bench row count and show the
-sandbox never holds the dataset — peak RSS across the driver AND every
-Ray worker stays far below the raw input size.
+"""Memory-bounded streaming evidence (VERDICT r4 item 6).
 
-A sampler thread polls /proc every 200 ms and records:
-  - driver RSS
-  - sum + max of VmRSS over all ray:: worker processes
-  - /proc/meminfo used (MemTotal - MemAvailable) delta vs start
+Runs the flagship webtable read->encode pipeline at a multiple of the
+bench row count while sampling, every 100 ms:
 
-Usage: python tools/streaming_rss.py [--rows 20000000] [--num-cpus 32]
-Prints one JSON line; paste the result into BASELINE.md.
+  * system used memory  = MemTotal - MemAvailable   (/proc/meminfo)
+  * shmem               = Shmem                      (object store +
+                          tmpfs input; the OUTPUT goes to disk so the
+                          store is the only thing that can grow here)
+  * sum of VmRSS over every process                  (conservative:
+                          double-counts plasma pages mapped by several
+                          workers)
+
+and reports the peaks next to the dataset's raw size. If the pipeline
+streamed (blocks flow read -> encode -> sink with backpressure and are
+freed after their part file lands), every peak stays far below the raw
+dataset size; a pipeline that materialized the input would show
+used-memory growth of at least raw_bytes.
+
+Usage: python tools/streaming_rss.py [--rows N] [--cpus N]
+Prints one JSON line; record the sample in BASELINE.md.
 """
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
+import shutil
 import sys
 import threading
 import time
@@ -25,119 +34,114 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _proc_rss_kb(pid: int) -> int:
-    try:
-        with open(f"/proc/{pid}/status") as f:
-            for line in f:
-                if line.startswith("VmRSS:"):
-                    return int(line.split()[1])
-    except OSError:
-        pass
-    return 0
-
-
-def _ray_worker_pids() -> list[int]:
-    out = []
-    for p in glob.glob("/proc/[0-9]*/cmdline"):
-        try:
-            with open(p, "rb") as f:
-                cmd = f.read()
-        except OSError:
-            continue
-        if b"ray::" in cmd or b"default_worker.py" in cmd:
-            out.append(int(p.split("/")[2]))
-    return out
-
-
-def _meminfo_used_kb() -> int:
-    vals = {}
+def _meminfo() -> dict[str, int]:
+    out = {}
     with open("/proc/meminfo") as f:
         for line in f:
             k, v = line.split(":", 1)
-            vals[k] = int(v.split()[0])
-    return vals["MemTotal"] - vals["MemAvailable"]
+            out[k] = int(v.split()[0]) * 1024
+    return out
 
 
-class RssSampler(threading.Thread):
+def _rss_sum() -> int:
+    total = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        total += int(line.split()[1]) * 1024
+                        break
+        except OSError:
+            continue  # process exited between listdir and open
+    return total
+
+
+class _Monitor(threading.Thread):
     def __init__(self) -> None:
         super().__init__(daemon=True)
-        self.stop = threading.Event()
-        self.driver_peak_kb = 0
-        self.workers_sum_peak_kb = 0
-        self.worker_max_peak_kb = 0
-        self.sys_used_start_kb = _meminfo_used_kb()
-        self.sys_used_peak_kb = self.sys_used_start_kb
+        self.peak_used = 0
+        self.peak_shmem = 0
+        self.peak_rss = 0
+        self._halt = threading.Event()
 
     def run(self) -> None:
-        me = os.getpid()
-        while not self.stop.is_set():
-            self.driver_peak_kb = max(self.driver_peak_kb, _proc_rss_kb(me))
-            rss = [_proc_rss_kb(p) for p in _ray_worker_pids()]
-            if rss:
-                self.workers_sum_peak_kb = max(self.workers_sum_peak_kb,
-                                               sum(rss))
-                self.worker_max_peak_kb = max(self.worker_max_peak_kb,
-                                              max(rss))
-            self.sys_used_peak_kb = max(self.sys_used_peak_kb,
-                                        _meminfo_used_kb())
-            time.sleep(0.2)
+        while not self._halt.is_set():
+            mi = _meminfo()
+            self.peak_used = max(self.peak_used,
+                                 mi["MemTotal"] - mi["MemAvailable"])
+            self.peak_shmem = max(self.peak_shmem, mi.get("Shmem", 0))
+            self.peak_rss = max(self.peak_rss, _rss_sum())
+            self._halt.wait(0.1)
+
+    def stop(self) -> None:
+        self._halt.set()
+        self.join()
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=20_000_000)  # ~10x bench
-    ap.add_argument("--num-cpus", type=int,
-                    default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
-    ap.add_argument("--out", default="/tmp/hpw_rss_out")
+    ap.add_argument("--rows", type=int, default=9_600_000,
+                    help="20x the sf0.1 bench rows by default")
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
     import ray
 
-    import numpy as np  # noqa: F401  (canary)
-
-    t0 = time.perf_counter()
-    np.arange(20_000_000)
-    canary_ms = 1000 * (time.perf_counter() - t0)
-
-    ray.init(address="local", num_cpus=args.num_cpus,
-             include_dashboard=False)
+    from bench import _ensure_webtable_input, _input_bytes
     from hyparquet_writer_ray.core.options import WriteOptions
-    from hyparquet_writer_ray.pipelines.write import write_parquet_dataset
-    from hyparquet_writer_ray.sources.webtable import webtable_dataset
+    from hyparquet_writer_ray.pipelines.write import (
+        read_parquet_fused, write_parquet_dataset)
 
-    import shutil
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False)
+    inp = _ensure_webtable_input(args.rows)
 
-    shutil.rmtree(args.out, ignore_errors=True)
-    # raw size: measured ~1.7 KB/row for the synthetic webtable
-    ds = webtable_dataset(args.rows, rows_per_block=100_000)
-    sampler = RssSampler()
-    sampler.start()
+    # output on DISK: tmpfs/shmem growth during the run is then object
+    # store only, not finished part files
+    out = "/tmp/hpw_streaming_rss_out"
+    shutil.rmtree(out, ignore_errors=True)
+
+    base = _meminfo()
+    baseline_used = base["MemTotal"] - base["MemAvailable"]
+    baseline_shmem = base.get("Shmem", 0)
+    baseline_rss = _rss_sum()
+
+    mon = _Monitor()
+    mon.start()
     t0 = time.perf_counter()
     stats = write_parquet_dataset(
-        ds, args.out, WriteOptions(auto_codec="smart"))
+        read_parquet_fused(inp), out, WriteOptions(auto_codec="smart"),
+        max_group_bytes=32 << 20, resume=False)
     wall = time.perf_counter() - t0
-    sampler.stop.set()
-    sampler.join(timeout=2)
-    raw = stats["uncompressed_bytes"]
-    print(json.dumps({
-        "rows": stats["rows"],
-        "parts": stats["parts"],
-        "raw_gb": round(raw / 1e9, 3),
-        "compressed_gb": round(stats["compressed_bytes"] / 1e9, 3),
-        "wall_sec": round(wall, 2),
-        "gbps_raw": round(raw / 1e9 / wall, 3),
-        "driver_peak_rss_gb": round(sampler.driver_peak_kb / 1e6, 3),
-        "workers_sum_peak_rss_gb": round(
-            sampler.workers_sum_peak_kb / 1e6, 3),
-        "worker_max_peak_rss_gb": round(
-            sampler.worker_max_peak_kb / 1e6, 3),
-        "system_used_delta_gb": round(
-            (sampler.sys_used_peak_kb - sampler.sys_used_start_kb) / 1e6, 3),
-        "num_cpus": args.num_cpus,
-        "alloc_canary_ms": round(canary_ms, 1),
-    }))
+    mon.stop()
     ray.shutdown()
-    shutil.rmtree(args.out, ignore_errors=True)
+
+    raw = stats["uncompressed_bytes"]
+    gib = 1 << 30
+    print(json.dumps({
+        "metric": "streaming_peak_memory",
+        "rows": stats["rows"],
+        "raw_bytes": raw,
+        "raw_gib": round(raw / gib, 2),
+        "input_parquet_bytes": _input_bytes(inp),
+        "wall_sec": round(wall, 2),
+        "raw_gbps": round(raw / wall / 1e9, 3),
+        "num_cpus": args.cpus,
+        "baseline_used_gib": round(baseline_used / gib, 2),
+        "peak_used_gib": round(mon.peak_used / gib, 2),
+        "delta_used_gib": round((mon.peak_used - baseline_used) / gib, 2),
+        "baseline_shmem_gib": round(baseline_shmem / gib, 2),
+        "peak_shmem_gib": round(mon.peak_shmem / gib, 2),
+        "peak_rss_sum_gib": round(mon.peak_rss / gib, 2),
+        "baseline_rss_sum_gib": round(baseline_rss / gib, 2),
+        "parts": stats["parts"],
+    }))
+    shutil.rmtree(out, ignore_errors=True)
 
 
 if __name__ == "__main__":
