@@ -134,19 +134,34 @@ def _part_sink(fpath: str):
                 if fs.exists(tmp):
                     fs.rm(tmp)
             return
+        # one HEAD per part (negligible next to the multi-MB PUT): on a
+        # failed REWRITE of an existing name, the previous successful
+        # object must survive — the old unconditional fs.rm(p) deleted
+        # a prior run's good single-file output when its refresh failed
+        existed = fs.exists(p)
+        f = fs.open(p, "wb")
         try:
-            with fs.open(p, "wb") as f:
-                yield f
+            yield f
         except BaseException:
-            # some fsspec backends commit on close even after an error;
-            # a partial object must not stay visible (it has no lineage
-            # record, so resume would re-encode it anyway — this is
-            # hygiene, not a correctness requirement)
             try:
-                fs.rm(p)
+                # abort the upload: nothing is committed, so any
+                # previous object at this name stays intact
+                f.discard()
             except Exception:
                 pass
+            try:
+                f.close()
+            except Exception:
+                pass
+            if not existed:
+                # visible-at-open / commit-on-close backends may have
+                # surfaced a torn object at a fresh name — remove it
+                try:
+                    fs.rm(p)
+                except Exception:
+                    pass
             raise
+        f.close()
         return
     tmp = _tmp_name(fpath)
     try:
@@ -194,12 +209,34 @@ def _part_head(fpath: str, n: int) -> bytes:
 STALE_TMP_AGE_SEC = 3600.0
 
 
+def _fs_mtime(fs, path: str) -> float | None:
+    """Modification time in epoch seconds, or None when the backend
+    exposes none. fsspec's sftp/ftp filesystems don't implement
+    ``fs.modified`` (AbstractFileSystem raises NotImplementedError) but
+    DO populate an mtime in ``fs.info`` — fall through to it so the
+    age-gated tmp sweeps actually run there."""
+    try:
+        return fs.modified(path).timestamp()
+    except Exception:
+        pass
+    try:
+        m = fs.info(path).get("mtime")
+    except Exception:
+        return None
+    if m is None:
+        return None
+    return m.timestamp() if hasattr(m, "timestamp") else float(m)
+
+
 def _clean_dest_tmps(path: str, max_age: float = STALE_TMP_AGE_SEC) -> None:
     """Remove aged ``<path>.inprogress-*`` orphans left by hard-killed
     single-file writes (each attempt uses a fresh random tmp name, and
     a SIGKILL skips _part_sink's cleanup; the dataset writers sweep via
     _clean_stale_tmps, but a single-file destination has no out_dir
-    sweep). Age-gated for the same concurrent-writer reason."""
+    sweep), plus the FIXED ``<path>.inprogress`` name the pre-r5
+    single-file writer (and local.write_table today) uses — a crashed
+    pre-upgrade run's multi-GB tmp must not persist forever. Age-gated
+    for the same concurrent-writer reason."""
     import glob as _glob
     import time
 
@@ -210,14 +247,18 @@ def _clean_dest_tmps(path: str, max_age: float = STALE_TMP_AGE_SEC) -> None:
         fs, p = fsio.url_fs(path)
         if not fsio.fs_rename_based(fs):
             return  # object-store branch writes no tmps
-        for m in fs.glob(_glob.escape(p) + ".inprogress-*"):
+        legacy = [p + ".inprogress"] if fs.exists(p + ".inprogress") else []
+        for m in list(fs.glob(_glob.escape(p) + ".inprogress-*")) + legacy:
             try:
-                if fs.modified(m).timestamp() < cutoff:
+                mt = _fs_mtime(fs, m)
+                if mt is not None and mt < cutoff:
                     fs.rm(m)
             except Exception:
                 pass
         return
-    for f in _glob.glob(_glob.escape(path) + ".inprogress-*"):
+    legacy = [path + ".inprogress"] \
+        if os.path.exists(path + ".inprogress") else []
+    for f in _glob.glob(_glob.escape(path) + ".inprogress-*") + legacy:
         try:
             if os.path.getmtime(f) < cutoff:
                 os.remove(f)

@@ -92,7 +92,9 @@ def makedirs(path: str) -> None:
 
 
 def remove(path: str) -> None:
-    """Delete one file if present (missing is not an error)."""
+    """Delete one file if present (missing is not an error; any OTHER
+    failure raises — checkpoint cleanup that silently leaves a stale
+    file behind turns into duplicated rows on the next read)."""
     if is_uri(path):
         fs, p = url_fs(path)
         try:
@@ -102,11 +104,16 @@ def remove(path: str) -> None:
     else:
         try:
             os.remove(path)
-        except OSError:
+        except FileNotFoundError:
             pass
 
 
 def rm_tree(path: str) -> None:
+    """Recursive delete, missing-ok. Real failures (EACCES, EBUSY, a
+    file pinned by nfs silly-rename) RAISE: _checkpoint_dataset clears
+    a crashed partial checkpoint and then appends fresh files, so a
+    silently half-cleared directory would double rows under a _DONE
+    marker that resume then trusts."""
     if is_uri(path):
         fs, p = url_fs(path)
         try:
@@ -116,7 +123,10 @@ def rm_tree(path: str) -> None:
     else:
         import shutil
 
-        shutil.rmtree(path, ignore_errors=True)
+        try:
+            shutil.rmtree(path)
+        except FileNotFoundError:
+            pass
 
 
 def glob(pattern: str) -> list[str]:
@@ -167,9 +177,13 @@ def write_marker(path: str, text: str = "ok") -> None:
             fs.pipe(p, text.encode())
     else:
         tmp = f"{path}.tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            f.write(text)
-        os.replace(tmp, path)
+        try:
+            with open(tmp, "w") as f:
+                f.write(text)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
 
 def read_marker(path: str) -> str:
@@ -194,14 +208,19 @@ def mkdtemp(prefix: str, base: str | None = None) -> str:
     return tempfile.mkdtemp(prefix=prefix)
 
 
-def ray_filesystem(path: str):
-    """(pyarrow FileSystem or None, path) for ray.data read/write —
-    the FSSpecHandler wrapper pickles, so it ships to workers."""
-    if is_uri(path):
-        from pyarrow.fs import FSSpecHandler, PyFileSystem
+def _pa_fs(fs):
+    """pyarrow FileSystem view of an fsspec filesystem — the
+    FSSpecHandler wrapper pickles, so it ships to ray workers."""
+    from pyarrow.fs import FSSpecHandler, PyFileSystem
 
+    return PyFileSystem(FSSpecHandler(fs))
+
+
+def ray_filesystem(path: str):
+    """(pyarrow FileSystem or None, path) for ray.data read/write."""
+    if is_uri(path):
         fs, p = url_fs(path)
-        return PyFileSystem(FSSpecHandler(fs)), p
+        return _pa_fs(fs), p
     return None, path
 
 
@@ -236,8 +255,6 @@ def read_parquet_dataset(path_or_paths, **kw):
     first = path_or_paths if isinstance(path_or_paths, str) \
         else path_or_paths[0]
     if is_uri(first):
-        from pyarrow.fs import FSSpecHandler, PyFileSystem
-
         fs, _ = url_fs(first)
         paths = [path_or_paths] if isinstance(path_or_paths, str) \
             else list(path_or_paths)
@@ -245,16 +262,14 @@ def read_parquet_dataset(path_or_paths, **kw):
         if isinstance(path_or_paths, str):
             stripped = stripped[0]
         return ray.data.read_parquet(
-            stripped, filesystem=PyFileSystem(FSSpecHandler(fs)), **kw)
+            stripped, filesystem=_pa_fs(fs), **kw)
     return ray.data.read_parquet(path_or_paths, **kw)
 
 
 def write_parquet_dataset_dir(ds, path: str) -> None:
     """ds.write_parquet that accepts an fsspec URI directory."""
     if is_uri(path):
-        from pyarrow.fs import FSSpecHandler, PyFileSystem
-
         fs, p = url_fs(path)
-        ds.write_parquet(p, filesystem=PyFileSystem(FSSpecHandler(fs)))
+        ds.write_parquet(p, filesystem=_pa_fs(fs))
     else:
         ds.write_parquet(path)

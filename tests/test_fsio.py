@@ -516,3 +516,160 @@ def test_write_parquet_files_untouched_unrelated_legacy(ray_session, tmp_path):
     names = sorted(f for f in os.listdir(str(out)) if f.endswith(".parquet"))
     assert "part-x.parquet" not in names      # this input's legacy: gone
     assert "part-other.parquet" in names      # unrelated: untouched
+
+
+# -- round-5 second review pass: failure-path semantics ----------------
+
+
+def test_part_sink_object_store_fresh_name_failure_cleans(tmp_path):
+    """A failed write to a NEW object-store name leaves nothing visible
+    (memory:// surfaces partials at open, so the rm branch must fire)."""
+    import fsspec
+
+    from hyparquet_writer_ray.pipelines.write import _part_sink
+
+    fs = fsspec.filesystem("memory")
+    uri = "memory://fsio_sink_fail/part.parquet"
+    with pytest.raises(RuntimeError):
+        with _part_sink(uri) as f:
+            f.write(b"torn")
+            raise RuntimeError("killed")
+    assert not fs.exists("/fsio_sink_fail/part.parquet")
+    # success still lands content
+    with _part_sink(uri) as f:
+        f.write(b"PAR1ok")
+    assert fs.cat("/fsio_sink_fail/part.parquet") == b"PAR1ok"
+    fs.rm("/fsio_sink_fail", recursive=True)
+
+
+def test_part_sink_object_store_failed_rewrite_keeps_previous():
+    """A failed REWRITE of an existing object must not delete the
+    previous successful object (the old unconditional rm did). Uses a
+    true-object-store stand-in whose partials never surface and whose
+    discard aborts the upload."""
+    import io
+
+    import fsspec
+    from fsspec.implementations.memory import MemoryFileSystem
+
+    from hyparquet_writer_ray.pipelines import write as W
+    from hyparquet_writer_ray.state import fsio
+
+    class _AbortFile(io.BytesIO):
+        def __init__(self, fs, path):
+            super().__init__()
+            self._fs, self._path, self._aborted = fs, path, False
+
+        def discard(self):
+            self._aborted = True
+
+        def close(self):
+            if not self._aborted and not self.closed:
+                self._fs.store[self._path] = self.getvalue()
+            super().close()
+
+    class _ObjStoreFS:
+        protocol = "objstub"
+
+        def __init__(self):
+            self.store = {"part.parquet": b"previous-good"}
+
+        def exists(self, p):
+            return p in self.store
+
+        def open(self, p, mode="rb"):
+            assert mode == "wb"
+            return _AbortFile(self, p)
+
+    stub = _ObjStoreFS()
+    orig = fsio.url_fs
+    try:
+        fsio.url_fs = lambda path: (stub, path.split("://", 1)[1])
+        with pytest.raises(RuntimeError):
+            with W._part_sink("objstub://part.parquet") as f:
+                f.write(b"torn-new")
+                raise RuntimeError("killed")
+    finally:
+        fsio.url_fs = orig
+    assert stub.store["part.parquet"] == b"previous-good"
+
+
+def test_rm_tree_raises_on_real_failure(tmp_path):
+    """Missing path is fine; a genuinely failing delete must raise (a
+    silently half-cleared checkpoint doubles rows under _DONE)."""
+    fsio.rm_tree(str(tmp_path / "absent"))  # no raise
+    f = tmp_path / "afile"
+    f.write_bytes(b"x")
+    with pytest.raises(NotADirectoryError):
+        fsio.rm_tree(str(f))
+
+
+def test_remove_raises_on_real_failure(tmp_path):
+    fsio.remove(str(tmp_path / "absent"))  # missing-ok
+    d = tmp_path / "adir"
+    d.mkdir()
+    with pytest.raises(IsADirectoryError):
+        fsio.remove(str(d))
+
+
+def test_clean_dest_tmps_legacy_fixed_name(tmp_path):
+    """The pre-r5 fixed '<path>.inprogress' orphan is swept when aged,
+    kept when fresh (a live local.write_table may own it)."""
+    from hyparquet_writer_ray.pipelines.write import _clean_dest_tmps
+
+    dest = tmp_path / "out.parquet"
+    legacy = tmp_path / "out.parquet.inprogress"
+    legacy.write_bytes(b"x")
+    _clean_dest_tmps(str(dest))
+    assert legacy.exists()  # fresh: kept
+    past = os.path.getmtime(legacy) - 7200
+    os.utime(legacy, (past, past))
+    _clean_dest_tmps(str(dest))
+    assert not legacy.exists()  # aged: swept
+    # URI branch
+    legacy.write_bytes(b"x")
+    os.utime(legacy, (past, past))
+    _clean_dest_tmps(_file_uri(dest))
+    assert not legacy.exists()
+
+
+def test_fs_mtime_info_fallback():
+    """Backends without fs.modified (sftp/ftp) fall through to
+    fs.info()['mtime'] so the age-gated sweeps still run."""
+    import datetime
+
+    from hyparquet_writer_ray.pipelines.write import _fs_mtime
+
+    class _NoModified:
+        def modified(self, p):
+            raise NotImplementedError
+
+        def info(self, p):
+            return {"mtime": 1234.5}
+
+    class _DatetimeInfo(_NoModified):
+        def info(self, p):
+            return {"mtime": datetime.datetime(
+                2020, 1, 1, tzinfo=datetime.timezone.utc)}
+
+    class _Nothing(_NoModified):
+        def info(self, p):
+            return {}
+
+    assert _fs_mtime(_NoModified(), "x") == 1234.5
+    assert _fs_mtime(_DatetimeInfo(), "x") == 1577836800.0
+    assert _fs_mtime(_Nothing(), "x") is None
+
+
+def test_write_marker_local_failure_cleans_tmp(tmp_path, monkeypatch):
+    """A failed local marker write must not leak '<marker>.tmp-<pid>'."""
+    m = tmp_path / "_DONE"
+
+    def boom(src, dst):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(OSError):
+        fsio.write_marker(str(m))
+    monkeypatch.undo()
+    assert list(tmp_path.iterdir()) == []
