@@ -91,13 +91,28 @@ def write_table(
     """Whole-table write (reference parquetWrite, src/write.js:16-60).
 
     Path sinks are written via a temp file + atomic rename so a failed
-    write never leaves a truncated .parquet behind."""
+    write never leaves a truncated .parquet behind. The temp name is
+    UNIQUE per attempt: with the old fixed ``<sink>.inprogress`` two
+    concurrent writers of the same sink shared one tmp inode, so the
+    first finisher could rename the other's half-written bytes into
+    place as a complete-looking file. Aged orphans from hard-killed
+    attempts (>1h, incl. the legacy fixed name) are swept on entry —
+    fresh tmps are a live concurrent writer's and survive."""
     opts = opts or WriteOptions()
     table = normalize_table(table)
     if isinstance(sink, str):
+        import glob as _glob
         import os
+        import time
 
-        tmp = sink + ".inprogress"
+        cutoff = time.time() - 3600.0
+        for stale in _glob.glob(_glob.escape(sink) + ".inprogress*"):
+            try:
+                if os.path.getmtime(stale) < cutoff:
+                    os.remove(stale)
+            except OSError:
+                pass
+        tmp = f"{sink}.inprogress-{os.getpid()}-{os.urandom(4).hex()}"
         try:
             with open(tmp, "wb") as f:
                 pw = ParquetWriter(f, table.schema, opts)

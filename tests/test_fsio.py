@@ -673,3 +673,27 @@ def test_write_marker_local_failure_cleans_tmp(tmp_path, monkeypatch):
         fsio.write_marker(str(m))
     monkeypatch.undo()
     assert list(tmp_path.iterdir()) == []
+
+
+def test_write_table_unique_tmp_and_orphan_sweep(tmp_path):
+    """local.write_table: unique per-attempt tmp (concurrent writers of
+    one sink never share an inode), aged orphans swept, fresh tmps (a
+    live concurrent writer's) kept."""
+    import pyarrow.parquet as pq
+
+    from hyparquet_writer_ray.local import write_table
+
+    sink = str(tmp_path / "t.parquet")
+    aged = tmp_path / "t.parquet.inprogress"        # legacy fixed name
+    fresh = tmp_path / "t.parquet.inprogress-99-beef"
+    aged.write_bytes(b"x")
+    fresh.write_bytes(b"y")
+    past = os.path.getmtime(aged) - 7200
+    os.utime(aged, (past, past))
+    write_table(pa.table({"a": [1, 2, 3]}), sink)
+    assert pq.read_table(sink).column("a").to_pylist() == [1, 2, 3]
+    assert not aged.exists()      # aged orphan swept
+    assert fresh.exists()         # fresh tmp untouched
+    fresh.unlink()
+    # no tmp of our own left behind
+    assert [p.name for p in tmp_path.iterdir()] == ["t.parquet"]
