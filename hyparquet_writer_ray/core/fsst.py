@@ -70,6 +70,67 @@ class SymbolTable:
         return cls(syms), pos
 
 
+def _count_stream_scalar(codes: bytes, table: "SymbolTable"):
+    """Per-generation symbol/pair counting, scalar reference path.
+
+    Returns ``(sym_counts, pair_counts)`` dicts whose INSERTION ORDER is
+    first-encounter order in the code stream — ``train``'s tie-breaking
+    (stable sort over dict iteration order) depends on it, so the
+    vectorized twin below must reproduce it exactly."""
+    pair_counts: dict[bytes, int] = {}
+    sym_counts: dict[bytes, int] = {}
+    i = 0
+    prev_sym = None
+    n = len(codes)
+    while i < n:
+        c = codes[i]
+        if c == ESCAPE:
+            sym = bytes([codes[i + 1]])
+            i += 2
+        else:
+            sym = table.symbols[c]
+            i += 1
+        sym_counts[sym] = sym_counts.get(sym, 0) + 1
+        if prev_sym is not None:
+            merged = prev_sym + sym
+            if len(merged) <= MAX_SYMBOL_LEN:
+                pair_counts[merged] = pair_counts.get(merged, 0) + 1
+        prev_sym = sym
+    return sym_counts, pair_counts
+
+
+def _count_stream_np(codes: bytes, table: "SymbolTable"):
+    """Vectorized twin of :func:`_count_stream_scalar` for escape-free
+    streams (the common case: after generation 0 the table covers every
+    sample byte, and code 255 is always the escape marker). bincount for
+    symbol counts, a u16 (code,code) key + ``np.unique`` for adjacent
+    pairs; both dicts are built in first-encounter order (unique indices
+    re-sorted by first occurrence) so the resulting table is
+    bit-identical to the scalar path's."""
+    import numpy as np
+
+    syms = table.symbols
+    ids = np.frombuffer(codes, dtype=np.uint8)
+    uniq, first = np.unique(ids, return_index=True)
+    counts = np.bincount(ids, minlength=len(syms))
+    sym_counts = {
+        syms[int(u)]: int(counts[u]) for u in uniq[np.argsort(first, kind="stable")]
+    }
+    pair_counts: dict[bytes, int] = {}
+    if len(ids) >= 2:
+        pk = (ids[:-1].astype(np.uint16) << np.uint16(8)) | ids[1:]
+        pu, pfirst, pcnt = np.unique(pk, return_index=True, return_counts=True)
+        # two distinct code pairs can concatenate to the same merged
+        # bytes; inserting in stream-first-occurrence order makes the
+        # dict's first insertion match the scalar loop's
+        for idx in np.argsort(pfirst, kind="stable"):
+            key = int(pu[idx])
+            merged = syms[key >> 8] + syms[key & 0xFF]
+            if len(merged) <= MAX_SYMBOL_LEN:
+                pair_counts[merged] = pair_counts.get(merged, 0) + int(pcnt[idx])
+    return sym_counts, pair_counts
+
+
 def train(sample: bytes) -> SymbolTable:
     """Iterative symbol-table construction: start from frequent single
     bytes, then repeatedly merge adjacent symbol pairs that maximize
@@ -77,36 +138,26 @@ def train(sample: bytes) -> SymbolTable:
     sample = sample[:TRAIN_SAMPLE_BYTES]
     if not sample:
         return SymbolTable([])
-    # generation 0: frequent single bytes
-    counts: dict[bytes, int] = {}
-    for b in sample:
-        key = bytes([b])
-        counts[key] = counts.get(key, 0) + 1
+    # generation 0: frequent single bytes (first-encounter dict order =
+    # the old scalar loop's, so stable-sort tie-breaking is unchanged)
+    import numpy as np
+
+    arr = np.frombuffer(sample, dtype=np.uint8)
+    uniq, first = np.unique(arr, return_index=True)
+    bc = np.bincount(arr)
+    counts: dict[bytes, int] = {
+        bytes([int(u)]): int(bc[u]) for u in uniq[np.argsort(first, kind="stable")]
+    }
     symbols = sorted(counts, key=lambda s: -counts[s])[:MAX_SYMBOLS]
     table = SymbolTable(symbols)
 
     for _ in range(GENERATIONS):
         codes = compress(sample, table)
-        # count adjacent code pairs (skip escapes)
-        pair_counts: dict[bytes, int] = {}
-        sym_counts: dict[bytes, int] = {}
-        i = 0
-        prev_sym = None
-        n = len(codes)
-        while i < n:
-            c = codes[i]
-            if c == ESCAPE:
-                sym = bytes([codes[i + 1]])
-                i += 2
-            else:
-                sym = table.symbols[c]
-                i += 1
-            sym_counts[sym] = sym_counts.get(sym, 0) + 1
-            if prev_sym is not None:
-                merged = prev_sym + sym
-                if len(merged) <= MAX_SYMBOL_LEN:
-                    pair_counts[merged] = pair_counts.get(merged, 0) + 1
-            prev_sym = sym
+        # count adjacent code pairs (code 255 is ALWAYS the escape
+        # marker — symbols hold codes 0..254 — so its absence proves the
+        # stream is escape-free and the vectorized counter applies)
+        count = _count_stream_scalar if ESCAPE in codes else _count_stream_np
+        sym_counts, pair_counts = count(codes, table)
         # gain = count * (len - 1): bytes saved vs one code per symbol
         candidates: dict[bytes, int] = {}
         for sym, cnt in sym_counts.items():

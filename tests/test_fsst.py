@@ -177,3 +177,33 @@ def test_decompress_unregistered_codec_clear_error():
     got = decompress(b"xx", Codec.LZ4, 2,
                      decompressors={"LZ4": lambda d, n: d})
     assert got == b"xx"
+
+
+@given(st.binary(min_size=2, max_size=4000))
+@settings(max_examples=60, deadline=None)
+def test_vectorized_count_matches_scalar(sample):
+    """_count_stream_np must match _count_stream_scalar exactly —
+    counts AND dict insertion order (train's stable-sort tie-breaking
+    reads the order) — on escape-free code streams."""
+    table = fsst.train(sample)
+    codes = fsst.compress(sample, table)
+    sc_sym, sc_pair = fsst._count_stream_scalar(codes, table)
+    if fsst.ESCAPE in codes:
+        return  # np path not used for escape-bearing streams
+    np_sym, np_pair = fsst._count_stream_np(codes, table)
+    assert list(sc_sym.items()) == list(np_sym.items())
+    assert list(sc_pair.items()) == list(np_pair.items())
+
+
+def test_vectorized_count_same_merged_from_two_pairs():
+    """Two distinct code pairs concatenating to the SAME merged bytes
+    must aggregate into one dict entry at the earlier stream position
+    (matches the scalar loop)."""
+    table = fsst.SymbolTable([b"ab", b"c", b"a", b"bc", b"x"])
+    # codes: (ab)(c) then (a)(bc) -> both merge to b"abc"
+    codes = bytes([0, 1, 4, 2, 3])
+    sc = fsst._count_stream_scalar(codes, table)
+    np_ = fsst._count_stream_np(codes, table)
+    assert list(sc[0].items()) == list(np_[0].items())
+    assert list(sc[1].items()) == list(np_[1].items())
+    assert sc[1][b"abc"] == 2
