@@ -20,31 +20,42 @@ _C_SRC = r"""
 #include <string.h>
 
 /* Greedy longest-match parse, identical to the Python paths, but with
-   O(1)-ish dispatch: symbols of length >= 2 live in CONTIGUOUS
+   O(1)-ish dispatch: symbols of length >= 3 live in CONTIGUOUS
    per-bucket runs keyed by their FIRST TWO BYTES, each run in priority
    order (longest first, code ascending — at any position only one
    2-byte prefix group can match, so per-run order equals the global
    greedy order) and terminated by a `last` flag; candidates compare as
    a single u64 masked load, and the linear run avoids the pointer-
-   chase of a chained layout (~1.8x measured). Length-1 symbols sit in
-   a 256-entry direct table. The caller guarantees 8 readable bytes
-   past data+n (zero padding); the `len <= rem` guard keeps padding
-   from ever matching. */
+   chase of a chained layout (~1.8x measured). Length-2 symbols sit in
+   a direct 65536-entry table probed AFTER the run (they are the unique
+   shortest in their bucket, so greedy priority is preserved) — buckets
+   holding only a 2-gram skip the run walk entirely. Length-1 symbols
+   sit in a 256-entry direct table. The caller guarantees 8 readable
+   bytes past data+n (zero padding); the `len <= rem` guard keeps
+   padding from ever matching. */
 typedef struct { uint64_t val; uint64_t mask; uint8_t code; uint8_t len; uint8_t last; uint8_t pad; } Cand;
 
 size_t fsst_compress(const uint8_t* data, size_t n,
                      const uint8_t* sym_bytes /* 255*8, zero padded */,
                      const uint8_t* sym_len, int nsym, uint8_t* out) {
     static _Thread_local int16_t head[65536];
+    static _Thread_local int16_t code2[65536];
     static _Thread_local Cand pool[255];
     uint8_t code1[256];
     memset(head, 0xFF, sizeof head);
+    memset(code2, 0xFF, sizeof code2);
     memset(code1, 0xFF, sizeof code1);
-    /* global priority order of the multi-byte symbols */
+    /* global priority order of the len>=3 symbols (runs); len==2 go to
+       the direct table (symbols are distinct so at most one per f2) */
     int order[255]; int m = 0;
-    for (int L = 8; L >= 2; L--)
+    for (int L = 8; L >= 3; L--)
         for (int c = 0; c < nsym; c++)
             if (sym_len[c] == L) order[m++] = c;
+    for (int c = 0; c < nsym; c++)
+        if (sym_len[c] == 2) {
+            uint16_t f2 = (uint16_t)(sym_bytes[c * 8] | (sym_bytes[c * 8 + 1] << 8));
+            if (code2[f2] < 0) code2[f2] = (int16_t)c;
+        }
     /* group into contiguous bucket runs, preserving priority order
        within each run (O(m^2) over <=255 symbols — negligible) */
     uint8_t placed[255]; memset(placed, 0, sizeof placed);
@@ -76,7 +87,8 @@ size_t fsst_compress(const uint8_t* data, size_t n,
         size_t rem = n - p;
         uint64_t word; memcpy(&word, data + p, 8);
         if (rem >= 2) {
-            int16_t i = head[(uint16_t)(word & 0xFFFF)];
+            uint16_t f2 = (uint16_t)(word & 0xFFFF);
+            int16_t i = head[f2];
             if (i >= 0) {
                 const Cand* cd = &pool[i];
                 for (;;) {
@@ -88,6 +100,12 @@ size_t fsst_compress(const uint8_t* data, size_t n,
                     if (cd->last) break;
                     cd++;
                 }
+            }
+            int16_t c2 = code2[f2];
+            if (c2 >= 0) {
+                out[o++] = (uint8_t)c2;
+                p += 2;
+                goto matched;
             }
         }
         {
@@ -147,7 +165,7 @@ def _build() -> "ctypes.CDLL | None":
             return None
     except OSError:
         return None
-    so = os.path.join(cache, "fsst_kernel_v5.so")
+    so = os.path.join(cache, "fsst_kernel_v6.so")
     if not os.path.exists(so):
         src = os.path.join(cache, "fsst_kernel.c")
         with open(src, "w") as f:

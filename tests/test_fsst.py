@@ -111,6 +111,9 @@ def test_fsst_kernel_fuzz_roundtrip():
             _fsst_kernel._lib = lib
         # and the kernel decodes the python parse
         assert fsst.decompress(enc_py, tbl) == data
+        # both paths claim the same greedy longest-match parse — hold
+        # them to byte identity, not just roundtrip
+        assert enc == enc_py
 
     run()
 
